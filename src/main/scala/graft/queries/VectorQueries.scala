@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Metric, Tables}
+import graft.functions.VectorFunctions._
+import graft.index.FlatIndex
+
+/** Vector-search operators from SURVEY.md §2 over the embeddings table:
+  * exact flat kNN per metric (J1+T1), range search (P3), norms (F4),
+  * per-label centroids (A1), recall join (J5), payload join (J4).
+  */
+object VectorQueries extends QueryProvider {
+
+  val QueryIds = 8 // embeddings rows with vec_id < 8 act as the query batch
+  val K = 10
+
+  /** (corpus, queries) in canonical shape from the embeddings table. */
+  def vecTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val v = Tables.vectors(s, dir)
+    val corpus = v.select(col("id"), col("vec"))
+    val queries = v.where(col("id") < QueryIds)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    (corpus, queries)
+  }
+
+  private def knnQuery(metric: Metric)(s: SparkSession, dir: String): DataFrame = {
+    val (corpus, queries) = vecTables(s, dir)
+    FlatIndex.knn(corpus, queries, K, metric)
+      .select(
+        col("query_id"), col("neighbor_id"),
+        round(col("distance"), 4).as("distance"), col("rank"))
+  }
+
+  // ---- DuckDB oracle fragments (left-to-right double folds, matching
+  // VectorFunctions exactly); shared with other providers. ----
+  val sqlDot =
+    "list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*ev[i]), (a,b) -> a+b)"
+  val sqlL2Sq =
+    "list_reduce(list_transform(range(1, len(qv)+1), i -> (qv[i]-ev[i])*(qv[i]-ev[i])), (a,b) -> a+b)"
+  val sqlL2 = s"sqrt($sqlL2Sq)"
+  val sqlNormQ =
+    "sqrt(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), (a,b) -> a+b))"
+  val sqlNormE =
+    "sqrt(list_reduce(list_transform(range(1, len(ev)+1), i -> ev[i]*ev[i]), (a,b) -> a+b))"
+  val sqlCosine =
+    s"""CASE WHEN $sqlNormQ = 0 OR $sqlNormE = 0 THEN 1.0
+       | ELSE 1.0 - least(1.0, greatest(-1.0, ($sqlDot) / (($sqlNormQ) * ($sqlNormE)))) END""".stripMargin.replaceAll("\n", " ")
+
+  /** CTEs q (query batch) and v (corpus) over the embeddings view. */
+  val sqlVecCtes: String =
+    s"""q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < $QueryIds),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)""".stripMargin
+
+  /** Full kNN oracle for `distExpr`, keeping rank ≤ k. */
+  def knnOracleSql(distExpr: String, k: Int = K): String =
+    s"""WITH $sqlVecCtes,
+       |d AS (
+       |  SELECT q.query_id, v.vec_id AS neighbor_id, $distExpr AS dist
+       |  FROM q CROSS JOIN v),
+       |r AS (
+       |  SELECT query_id, neighbor_id, dist,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |  FROM d)
+       |SELECT query_id, neighbor_id, round(dist, 4) AS distance, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $k""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1 + T1: exact flat kNN per metric (flat.go:74-114)
+    "knn_flat_l2" -> knnQuery(Metric.L2),
+    "knn_flat_cosine" -> knnQuery(Metric.Cosine),
+    "knn_flat_dot" -> knnQuery(Metric.Dot),
+    // P3: range search as exact filter (search.go:165-189)
+    "range_search_l2" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      FlatIndex.rangeSearch(corpus, queries, threshold = 1.25, Metric.L2, maxResults = 50)
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // F4: materialized norms (flat.go:47-53)
+    "vector_norms" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir)
+      v.select(col("id"), round(norm(col("vec")), 4).as("norm"))
+    }),
+    // A1: per-label centroid (vector.go:111-131), long format (label, pos, value)
+    "centroid_by_label" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir)
+      v.select(col("label"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x")), 4).as("value"))
+        .select(col("label"), col("pos").cast("int").as("pos"), col("value"))
+    }),
+    // J5: recall join — overlap@k of cosine vs l2 neighbor lists
+    "recall_cosine_vs_l2" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val l2 = FlatIndex.knn(corpus, queries, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"))
+      val cos = FlatIndex.knn(corpus, queries, K, Metric.Cosine)
+        .select(col("query_id"), col("neighbor_id"))
+      val overlap = l2.join(cos, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+      queries.select(col("query_id"))
+        .join(overlap, Seq("query_id"), "left")
+        .select(
+          col("query_id"),
+          round(coalesce(col("n"), lit(0L)) / lit(K.toDouble), 4).as("recall"))
+    }),
+    // J4 + F17: payload join — kNN neighbors back to document records
+    "knn_payload_join" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val docs = Tables.load(s, dir, "documents")
+      FlatIndex.knn(corpus, queries, 5, Metric.Cosine)
+        .join(docs, col("neighbor_id") === col("doc_id"))
+        .select(
+          col("query_id"), col("neighbor_id"), col("rank"),
+          round(similarity(col("distance")), 4).as("similarity"),
+          col("lang"), col("source"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "knn_flat_l2" -> knnOracleSql(sqlL2),
+    "knn_flat_cosine" -> knnOracleSql(sqlCosine),
+    "knn_flat_dot" -> knnOracleSql(s"-($sqlDot)"),
+    "range_search_l2" ->
+      s"""WITH $sqlVecCtes,
+         |d AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id, $sqlL2Sq AS dist2
+         |  FROM q CROSS JOIN v),
+         |r AS (
+         |  SELECT query_id, neighbor_id, dist2,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rank
+         |  FROM d WHERE dist2 <= 1.25 * 1.25)
+         |SELECT query_id, neighbor_id, round(sqrt(dist2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 50""".stripMargin,
+    "vector_norms" ->
+      """SELECT vec_id AS id,
+        |       round(sqrt(list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x), (a,b) -> a+b)), 4) AS norm
+        |FROM embeddings""".stripMargin,
+    "centroid_by_label" ->
+      """SELECT label, pos, round(avg(x), 4) AS value FROM (
+        |  SELECT label, CAST(generate_subscripts(ev, 1) - 1 AS INT) AS pos, unnest(ev) AS x
+        |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings))
+        |GROUP BY label, pos""".stripMargin,
+    "recall_cosine_vs_l2" ->
+      s"""WITH $sqlVecCtes,
+         |d AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id, $sqlL2Sq AS dl2, $sqlCosine AS dcos
+         |  FROM q CROSS JOIN v),
+         |rl AS (SELECT query_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY dl2, neighbor_id) AS rk FROM d),
+         |rc AS (SELECT query_id, neighbor_id,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY dcos, neighbor_id) AS rk FROM d),
+         |ov AS (
+         |  SELECT rl.query_id, count(*) AS n
+         |  FROM (SELECT * FROM rl WHERE rk <= $K) rl
+         |  JOIN (SELECT * FROM rc WHERE rk <= $K) rc
+         |    ON rl.query_id = rc.query_id AND rl.neighbor_id = rc.neighbor_id
+         |  GROUP BY rl.query_id)
+         |SELECT q.query_id, round(coalesce(ov.n, 0) / ${K.toDouble}, 4) AS recall
+         |FROM q LEFT JOIN ov ON q.query_id = ov.query_id""".stripMargin,
+    "knn_payload_join" ->
+      s"""WITH $sqlVecCtes,
+         |d AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id, $sqlCosine AS dist
+         |  FROM q CROSS JOIN v),
+         |r AS (
+         |  SELECT query_id, neighbor_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |  FROM d)
+         |SELECT r.query_id, r.neighbor_id, CAST(r.rank AS INT) AS rank,
+         |       round(1.0 - r.dist, 4) AS similarity, doc.lang, doc.source
+         |FROM r JOIN documents doc ON r.neighbor_id = doc.doc_id
+         |WHERE r.rank <= 5""".stripMargin
+  )
+}
