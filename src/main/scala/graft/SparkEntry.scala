@@ -20,7 +20,7 @@ import graft.queries._
 object SparkEntry {
 
   private val providers: Seq[QueryProvider] =
-    Seq(VectorQueries, RelationalQueries, TextQueries)
+    Seq(VectorQueries, RelationalQueries, TextQueries, IndexQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

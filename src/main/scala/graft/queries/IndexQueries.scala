@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.index._
+
+/** The approximate-index family (SURVEY.md §2 J2/J3/A2/A7/A8): IVF
+  * assignment + probe search, PQ encode + ADC search, and the IVFPQ
+  * residual pipeline.
+  *
+  * Two flavors per index:
+  *  - `*_det`: centroids/codebooks from deterministic id-bucket means —
+  *    exercises the exact same assignment/probe/encode/ADC machinery but
+  *    is reproducible in the DuckDB oracle → full hash-match coverage;
+  *  - `*_kmeans`: the production MLlib k-means trainer — not expressible
+  *    in SQL, so those entries get the driver's rows-only check; their
+  *    recall against the flat oracle is asserted in ScalaTest instead.
+  */
+object IndexQueries extends QueryProvider {
+
+  private val Nlist = 16
+  private val Nprobe = 4
+  private val M = 8
+  private val Ksub = 16
+  private val K = 10
+
+  import VectorQueries.{vecTables, sqlL2SqG}
+
+  private def detIvf(s: SparkSession, dir: String): (DataFrame, DataFrame, IvfModel) = {
+    val (corpus, queries) = vecTables(s, dir)
+    (corpus, queries, IvfIndex.trainDeterministic(corpus, Nlist, Metric.L2))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J2: nearest-centroid assignment (ivf.go:240-252)
+    "ivf_assign_det" -> ((s, dir) => {
+      val (corpus, _, model) = detIvf(s, dir)
+      IvfIndex.assign(corpus, model).select(col("id"), col("cluster_id"))
+    }),
+    // J3 + T1: probe-pruned IVF search (ivf.go:123-160)
+    "knn_ivf_det" -> ((s, dir) => {
+      val (corpus, queries, model) = detIvf(s, dir)
+      IvfIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // PQ encode (pq.go:245-270) — long format (id, m, code), exact ints
+    "pq_encode_det" -> ((s, dir) => {
+      val (corpus, _) = vecTables(s, dir)
+      val model = PqIndex.trainDeterministic(corpus, M, Ksub, Metric.L2)
+      PqIndex.encode(corpus, model)
+        .select(col("id"), posexplode(col("code")).as(Seq("m", "code")))
+    }),
+    // A7/A8: ADC search over the full codes table (pq.go:127-178)
+    "knn_pq_det" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = PqIndex.trainDeterministic(corpus, M, Ksub, Metric.L2)
+      PqIndex.knn(PqIndex.encode(corpus, model), model, queries, K)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Full IVFPQ residual pipeline (ivfpq.go:117-284)
+    "knn_ivfpq_det" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = IvfPqIndex.trainDeterministic(corpus, Nlist, M, Ksub, Metric.L2)
+      IvfPqIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Production MLlib-trained variants (rows-only driver check;
+    // recall vs flat oracle asserted in ScalaTest)
+    "knn_ivf_kmeans" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = IvfIndex.train(corpus, Nlist, Metric.L2)
+      IvfIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    "knn_ivfpq_kmeans" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = IvfPqIndex.train(corpus, Nlist, M, nbits = 4, Metric.L2)
+      IvfPqIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    })
+  )
+
+  // ---- DuckDB oracles for the deterministic variants ----
+
+  /** Shared CTE prefix: corpus v, query batch q, bucket-mean centroids
+    * cent, argmin assignment. */
+  private val base =
+    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+       |centl AS (SELECT CAST(id % $Nlist AS INT) AS bucket,
+       |                 generate_subscripts(ev, 1) AS pos, unnest(ev) AS x FROM v),
+       |cent AS (SELECT bucket, list(mm ORDER BY pos) AS cv
+       |         FROM (SELECT bucket, pos, avg(x) AS mm FROM centl GROUP BY bucket, pos)
+       |         GROUP BY bucket),
+       |ad AS (SELECT v.id, v.ev, c.bucket, ${sqlL2SqG("ev", "cv")} AS d2
+       |       FROM v CROSS JOIN cent c),
+       |assign AS (SELECT id, ev, bucket AS cluster_id FROM (
+       |  SELECT id, ev, bucket, row_number() OVER (PARTITION BY id ORDER BY d2, bucket) AS rn
+       |  FROM ad) WHERE rn = 1)""".stripMargin
+
+  /** Probe CTEs: per-query top-nprobe buckets (with centroid in scope). */
+  private val probeCtes =
+    s"""cd AS (SELECT q.query_id, q.qv, c.bucket, c.cv, ${sqlL2SqG("qv", "cv")} AS cd2
+       |       FROM q CROSS JOIN cent c),
+       |probes AS (SELECT query_id, qv, bucket, cv FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cd2, bucket) AS rn
+       |  FROM cd) WHERE rn <= $Nprobe)""".stripMargin
+
+  /** PQ codebook + encode CTEs over a (id[, cluster_id], xv) relation
+    * named `src`; bucket j = id % ksub per subspace. */
+  private def pqCtes(src: String, carryCluster: Boolean): String = {
+    val dsub = 64 / M
+    val cluster = if (carryCluster) ", cluster_id" else ""
+    s"""cbl AS (SELECT CAST(id % $Ksub AS INT) AS j,
+       |               CAST((pos - 1) // $dsub AS INT) AS m,
+       |               CAST((pos - 1) % $dsub AS INT) AS spos, x
+       |        FROM (SELECT id, generate_subscripts(xv, 1) AS pos, unnest(xv) AS x FROM $src)),
+       |cb AS (SELECT m, j, list(mm ORDER BY spos) AS cbv
+       |       FROM (SELECT m, j, spos, avg(x) AS mm FROM cbl GROUP BY m, j, spos)
+       |       GROUP BY m, j),
+       |encd AS (SELECT t.id$cluster, cb.m, cb.j,
+       |  list_reduce(list_transform(range(1, ${dsub + 1}),
+       |    i -> (xv[cb.m*$dsub + i] - cbv[i]) * (xv[cb.m*$dsub + i] - cbv[i])),
+       |    (x, y) -> x + y) AS d2
+       |  FROM $src t CROSS JOIN cb),
+       |enc AS (SELECT id$cluster, m, j AS code FROM (
+       |  SELECT id$cluster, m, j, row_number() OVER (PARTITION BY id, m ORDER BY d2, j) AS rn
+       |  FROM encd) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Ordered ADC fold + final top-k selection over a `part` relation of
+    * (query_id, neighbor_id, m, pd). */
+  private val adcFinal =
+    s"""adc AS (SELECT query_id, neighbor_id,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pd ORDER BY m)), (x, y) -> x + y) AS d2
+       |  FROM part GROUP BY query_id, neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, d2,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+       |      FROM adc)
+       |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $K""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "ivf_assign_det" ->
+      s"""WITH $base
+         |SELECT id, cluster_id FROM assign""".stripMargin,
+    "knn_ivf_det" ->
+      s"""WITH $base,
+         |$probeCtes,
+         |cand AS (SELECT p.query_id, a.id AS neighbor_id, ${sqlL2SqG("qv", "ev")} AS d2
+         |         FROM probes p JOIN assign a ON a.cluster_id = p.bucket),
+         |r AS (SELECT query_id, neighbor_id, d2,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+         |      FROM cand)
+         |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "pq_encode_det" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |src AS (SELECT id, ev AS xv FROM v),
+         |${pqCtes("src", carryCluster = false)}
+         |SELECT id, CAST(m AS INT) AS m, CAST(code AS INT) AS code FROM enc""".stripMargin,
+    "knn_pq_det" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+         |src AS (SELECT id, ev AS xv FROM v),
+         |${pqCtes("src", carryCluster = false)},
+         |part AS (SELECT q.query_id, e.id AS neighbor_id, e.m,
+         |  list_reduce(list_transform(range(1, ${64 / M + 1}),
+         |    i -> (qv[e.m*${64 / M} + i] - cbv[i]) * (qv[e.m*${64 / M} + i] - cbv[i])),
+         |    (x, y) -> x + y) AS pd
+         |  FROM q CROSS JOIN enc e JOIN cb ON cb.m = e.m AND cb.j = e.code),
+         |$adcFinal""".stripMargin,
+    "knn_ivfpq_det" ->
+      s"""WITH $base,
+         |res AS (SELECT a.id, a.cluster_id,
+         |        list_transform(range(1, len(a.ev)+1), i -> a.ev[i] - c.cv[i]) AS xv
+         |        FROM assign a JOIN cent c ON c.bucket = a.cluster_id),
+         |src AS (SELECT id, cluster_id, xv FROM res),
+         |${pqCtes("src", carryCluster = true)},
+         |$probeCtes,
+         |pq2 AS (SELECT query_id, bucket,
+         |        list_transform(range(1, len(qv)+1), i -> qv[i] - cv[i]) AS qres
+         |        FROM probes),
+         |part AS (SELECT p.query_id, e.id AS neighbor_id, e.m,
+         |  list_reduce(list_transform(range(1, ${64 / M + 1}),
+         |    i -> (qres[e.m*${64 / M} + i] - cbv[i]) * (qres[e.m*${64 / M} + i] - cbv[i])),
+         |    (x, y) -> x + y) AS pd
+         |  FROM pq2 p JOIN enc e ON e.cluster_id = p.bucket
+         |  JOIN cb ON cb.m = e.m AND cb.j = e.code),
+         |$adcFinal""".stripMargin
+  )
+}

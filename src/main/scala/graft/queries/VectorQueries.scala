@@ -35,6 +35,11 @@ object VectorQueries extends QueryProvider {
 
   // ---- DuckDB oracle fragments (left-to-right double folds, matching
   // VectorFunctions exactly); shared with other providers. ----
+
+  /** Generic squared-L2 between two list columns named `a` and `b`. */
+  def sqlL2SqG(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
+
   val sqlDot =
     "list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*ev[i]), (a,b) -> a+b)"
   val sqlL2Sq =

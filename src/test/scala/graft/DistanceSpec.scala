@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Metric
+import graft.functions.VectorFunctions._
+
+/** The scalar-function contract, replicating the reference's hand-vector
+  * expectations (internal/math/distance_test.go; constants are the spec —
+  * see FIXTURES.md §1b). Epsilons: 1e-6 (1e-5 for the √56 case).
+  */
+class DistanceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private def eval(a: Seq[Double], b: Seq[Double],
+      f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double =
+    Seq((a, b)).toDF("a", "b").select(f(col("a"), col("b")).as("r"))
+      .first().getDouble(0)
+
+  test("L2: identical vectors → 0") {
+    assert(math.abs(eval(Seq(1, 2, 3), Seq(1, 2, 3), l2)) < 1e-6)
+  }
+  test("L2: unit distance") {
+    assert(math.abs(eval(Seq(0, 0), Seq(1, 0), l2) - 1.0) < 1e-6)
+  }
+  test("L2: 3-4-5 triangle") {
+    assert(math.abs(eval(Seq(0, 0), Seq(3, 4), l2) - 5.0) < 1e-6)
+  }
+  test("L2: negatives → √56") {
+    assert(math.abs(eval(Seq(1, -2, 3), Seq(-1, 2, -3), l2) - math.sqrt(56.0)) < 1e-5)
+  }
+  test("dot: orthogonal → 0") {
+    assert(math.abs(eval(Seq(1, 0), Seq(0, 1), dot)) < 1e-6)
+  }
+  test("dot: parallel → 14") {
+    assert(math.abs(eval(Seq(1, 2, 3), Seq(1, 2, 3), dot) - 14.0) < 1e-6)
+  }
+  test("dot: opposite unit → −1") {
+    assert(math.abs(eval(Seq(1, 0), Seq(-1, 0), dot) + 1.0) < 1e-6)
+  }
+  test("cosine distance: identical → 0") {
+    assert(math.abs(eval(Seq(1, 2, 3), Seq(1, 2, 3), cosineDistance)) < 1e-6)
+  }
+  test("cosine distance: orthogonal → 1") {
+    assert(math.abs(eval(Seq(1, 0), Seq(0, 1), cosineDistance) - 1.0) < 1e-6)
+  }
+  test("cosine distance: opposite → 2") {
+    assert(math.abs(eval(Seq(1, 0), Seq(-1, 0), cosineDistance) - 2.0) < 1e-6)
+  }
+  test("cosine distance: zero vector → 1.0 (distance.go:55-71)") {
+    assert(math.abs(eval(Seq(0, 0), Seq(1, 2), cosineDistance) - 1.0) < 1e-6)
+  }
+  test("inner-product distance is negative dot (metric.go:60-62)") {
+    assert(math.abs(eval(Seq(1, 2), Seq(3, 4), innerProductDistance) + 11.0) < 1e-6)
+  }
+  test("norm trick: ‖a−b‖² = ‖a‖²+‖b‖²−2⟨a,b⟩") {
+    val direct = eval(Seq(1, 2, 3), Seq(4, 5, 6), l2Sq)
+    val tricked = eval(Seq(1, 2, 3), Seq(4, 5, 6),
+      (a, b) => l2SqFromNorms(dot(a, b), normSq(a), normSq(b)))
+    assert(math.abs(direct - tricked) < 1e-9)
+  }
+  test("unknown metric name errors (metric.go:25-36)") {
+    intercept[IllegalArgumentException](Metric("manhattan"))
+    assert(Metric("L2") == Metric.L2) // case-insensitive
+  }
+}
