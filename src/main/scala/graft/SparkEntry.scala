@@ -20,7 +20,8 @@ import graft.queries._
 object SparkEntry {
 
   private val providers: Seq[QueryProvider] =
-    Seq(VectorQueries, RelationalQueries, TextQueries, IndexQueries)
+    Seq(VectorQueries, RelationalQueries, TextQueries, IndexQueries,
+      DedupQueries, StreamQueries, AnnQueries, MultimodalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

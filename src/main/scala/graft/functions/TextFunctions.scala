@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable text-hashing primitives shared by the text-analysis and
+  * dedup pipelines. Everything is exact int64 arithmetic (polynomial
+  * rolling hashes mod a prime), so the DuckDB oracle reproduces results
+  * bit-for-bit — no reliance on engine-specific hash functions.
+  */
+object TextFunctions {
+
+  val Mod = 1000000007L
+  /** MinHash signature length and LSH banding shape (4 bands × 4 rows). */
+  val MinhashH = 16
+  val Bands = 4
+  val RowsPerBand: Int = MinhashH / Bands
+
+  /** Tokenize on single spaces. */
+  def toks(text: Column): Column = split(text, " ")
+
+  /** Rolling polynomial hash of a token: fold (acc*31 + codepoint) % Mod.
+    * (Spark's split("") emits a trailing "" that DuckDB's doesn't —
+    * filtered out; both then agree, including on empty tokens → 0.) */
+  def tokenHash(t: Column): Column =
+    aggregate(
+      filter(split(t, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31L + ascii(c)) % Mod)
+
+  /** Document fingerprint: fold token hashes with the same recurrence. */
+  def docFingerprint(text: Column): Column =
+    aggregate(toks(text), lit(0L),
+      (acc, t) => (acc * 31L + tokenHash(t)) % Mod)
+
+  /** MinHash signature (ARRAY<LONG>, length H) over the *distinct* token
+    * set: sig[i] = min over tokens of ((2i+1)·h(t) + 7919·i) mod Mod.
+    * Order-independent (min), so engine-side set ordering is irrelevant. */
+  def minhashSig(text: Column): Column = {
+    val ts = array_distinct(toks(text))
+    transform(sequence(lit(0), lit(MinhashH - 1)), i =>
+      aggregate(ts, lit(Mod),
+        (acc, t) => least(acc, ((lit(2L) * i + 1L) * tokenHash(t) + lit(7919L) * i) % Mod)))
+  }
+
+  /** LSH band key: ordered fold of the band's signature rows. */
+  def bandKey(sig: Column, band: Column): Column =
+    aggregate(
+      slice(sig, band * RowsPerBand + 1, lit(RowsPerBand)),
+      lit(0L),
+      (acc, s) => (acc * 31L + s) % Mod)
+
+  /** 32-bit SimHash over token hashes: bit b is set iff the ±1 majority
+    * vote of bit b across token hashes is positive. */
+  def simhash(text: Column): Column = {
+    val hs = transform(toks(text), t => tokenHash(t))
+    val pow2 = (b: Column) => pow(lit(2.0), b).cast("long")
+    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
+      val vote = aggregate(hs, lit(0L), (s, h) =>
+        s + when(h % (pow2(b) * 2L) >= pow2(b), 1L).otherwise(-1L))
+      acc + when(vote > 0, pow2(b)).otherwise(lit(0L))
+    })
+  }
+
+  /** Jaccard similarity of two pre-distinct arrays — exact rational from
+    * intersection/union sizes, so both engines produce the identical
+    * double and threshold comparisons can't diverge. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  // ---- DuckDB oracle fragments mirroring the above ----
+
+  /** Token hash of a string expression `t`. */
+  def sqlTokenHash(t: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(string_split($t, ''), c -> CAST(ascii(c) AS BIGINT))),
+       |  (a, b) -> (a * 31 + b) % $Mod)""".stripMargin.replaceAll("\n\\s*", " ")
+
+  /** MinHash signature over a distinct token-list expression `ts`. */
+  def sqlMinhashSig(ts: String): String =
+    s"""list_transform(range(0, $MinhashH), i ->
+       |  list_reduce(list_prepend(CAST($Mod AS BIGINT),
+       |    list_transform($ts, t -> ((2*i + 1) * ${sqlTokenHash("t")} + 7919*i) % $Mod)),
+       |  (a, b) -> least(a, b)))""".stripMargin.replaceAll("\n\\s*", " ")
+
+  /** Band key over a signature list expression `sig` and band index `b`. */
+  def sqlBandKey(sig: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_slice($sig, $b * $RowsPerBand + 1, $b * $RowsPerBand + $RowsPerBand)),
+       |  (a, x) -> (a * 31 + x) % $Mod)""".stripMargin.replaceAll("\n\\s*", " ")
+
+  /** SimHash over a token-list expression `ts`. */
+  def sqlSimhash(ts: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), b ->
+       |  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform($ts, t -> CASE WHEN ${sqlTokenHash("t")} % (CAST(power(2, b) AS BIGINT) * 2)
+       |      >= CAST(power(2, b) AS BIGINT) THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+       |    (s, v) -> s + v) > 0
+       |  THEN CAST(power(2, b) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |  (a, x) -> a + x)""".stripMargin.replaceAll("\n\\s*", " ")
+
+  /** Jaccard of two distinct-list expressions. */
+  def sqlJaccard(a: String, b: String): String =
+    s"""(CAST(len(list_intersect($a, $b)) AS DOUBLE) /
+       |  (len($a) + len($b) - len(list_intersect($a, $b))))""".stripMargin.replaceAll("\n\\s*", " ")
+}

@@ -23,18 +23,16 @@ object VectorFunctions {
   /** Cast an ARRAY<FLOAT>/ARRAY<numeric> column to ARRAY<DOUBLE>. */
   def asDouble(v: Column): Column = transform(v, _.cast(DoubleType))
 
-  /** Σ aᵢ·bᵢ (distance.go:28-34). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ (distance.go:28-34). Native codegen'd loop (the
+    * `aggregate(zip_with(...))` formulation is CodegenFallback —
+    * interpreted and allocating — see org.apache.spark.sql.graftx.DistanceExpressions); fold
+    * order is identical, so oracle parity is unchanged. */
+  def dot(a: Column, b: Column): Column = org.apache.spark.sql.graftx.DistanceExpressions.dotFast(a, b)
 
   /** Σ (aᵢ−bᵢ)² — the internal comparator used by all k-means/PQ inner
     * loops (distance.go:18-25); monotone in L2, so rank by this and defer
     * sqrt to final projection (SURVEY.md §4 "skip sqrt in comparators"). */
-  def l2Sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, v) => acc + v)
+  def l2Sq(a: Column, b: Column): Column = org.apache.spark.sql.graftx.DistanceExpressions.l2SqFast(a, b)
 
   /** √Σ(aᵢ−bᵢ)² (distance.go:8-15). */
   def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))

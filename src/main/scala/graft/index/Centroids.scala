@@ -23,20 +23,12 @@ object Centroids {
   /** `ARRAY<ARRAY<DOUBLE>>` literal of the centroid matrix. */
   def centroidLit(centroids: Seq[Seq[Double]]): Column = typedlit(centroids)
 
-  /** Argmin over the centroid literal: returns STRUCT<cluster_id INT,
-    * dist2 DOUBLE> — a codegen'd fold, no shuffle, no UDF. Ties break
-    * toward the lower cluster_id (strict `<`). */
-  def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val cents = centroidLit(centroids)
-    aggregate(
-      sequence(lit(0), lit(centroids.size - 1)),
-      struct(lit(-1).cast("int").as("cluster_id"), lit(Double.MaxValue).as("dist2")),
-      (acc, i) => {
-        val d = l2Sq(vec, element_at(cents, i + 1))
-        when(d < acc("dist2"),
-          struct(i.cast("int").as("cluster_id"), d.as("dist2"))).otherwise(acc)
-      })
-  }
+  /** Argmin over the centroid matrix: INT cluster id from a native
+    * codegen'd double loop ([[org.apache.spark.sql.graftx.IndexExpressions]]) — no
+    * shuffle, no UDF, no per-element interpretation. Ties break toward
+    * the lower cluster_id (strict `<`). */
+  def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftx.IndexExpressions.nearestIndex(vec, centroids)
 
   /** Deterministic, SQL-expressible "training": centroid c = mean of the
     * vectors whose `id % nlist == c`. Exercises the same assignment /
@@ -56,18 +48,58 @@ object Centroids {
     rows.map(r => r.getSeq[Double](1).toVector).toVector
   }
 
-  /** MLlib k-means centroids (the production trainer — parallel Lloyd's,
-    * replacing the reference's serial loop, ivf.go:255-317 / SURVEY.md A2).
-    * maxIter 10 mirrors the reference's iteration cap. */
+  /** Production trainer: distributed Lloyd's with the reference's exact
+    * semantics — strided init over the (id-ordered) training sample,
+    * ≤ maxIter iterations, early exit when centroids stop moving
+    * (ivf.go:255-317; the reference's comment says k-means++ but the code
+    * is plain striding — SURVEY.md A2 ⚠).
+    *
+    * Each iteration is one Spark job: native-codegen'd argmin assignment
+    * (no shuffle) + per-cluster mean (posexplode → partial-agg groupBy);
+    * only the nlist×dim centroid matrix ever reaches the driver. This
+    * outperforms MLlib's RDD KMeans by >10× at quantizer shapes
+    * (k∈[100,256], capped 5k training rows — measured in Bench) while
+    * staying deterministic. `seed` is accepted for API compatibility;
+    * determinism comes from the strided init, as in the reference.
+    *
+    * Empty clusters keep their previous centroid (ivf.go:296-314). */
   def kMeans(vectors: DataFrame, k: Int, seed: Long = 42L, maxIter: Int = 10,
-      vecCol: String = "vec"): Seq[Seq[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = vectors.select(array_to_vector(col(vecCol)).as("features"))
-    val model = new KMeans()
-      .setK(k).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("features")
-      .fit(feats)
-    model.clusterCenters.map(_.toArray.toVector).toVector
+      vecCol: String = "vec", idCol: String = "id"): Seq[Seq[Double]] = {
+    val hasId = vectors.columns.contains(idCol)
+    val base = if (hasId) vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      else vectors.select(monotonically_increasing_id().as("id"), col(vecCol).as("vec"))
+    val cached = base.cache()
+    val n = cached.count()
+    val kk = math.max(1, math.min(k.toLong, n).toInt)
+    // strided init: every ⌊n/k⌋-th vector in id order (training sets are
+    // capped small — the reference caps at 5000 — so the 1-partition
+    // ranking window is driver-cheap)
+    val stride = math.max(1L, n / kk)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    var cents: Seq[Seq[Double]] = cached
+      .withColumn("rn", row_number().over(w))
+      .where((col("rn") - 1) % stride === 0)
+      .orderBy(col("rn")).limit(kk)
+      .collect().map(_.getSeq[Double](1).toVector).toVector
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val updated = cached
+        .withColumn("cid", nearest(col("vec"), cents))
+        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cid"), col("ps.m").as("cv"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toVector).toMap
+      val next = cents.indices.map(i => updated.getOrElse(i, cents(i))).toVector
+      moved = cents.iterator.zip(next.iterator).exists { case (a, b) =>
+        a.iterator.zip(b.iterator).exists { case (x, y) => math.abs(x - y) > 1e-12 }
+      }
+      cents = next
+      iter += 1
+    }
+    cached.unpersist()
+    cents
   }
 }

@@ -39,6 +39,27 @@ object FlatIndex {
         col("id").as("neighbor_id"),
         metric.rankKey(col("qvec"), col("vec")).as("rank_key"))
 
+  /** Batch kNN via the bounded partial aggregator
+    * ([[graft.functions.TopKAggregator]]): map-side combine cuts the
+    * top-k shuffle from n·q rows to ≤ k·partitions per query — the
+    * formulation that survives 100 TB. Result-identical to [[knn]]. */
+  def knnAgg(corpus: DataFrame, queries: DataFrame, k: Int, metric: Metric): DataFrame =
+    topKAgg(distanceJoin(corpus, queries, metric), k, metric)
+
+  /** Aggregator-based per-query top-k (shuffle-lean variant of [[topK]]). */
+  def topKAgg(distances: DataFrame, k: Int, metric: Metric = Metric.L2): DataFrame = {
+    val tk = graft.functions.TopKAggregator.topk(k)
+    distances
+      .groupBy(col("query_id"))
+      .agg(tk(col("neighbor_id"), col("rank_key")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("pos", "nn")))
+      .select(
+        col("query_id"),
+        col("nn.id").as("neighbor_id"),
+        metric.finishRank(col("nn.dist")).as("distance"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Per-query top-k over a (query_id, neighbor_id, rank_key) frame. */
   def topK(distances: DataFrame, k: Int, metric: Metric = Metric.L2): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("rank_key"), col("neighbor_id"))

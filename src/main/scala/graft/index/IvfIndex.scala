@@ -40,7 +40,7 @@ object IvfIndex {
     * projection — streaming-safe, appendable (ivf.go:93-112 semantics:
     * new vectors use the trained centroids until an explicit re-train). */
   def assign(vectors: DataFrame, model: IvfModel): DataFrame =
-    vectors.withColumn("cluster_id", Centroids.nearest(col("vec"), model.centroids)("cluster_id"))
+    vectors.withColumn("cluster_id", Centroids.nearest(col("vec"), model.centroids))
 
   /** Per-query probe set: top-nprobe clusters by centroid distance.
     * Output (query_id, qvec, cluster_id). nprobe is clamped to nlist

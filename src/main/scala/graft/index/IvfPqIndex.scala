@@ -17,11 +17,12 @@ final case class IvfPqModel(coarse: IvfModel, pq: PqModel)
 
 object IvfPqIndex {
 
-  /** Residual column: vec − centroid[cluster_id] (ivfpq.go:139-147). */
+  /** Residual column: vec − centroid[cluster_id] (ivfpq.go:139-147) —
+    * native fused loop. */
   private def residual(vec: org.apache.spark.sql.Column,
       clusterId: org.apache.spark.sql.Column,
       centroids: Seq[Seq[Double]]): org.apache.spark.sql.Column =
-    zip_with(vec, element_at(Centroids.centroidLit(centroids), clusterId + 1), (x, c) => x - c)
+    org.apache.spark.sql.graftx.IndexExpressions.residual(vec, clusterId, centroids)
 
   /** Train: coarse quantizer, then PQ on residuals. Requires ≥ nlist×10
     * training vectors (ivfpq.go:121-123). */

@@ -1,0 +1,65 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.functions.VectorFunctions._
+
+/** Random-hyperplane (sign) LSH — the engine's HNSW-replacement ANN kind
+  * (SURVEY.md §7 M5: HNSW's sequential graph build is anti-Spark; the
+  * *capability* — fast approximate kNN — maps to hash-bucketed search).
+  *
+  * The P hyperplanes are derived from a deterministic integer formula, so
+  * the whole pipeline (bucketing → candidate join → exact re-rank) is
+  * reproducible across engines and runs — no RNG stream, no model file.
+  *
+  * Scale: bucketing is a pure projection; search joins the query's bucket
+  * only (equi-join on bucket id — broadcastable probes, partition-
+  * prunable when the table is written partitioned by bucket).
+  */
+object LshIndex {
+
+  /** Hyperplane component p,i in [-0.5, 0.5): same arithmetic as the
+    * DuckDB oracle fragment below. */
+  private def planeComponent(p: Column, i: Column): Column =
+    ((p * 2654435761L + i * 40503L) % 1000003L).cast("double") / 1000003.0 - 0.5
+
+  /** Signed dot of `vec` with plane p (fold over components). */
+  private def planeDot(vec: Column, p: Column): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Bucket id: P sign bits packed into a LONG. */
+  def bucket(vec: Column, planes: Int): Column =
+    aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) =>
+      acc + when(planeDot(vec, p) > 0.0, pow(lit(2.0), p).cast("long")).otherwise(0L))
+
+  /** (id, vec, bucket) index table. */
+  def index(vectors: DataFrame, planes: Int): DataFrame =
+    vectors.withColumn("bucket", bucket(col("vec"), planes))
+
+  /** ANN search: candidates share the query's bucket; exact re-rank
+    * within. Queries landing in sparse buckets return < k rows — the
+    * documented ANN tradeoff (recall vs probe cost). */
+  def knn(indexed: DataFrame, queries: DataFrame, k: Int, planes: Int,
+      metric: Metric): DataFrame = {
+    val q = queries.withColumn("bucket", bucket(col("qvec"), planes))
+    val candidates = indexed.join(broadcast(q), Seq("bucket"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        metric.rankKey(col("qvec"), col("vec")).as("rank_key"))
+    FlatIndex.topK(candidates, k, metric)
+  }
+
+  // ---- DuckDB fragments ----
+  def sqlBucket(vec: String, planes: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $planes), p ->
+       |  CASE WHEN list_reduce(list_transform(range(1, len($vec)+1),
+       |    i -> $vec[i] * (CAST((p * 2654435761 + (i-1) * 40503) % 1000003 AS DOUBLE) / 1000003.0 - 0.5)),
+       |    (x, y) -> x + y) > 0.0
+       |  THEN CAST(power(2, p) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+       |  (a, b) -> a + b)""".stripMargin.replaceAll("\n\\s*", " ")
+}

@@ -40,7 +40,7 @@ object PqIndex {
     val ksub = 1 << nbits
     val dsub = dim / m
     val codebooks = (0 until m).map { mi =>
-      val sub = vectors.select(slice(col("vec"), mi * dsub + 1, dsub).as("vec"))
+      val sub = vectors.select(col("id"), slice(col("vec"), mi * dsub + 1, dsub).as("vec"))
       Centroids.kMeans(sub, ksub, seed + mi)
     }
     PqModel(codebooks.toVector, metric)
@@ -61,20 +61,10 @@ object PqIndex {
   }
 
   /** Encode expression: ARRAY<INT> of per-subspace argmin codebook ids
-    * (pq.go:245-270 semantics; ties toward the lower code). */
-  def encodeCol(vec: Column, model: PqModel): Column = {
-    val cb = typedlit(model.codebooks)
-    transform(sequence(lit(0), lit(model.m - 1)), mi => {
-      val sub = slice(vec, mi * model.dsub + 1, lit(model.dsub))
-      aggregate(
-        sequence(lit(0), lit(model.ksub - 1)),
-        struct(lit(-1).cast("int").as("j"), lit(Double.MaxValue).as("d")),
-        (acc, j) => {
-          val d = l2Sq(sub, element_at(element_at(cb, mi + 1), j + 1))
-          when(d < acc("d"), struct(j.cast("int").as("j"), d.as("d"))).otherwise(acc)
-        })("j")
-    })
-  }
+    * (pq.go:245-270 semantics; ties toward the lower code). Native
+    * codegen'd loop — see [[org.apache.spark.sql.graftx.IndexExpressions]]. */
+  def encodeCol(vec: Column, model: PqModel): Column =
+    org.apache.spark.sql.graftx.IndexExpressions.pqEncode(vec, model.codebooks)
 
   /** (id, code) compressed table. */
   def encode(vectors: DataFrame, model: PqModel): DataFrame =
@@ -83,15 +73,8 @@ object PqIndex {
   /** ADC squared distance (pq.go:158-168 / ivfpq.go:533-539): Σ_m
     * ‖q_sub(m) − codebook[m][code[m]]‖²; sqrt deferred to the final
     * projection (SURVEY.md §4). */
-  def adcDist2(qvec: Column, code: Column, model: PqModel): Column = {
-    val cb = typedlit(model.codebooks)
-    aggregate(
-      sequence(lit(0), lit(model.m - 1)),
-      lit(0.0),
-      (acc, mi) => acc + l2Sq(
-        slice(qvec, mi * model.dsub + 1, lit(model.dsub)),
-        element_at(element_at(cb, mi + 1), element_at(code, mi + 1) + 1)))
-  }
+  def adcDist2(qvec: Column, code: Column, model: PqModel): Column =
+    org.apache.spark.sql.graftx.IndexExpressions.pqAdc(qvec, code, model.codebooks)
 
   /** Batch ADC kNN over the codes table. */
   def knn(codes: DataFrame, model: PqModel, queries: DataFrame, k: Int): DataFrame = {

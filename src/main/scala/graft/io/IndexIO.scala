@@ -1,0 +1,145 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.index._
+
+/** Index persistence (SURVEY.md S6–S11): each index kind is a set of
+  * Parquet tables plus a small JSON metadata sidecar carrying the format
+  * version, index type, dimension, metric, and params.
+  *
+  * Layout (per index root):
+  *   meta.json                       version + config echo
+  *   vectors/                        flat: (id, vec[, norm])
+  *   codes/  (partitioned by cluster_id for IVF kinds — this physical
+  *            layout is what makes nprobe probing a partition-pruned scan)
+  *   centroids/                      (cluster_id, vec)
+  *   codebooks/                      (m, j, subvec)
+  *
+  * Version compatibility mirrors storage/version.go:27-37: readable iff
+  * same major and minor ≤ current.
+  */
+object IndexIO {
+
+  val CurrentVersion: (Int, Int, Int) = (1, 0, 0)
+  private def versionString = CurrentVersion match { case (a, b, c) => s"$a.$b.$c" }
+
+  /** version.go:27-37 compat rule. */
+  def checkCompatible(version: String): Unit = {
+    val parts = version.split("\\.").map(_.toInt)
+    require(parts.length == 3, s"malformed version '$version'")
+    require(parts(0) == CurrentVersion._1 && parts(1) <= CurrentVersion._2,
+      s"incompatible index version $version (current $versionString): " +
+        "need same major and minor <= current")
+  }
+
+  // -- tiny flat-string-map JSON codec (no external deps) --
+  private def esc(s: String) = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  def writeMeta(path: String, fields: Map[String, String]): Unit = {
+    val all = fields + ("version" -> versionString)
+    val json = all.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{\n  ", ",\n  ", "\n}\n")
+    Files.createDirectories(Paths.get(path))
+    Files.writeString(Paths.get(path, "meta.json"), json)
+  }
+  private val kvPattern = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  private def unesc(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+  def readMeta(path: String): Map[String, String] = {
+    val text = Files.readString(Paths.get(path, "meta.json"))
+    kvPattern.findAllMatchIn(text).map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
+  }
+
+  private def centroidsDf(spark: SparkSession, cents: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cluster_id", "vec")
+  }
+  private def collectCentroids(df: DataFrame): Seq[Seq[Double]] =
+    df.orderBy("cluster_id").collect().map(_.getSeq[Double](1).toVector).toVector
+
+  // ---- Flat ----
+  def saveFlat(spark: SparkSession, path: String, vectors: DataFrame, metric: Metric): Unit = {
+    val dim = vectors.select(size(col("vec"))).first().getInt(0)
+    vectors.write.mode("overwrite").parquet(s"$path/vectors")
+    writeMeta(path, Map("index_type" -> "flat", "metric" -> metric.name, "dim" -> dim.toString))
+  }
+  def loadFlat(spark: SparkSession, path: String): (DataFrame, Metric) = {
+    val meta = loadChecked(path, "flat")
+    (spark.read.parquet(s"$path/vectors"), Metric(meta("metric")))
+  }
+
+  // ---- IVF ----
+  def saveIvf(spark: SparkSession, path: String, model: IvfModel, assigned: DataFrame): Unit = {
+    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/codes")
+    centroidsDf(spark, model.centroids).write.mode("overwrite").parquet(s"$path/centroids")
+    writeMeta(path, Map(
+      "index_type" -> "ivf", "metric" -> model.metric.name,
+      "dim" -> model.centroids.head.size.toString, "nlist" -> model.nlist.toString))
+  }
+  def loadIvf(spark: SparkSession, path: String): (IvfModel, DataFrame) = {
+    val meta = loadChecked(path, "ivf")
+    val cents = collectCentroids(spark.read.parquet(s"$path/centroids"))
+    (IvfModel(cents, Metric(meta("metric"))), spark.read.parquet(s"$path/codes"))
+  }
+
+  // ---- PQ ----
+  private def codebooksDf(spark: SparkSession, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (book, m) <- cbs.zipWithIndex
+      (sub, j) <- book.zipWithIndex
+    } yield (m, j, sub)).toDF("m", "j", "subvec")
+  }
+  private def collectCodebooks(df: DataFrame): Seq[Seq[Seq[Double]]] =
+    df.orderBy("m", "j").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](2).toVector).toVector).toVector
+
+  def savePq(spark: SparkSession, path: String, model: PqModel, codes: DataFrame): Unit = {
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    codebooksDf(spark, model.codebooks).write.mode("overwrite").parquet(s"$path/codebooks")
+    writeMeta(path, Map(
+      "index_type" -> "pq", "metric" -> model.metric.name, "dim" -> model.dim.toString,
+      "m" -> model.m.toString, "ksub" -> model.ksub.toString))
+  }
+  def loadPq(spark: SparkSession, path: String): (PqModel, DataFrame) = {
+    val meta = loadChecked(path, "pq")
+    val cbs = collectCodebooks(spark.read.parquet(s"$path/codebooks"))
+    (PqModel(cbs, Metric(meta("metric"))), spark.read.parquet(s"$path/codes"))
+  }
+
+  // ---- IVFPQ ----
+  def saveIvfPq(spark: SparkSession, path: String, model: IvfPqModel, codes: DataFrame): Unit = {
+    codes.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/codes")
+    centroidsDf(spark, model.coarse.centroids).write.mode("overwrite").parquet(s"$path/centroids")
+    codebooksDf(spark, model.pq.codebooks).write.mode("overwrite").parquet(s"$path/codebooks")
+    writeMeta(path, Map(
+      "index_type" -> "ivfpq", "metric" -> model.coarse.metric.name,
+      "dim" -> model.coarse.centroids.head.size.toString,
+      "nlist" -> model.coarse.nlist.toString,
+      "m" -> model.pq.m.toString, "ksub" -> model.pq.ksub.toString))
+  }
+  def loadIvfPq(spark: SparkSession, path: String): (IvfPqModel, DataFrame) = {
+    val meta = loadChecked(path, "ivfpq")
+    val coarse = IvfModel(
+      collectCentroids(spark.read.parquet(s"$path/centroids")), Metric(meta("metric")))
+    val pq = PqModel(
+      collectCodebooks(spark.read.parquet(s"$path/codebooks")), Metric(meta("metric")))
+    (IvfPqModel(coarse, pq), spark.read.parquet(s"$path/codes"))
+  }
+
+  private def loadChecked(path: String, expectedType: String): Map[String, String] = {
+    val meta = readMeta(path)
+    checkCompatible(meta("version"))
+    require(meta("index_type") == expectedType,
+      s"index at $path is '${meta("index_type")}', expected '$expectedType'")
+    meta
+  }
+}

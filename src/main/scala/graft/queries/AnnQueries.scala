@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Metric, Tables}
+import graft.index.LshIndex
+
+/** Approximate-nearest-neighbor serving via sign-LSH bucketing — the
+  * HNSW-capability replacement (SURVEY.md §7 M5) — plus the MLlib
+  * BucketedRandomProjectionLSH production path.
+  */
+object AnnQueries extends QueryProvider {
+
+  private val Planes = 6 // 64 buckets — sized so sf0.01 buckets hold ~8 vectors
+  private val K = 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic-hyperplane bucket assignment
+    "lsh_buckets" -> ((s, dir) => {
+      val (corpus, _) = VectorQueries.vecTables(s, dir)
+      LshIndex.index(corpus, Planes).select(col("id"), col("bucket"))
+    }),
+    // Bucketed ANN: same-bucket candidates, exact re-rank
+    "knn_lsh" -> ((s, dir) => {
+      val (corpus, queries) = VectorQueries.vecTables(s, dir)
+      LshIndex.knn(LshIndex.index(corpus, Planes), queries, K, Planes, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Production ANN: MLlib BucketedRandomProjectionLSH approximate
+    // similarity join (rows-only check — MLlib's RNG isn't SQL-expressible)
+    "ann_brp_similarity_join" -> ((s, dir) => {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val v = Tables.vectors(s, dir)
+        .select(col("id"), array_to_vector(col("vec")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(0.5).setNumHashTables(3).setSeed(42L)
+        .setInputCol("features").setOutputCol("hashes")
+      val model = lsh.fit(v)
+      model.approxSimilarityJoin(v, v, 1.2, "dist")
+        .select(
+          col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+          round(col("dist"), 4).as("dist"))
+        .where(col("id_a") < col("id_b"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "lsh_buckets" ->
+      s"""SELECT vec_id AS id, ${LshIndex.sqlBucket("ev", Planes)} AS bucket
+         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)""".stripMargin,
+    "knn_lsh" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev,
+         |                  ${LshIndex.sqlBucket("CAST(embedding AS DOUBLE[])", Planes)} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         |             ${LshIndex.sqlBucket("CAST(embedding AS DOUBLE[])", Planes)} AS bucket
+         |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+         |cand AS (SELECT q.query_id, v.id AS neighbor_id,
+         |                ${VectorQueries.sqlL2SqG("qv", "ev")} AS d2
+         |         FROM q JOIN v ON q.bucket = v.bucket),
+         |r AS (SELECT query_id, neighbor_id, d2,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+         |      FROM cand)
+         |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $K""".stripMargin
+  )
+}

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.{cosineDistance, similarity}
+
+/** Deduplication operators for a training-data pipeline over `documents` /
+  * `embeddings`: exact (hash-group), MinHash+LSH banding, SimHash,
+  * n-gram Jaccard ranking, embedding-cosine near-dup.
+  *
+  * Scale design: the only all-pairs comparison that survives to 100 TB is
+  * the *banded candidate join* (pairs must collide in ≥1 of 4 LSH bands
+  * before the exact Jaccard verify runs) — the brute-force pair queries
+  * here are bounded to small id prefixes and exist as exact baselines.
+  * All hashing is portable int64 arithmetic → full DuckDB hash-parity.
+  */
+object DedupQueries extends QueryProvider {
+
+  private val JaccardThreshold = 0.6
+  private val SimThreshold = 0.35
+  private val HammingMax = 8
+  private val PairCap = 100 // id prefix bound for brute-force pair baselines
+  private val MinhashDocCap = 1000
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groups with a deterministic keeper
+    "dedup_exact_groups" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
+    }),
+    // MinHash signatures (long format: doc_id, i, minhash)
+    "minhash_signatures" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"), posexplode(minhashSig(col("text"))).as(Seq("i", "minhash")))
+        .select(col("doc_id"), col("i").cast("int").as("i"), col("minhash"))
+    }),
+    // MinHash + LSH banding → candidate pairs → exact Jaccard verify.
+    // Input bounded to MinhashDocCap docs: this corpus's token-Jaccard
+    // median is ~0.6 (tiny shared vocabulary) — adversarial for LSH, since
+    // band buckets collide for most pairs and the candidate set approaches
+    // all-pairs. Real near-dup corpora are sparse; the banding structure is
+    // what scales, the cap keeps the worst case bounded here.
+    "near_dup_minhash" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .where(col("doc_id") < MinhashDocCap)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"),
+          minhashSig(col("text")).as("sig"))
+      val bands = d
+        .select(col("doc_id"), col("ts"),
+          explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+        .withColumn("key", bandKey(col("sig"), col("band")))
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.ts").as("ts_a"), col("b.ts").as("ts_b"))
+        .dropDuplicates("id_a", "id_b")
+      cand
+        .withColumn("jaccard", jaccard(col("ts_a"), col("ts_b")))
+        .where(col("jaccard") >= JaccardThreshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+    // SimHash fingerprints
+    "simhash_fingerprint" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(col("doc_id"), simhash(col("text")).as("simhash"))
+    }),
+    // SimHash near-pairs by Hamming distance (bounded baseline)
+    "simhash_near_pairs" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").where(col("doc_id") < PairCap)
+        .select(col("doc_id"), simhash(col("text")).as("sh"))
+      d.alias("a").join(d.alias("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+        .where(col("hamming") <= HammingMax)
+    }),
+    // Bigram-Jaccard top-3 most-similar docs per document (bounded)
+    "ngram_topk_similar" -> ((s, dir) => {
+      val bigrams = {
+        val tk = toks(col("text"))
+        array_distinct(transform(sequence(lit(1), size(tk) - 1),
+          j => concat(element_at(tk, j), lit(" "), element_at(tk, j + 1))))
+      }
+      val d = Tables.load(s, dir, "documents").where(col("doc_id") < 30)
+        .select(col("doc_id"), bigrams.as("bg"))
+      val w = Window.partitionBy("id_a").orderBy(col("j").desc, col("id_b").asc)
+      d.alias("a").join(d.alias("b"), col("a.doc_id") =!= col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          jaccard(col("a.bg"), col("b.bg")).as("j"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"), col("rank"))
+    }),
+    // Embedding-cosine near-duplicate pairs (bounded exact baseline;
+    // the scale path is LSH bucketing — see AnnQueries)
+    "near_dup_embedding" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir).select(col("id"), col("vec"))
+      v.alias("a").join(v.alias("b"), col("a.id") < col("b.id"))
+        .select(
+          col("a.id").as("id_a"), col("b.id").as("id_b"),
+          similarity(cosineDistance(col("a.vec"), col("b.vec"))).as("sim"))
+        .where(col("sim") >= SimThreshold)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    })
+  )
+
+  private val tCte =
+    "t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents)"
+  private def tCteCapped =
+    s"t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents WHERE doc_id < $MinhashDocCap)"
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "minhash_signatures" ->
+      s"""WITH $tCte,
+         |s AS (SELECT doc_id, ${sqlMinhashSig("ts")} AS sig FROM t)
+         |SELECT doc_id, CAST(generate_subscripts(sig, 1) - 1 AS INT) AS i,
+         |       unnest(sig) AS minhash
+         |FROM s""".stripMargin,
+    "near_dup_minhash" ->
+      s"""WITH $tCteCapped,
+         |s AS (SELECT doc_id, ts, ${sqlMinhashSig("ts")} AS sig FROM t),
+         |bands AS (SELECT doc_id, b AS band, ${sqlBandKey("sig", "b")} AS key
+         |          FROM s, range(0, $Bands) AS r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+         |SELECT c.id_a, c.id_b, round(${sqlJaccard("ta.ts", "tb.ts")}, 4) AS jaccard
+         |FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
+         |WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= $JaccardThreshold""".stripMargin,
+    "simhash_fingerprint" ->
+      s"""SELECT doc_id, ${sqlSimhash("string_split(text, ' ')")} AS simhash
+         |FROM documents""".stripMargin,
+    "simhash_near_pairs" ->
+      s"""WITH s AS (SELECT doc_id, ${sqlSimhash("string_split(text, ' ')")} AS sh
+         |           FROM documents WHERE doc_id < $PairCap)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= $HammingMax""".stripMargin,
+    "ngram_topk_similar" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+         |           FROM documents WHERE doc_id < 30),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+         |        j -> tk[j] || ' ' || tk[j+1])) AS bg FROM d),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |             ${sqlJaccard("a.bg", "b.bg")} AS j
+         |      FROM g a JOIN g b ON a.doc_id <> b.doc_id),
+         |r AS (SELECT id_a, id_b, j,
+         |      row_number() OVER (PARTITION BY id_a ORDER BY j DESC, id_b ASC) AS rank
+         |      FROM p)
+         |SELECT id_a, id_b, round(j, 4) AS jaccard, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 3""".stripMargin,
+    "near_dup_embedding" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       round(${VectorQueries.sqlCosineSimG("a.ev", "b.ev")}, 4) AS sim
+         |FROM v a JOIN v b ON a.id < b.id
+         |WHERE ${VectorQueries.sqlCosineSimG("a.ev", "b.ev")} >= $SimThreshold""".stripMargin
+  )
+}

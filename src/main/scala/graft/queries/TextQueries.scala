@@ -16,11 +16,7 @@ import graft.core.Tables
   */
 object TextQueries extends QueryProvider {
 
-  private val Mod = 1000000007L
-
-  /** Tokenize on single spaces (the corpus is single-space word soup);
-    * empty tokens (from runs of spaces) are kept — both engines agree. */
-  private def toks(text: Column): Column = split(text, " ")
+  import graft.functions.TextFunctions.{toks, docFingerprint}
 
   private def hits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
@@ -28,22 +24,6 @@ object TextQueries extends QueryProvider {
   private val enWords = Seq("the", "and", "is", "of", "to", "a")
   private val deWords = Seq("der", "die", "und", "ist", "von", "zu")
   private val frWords = Seq("le", "la", "et", "est", "les", "une")
-
-  /** Rolling polynomial hash of a token: fold (acc*31 + codepoint) % Mod
-    * over its characters (empty-string guard: Spark's split("") emits a
-    * trailing "" that DuckDB's doesn't — filter it out). */
-  private def tokenHash(t: Column): Column =
-    aggregate(
-      filter(split(t, ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => (acc * 31L + ascii(c)) % Mod)
-
-  /** Document fingerprint: fold token hashes with the same recurrence. */
-  private def docFingerprint(text: Column): Column =
-    aggregate(
-      toks(text),
-      lit(0L),
-      (acc, t) => (acc * 31L + tokenHash(t)) % Mod)
 
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
@@ -106,16 +86,14 @@ object TextQueries extends QueryProvider {
          |            ELSE 'fr' END AS lang_pred,
          |       lang AS lang_actual
          |FROM (SELECT doc_id, lower(text) AS text, lang FROM documents)""".stripMargin,
-    "doc_fingerprint" ->
+    "doc_fingerprint" -> {
+      import graft.functions.TextFunctions.{sqlTokenHash, Mod}
       s"""SELECT doc_id,
          |  list_reduce(
          |    list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(string_split(text, ' '), t ->
-         |        list_reduce(
-         |          list_prepend(CAST(0 AS BIGINT),
-         |            list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
-         |          (a, b) -> (a * 31 + b) % $Mod))),
+         |      list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})),
          |    (a, b) -> (a * 31 + b) % $Mod) AS fingerprint
          |FROM documents""".stripMargin
+    }
   )
 }

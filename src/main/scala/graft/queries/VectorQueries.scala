@@ -40,6 +40,15 @@ object VectorQueries extends QueryProvider {
   def sqlL2SqG(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
 
+  /** Generic dot / norm / cosine-similarity fragments over list columns. */
+  def sqlDotG(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+  def sqlNormG(a: String): String =
+    s"sqrt(${sqlDotG(a, a)})"
+  def sqlCosineSimG(a: String, b: String): String =
+    s"""CASE WHEN ${sqlNormG(a)} = 0 OR ${sqlNormG(b)} = 0 THEN 0.0
+       | ELSE least(1.0, greatest(-1.0, (${sqlDotG(a, b)}) / ((${sqlNormG(a)}) * (${sqlNormG(b)})))) END""".stripMargin.replaceAll("\n", " ")
+
   val sqlDot =
     "list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*ev[i]), (a,b) -> a+b)"
   val sqlL2Sq =

@@ -1,0 +1,85 @@
+package graft.query
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Metric
+import graft.index._
+import graft.io.IndexIO
+
+/** The unified search facade (reference: pkg/search/search.go — Searcher
+  * type-dispatch + fluent Builder). A sealed `IndexKind` ADT replaces the
+  * reflective type-switch (search.go:193-208); the builder compiles each
+  * search to the right DataFrame plan per kind — including IVFPQ, which
+  * the reference facade silently returns empty results for (search.go:80
+  * ⚠ bug, intentionally not reproduced).
+  */
+sealed trait IndexKind
+final case class FlatKind(vectors: DataFrame, metric: Metric) extends IndexKind
+final case class IvfKind(model: IvfModel, assigned: DataFrame) extends IndexKind
+final case class PqKind(model: PqModel, codes: DataFrame) extends IndexKind
+final case class IvfPqKind(model: IvfPqModel, codes: DataFrame) extends IndexKind
+
+/** Defaults of search.go:32-39 (K=10, Nprobe=10; EfSearch kept for API
+  * parity — no HNSW graph exists to consume it, see SURVEY.md §7.3). */
+final case class SearchOptions(k: Int = 10, nprobe: Int = 10, efSearch: Int = 50)
+
+final class Searcher private (kind: IndexKind, opts: SearchOptions) {
+
+  def withK(k: Int): Searcher = new Searcher(kind, opts.copy(k = k))
+  def withNprobe(n: Int): Searcher = new Searcher(kind, opts.copy(nprobe = n))
+  def withEfSearch(n: Int): Searcher = new Searcher(kind, opts.copy(efSearch = n))
+  def options: SearchOptions = opts
+
+  /** Batch kNN: queries (query_id, qvec) → (query_id, neighbor_id,
+    * distance, rank). */
+  def search(queries: DataFrame): DataFrame = kind match {
+    case FlatKind(vectors, metric) =>
+      FlatIndex.knn(vectors, queries, opts.k, metric)
+    case IvfKind(model, assigned) =>
+      IvfIndex.search(assigned, model, queries, opts.k, opts.nprobe)
+    case PqKind(model, codes) =>
+      PqIndex.knn(codes, model, queries, opts.k)
+    case IvfPqKind(model, codes) =>
+      IvfPqIndex.search(codes, model, queries, opts.k, opts.nprobe)
+  }
+
+  /** Range search (search.go:165-189) — exact on flat; on quantized kinds
+    * the filter applies to their approximate distances. */
+  def rangeSearch(queries: DataFrame, threshold: Double,
+      maxResults: Int = Int.MaxValue): DataFrame = kind match {
+    case FlatKind(vectors, metric) =>
+      FlatIndex.rangeSearch(vectors, queries, threshold, metric, maxResults)
+    case _ =>
+      import org.apache.spark.sql.functions.col
+      new Searcher(kind, opts.copy(k = maxResults))
+        .search(queries).where(col("distance") <= threshold)
+  }
+
+  /** SearchWithMetadata timing wrapper (search.go:150-162): forces the
+    * plan and reports wall-clock millis alongside the materialized count. */
+  def searchTimed(queries: DataFrame): (DataFrame, Long, Long) = {
+    val t0 = System.nanoTime()
+    val df = search(queries)
+    val n = df.count()
+    (df, n, (System.nanoTime() - t0) / 1000000L)
+  }
+}
+
+object Searcher {
+  def apply(kind: IndexKind): Searcher = new Searcher(kind, SearchOptions())
+
+  /** Open a persisted index, detecting its type from metadata
+    * (detectIndexType, search.go:193-208). */
+  def open(spark: SparkSession, path: String): Searcher = {
+    val meta = IndexIO.readMeta(path)
+    IndexIO.checkCompatible(meta("version"))
+    val kind = meta("index_type") match {
+      case "flat" => val (v, m) = IndexIO.loadFlat(spark, path); FlatKind(v, m)
+      case "ivf" => val (m, a) = IndexIO.loadIvf(spark, path); IvfKind(m, a)
+      case "pq" => val (m, c) = IndexIO.loadPq(spark, path); PqKind(m, c)
+      case "ivfpq" => val (m, c) = IndexIO.loadIvfPq(spark, path); IvfPqKind(m, c)
+      case t => throw new IllegalArgumentException(s"unknown index type '$t'")
+    }
+    apply(kind)
+  }
+}

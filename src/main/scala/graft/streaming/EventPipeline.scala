@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IvfIndex, IvfModel}
+
+/** Streaming-shaped event processing (SURVEY.md §2.9).
+  *
+  * Every transform here takes a DataFrame and is valid on BOTH a batch
+  * frame and a `readStream` frame — the batch correctness gate and the
+  * streaming path share one plan definition. Stateful pieces (windowed
+  * aggregation with watermark, foreachBatch index append) are exercised
+  * in ScalaTest with the memory sink.
+  */
+object EventPipeline {
+
+  /** Event-time tumbling-window aggregation; on a stream, pair with
+    * [[withWatermark]] for state eviction. */
+  def windowedCounts(events: DataFrame, windowLength: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+
+  /** Start the streaming form of [[windowedCounts]] into a memory sink. */
+  def startMemoryStream(spark: SparkSession, sourceDir: String, schema: org.apache.spark.sql.types.StructType,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val prepared = stream.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream
+    }
+    windowedCounts(withWatermark(prepared))
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
+  /** Continuous index maintenance: each micro-batch of vectors is
+    * assigned to its cluster with the *frozen* trained centroids and
+    * appended to the index table — the reference's add-after-train
+    * semantics (ivf.go:93-112: new vectors use old centroids until an
+    * explicit re-train). Assignment is a pure projection, so it is
+    * streaming-safe with no state. */
+  def appendBatchToIvf(model: IvfModel, indexPath: String)(batch: DataFrame, batchId: Long): Unit =
+    IvfIndex.assign(batch, model)
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(s"$indexPath/codes")
+}

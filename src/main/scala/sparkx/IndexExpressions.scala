@@ -1,0 +1,257 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
+
+/** Native expressions for the index hot paths (SURVEY.md §4): nearest-
+  * centroid argmin, PQ encode, and ADC scoring, each with the model
+  * matrix embedded as a plan reference object and a fused codegen loop.
+  *
+  * These replace `aggregate`/`zip_with` folds over centroid literals —
+  * Spark's higher-order functions are CodegenFallback (interpreted,
+  * allocating per element), which dominates at n·q join cardinality.
+  * Semantics are identical: ascending scan, strict `<`, ties to the
+  * lower index — oracle parity is unchanged.
+  */
+
+/** argmin over matrix rows by squared L2 → INT cluster id. */
+case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < matrix.length) {
+      val row = matrix(c)
+      var d = 0.0
+      var i = 0
+      val n = math.min(row.length, vec.numElements())
+      while (i < n) { val t = vec.getDouble(i) - row(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val row = ctx.freshName("row")
+      s"""
+         |int $best = -1; double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $cb.length; $c++) {
+         |  double[] $row = $cb[$c];
+         |  int $n = java.lang.Math.min($row.length, $v.numElements());
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $t = $v.getDouble($i) - $row[$i];
+         |    $d += $t * $t;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+         |""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** PQ encode: per subspace m, argmin over codebooks(m) rows → ARRAY<INT>. */
+case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression with ExpectsInputTypes {
+  private val m = codebooks.length
+  private val dsub = codebooks(0)(0).length
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val book = codebooks(mi)
+      val off = mi * dsub
+      var best = -1
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < book.length) {
+        val row = book(j)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = vec.getDouble(off + i) - row(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      codes(mi) = best
+      mi += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val codes = ctx.freshName("codes")
+      val mi = ctx.freshName("mi")
+      val off = ctx.freshName("off")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val row = ctx.freshName("row")
+      val book = ctx.freshName("book")
+      s"""
+         |int[] $codes = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double[][] $book = $cb[$mi];
+         |  int $off = $mi * $dsub;
+         |  int $best = -1; double $bestD = Double.MAX_VALUE;
+         |  for (int $j = 0; $j < $book.length; $j++) {
+         |    double[] $row = $book[$j];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      double $t = $v.getDouble($off + $i) - $row[$i];
+         |      $d += $t * $t;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $j; }
+         |  }
+         |  $codes[$mi] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+         |""".stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ADC: Σ_m ‖qvec[m·dsub..] − codebooks(m)(code(m))‖² → DOUBLE. */
+case class PqAdcExpr(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with ExpectsInputTypes {
+  private val m = codebooks.length
+  private val dsub = codebooks(0)(0).length
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  override def nullSafeEval(q: Any, c: Any): Any = {
+    val qv = q.asInstanceOf[ArrayData]
+    val code = c.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val row = codebooks(mi)(code.getInt(mi))
+      val off = mi * dsub
+      var d = 0.0
+      var i = 0
+      while (i < dsub) { val t = qv.getDouble(off + i) - row(i); d += t * t; i += 1 }
+      acc += d
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val acc = ctx.freshName("acc")
+      val mi = ctx.freshName("mi")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      val t = ctx.freshName("t")
+      val row = ctx.freshName("row")
+      s"""
+         |double $acc = 0.0;
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double[] $row = $cb[$mi][$c.getInt($mi)];
+         |  int $off = $mi * $dsub;
+         |  double $d = 0.0;
+         |  for (int $i = 0; $i < $dsub; $i++) {
+         |    double $t = $q.getDouble($off + $i) - $row[$i];
+         |    $d += $t * $t;
+         |  }
+         |  $acc += $d;
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** vec − matrix(cluster_id): the residual projection (ivfpq.go:139-147)
+  * as one fused loop → ARRAY<DOUBLE>. */
+case class ResidualExpr(left: Expression, right: Expression,
+    matrix: Array[Array[Double]])
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), IntegerType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_residual"
+
+  override def nullSafeEval(v: Any, c: Any): Any = {
+    val vec = v.asInstanceOf[ArrayData]
+    val row = matrix(c.asInstanceOf[Int])
+    val n = math.min(vec.numElements(), row.length)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = vec.getDouble(i) - row(i); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $row = $cb[$c];
+         |int $n = java.lang.Math.min($v.numElements(), $row.length);
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $v.getDouble($i) - $row[$i];
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object IndexExpressions {
+  def residual(vec: Column, clusterId: Column, matrix: Seq[Seq[Double]]): Column =
+    column(ResidualExpr(expression(vec), expression(clusterId), matrix.map(_.toArray).toArray))
+
+  def nearestIndex(vec: Column, matrix: Seq[Seq[Double]]): Column =
+    column(NearestIndexExpr(expression(vec), matrix.map(_.toArray).toArray))
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    column(PqEncodeExpr(expression(vec), codebooks.map(_.map(_.toArray).toArray).toArray))
+  def pqAdc(qvec: Column, code: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    column(PqAdcExpr(expression(qvec), expression(code), codebooks.map(_.map(_.toArray).toArray).toArray))
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Metric
+import graft.index._
+import graft.io.IndexIO
+import graft.query.{Searcher, FlatKind}
+import graft.stats.IndexStats
+import graft.queries.VectorQueries
+
+/** Parquet round-trip tests mirroring serialize_test.go: save → load →
+  * identical search results; version compat; stats.
+  */
+class PersistenceSpec extends AnyFunSuite {
+
+  lazy val spark = TestSession.spark
+  private def tmp() = Files.createTempDirectory("graft_idx").toString
+
+  private def vecs = VectorQueries.vecTables(spark, TestSession.Sf0001)
+
+  test("flat index round-trip preserves search results") {
+    val (corpus, queries) = vecs
+    val path = tmp()
+    IndexIO.saveFlat(spark, path, corpus, Metric.Cosine)
+    val (loaded, metric) = IndexIO.loadFlat(spark, path)
+    assert(metric == Metric.Cosine)
+    val before = FlatIndex.knn(corpus, queries, 10, Metric.Cosine)
+    val after = FlatIndex.knn(loaded, queries, 10, Metric.Cosine)
+    assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
+  }
+
+  test("ivf index round-trip: centroids, codes, and search results survive") {
+    val (corpus, queries) = vecs
+    val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
+    val assigned = IvfIndex.assign(corpus, model)
+    val path = tmp()
+    IndexIO.saveIvf(spark, path, model, assigned)
+    val (loaded, codes) = IndexIO.loadIvf(spark, path)
+    assert(loaded.centroids == model.centroids)
+    val before = IvfIndex.search(assigned, model, queries, 10, 4)
+    val after = IvfIndex.search(codes, loaded, queries, 10, 4)
+    assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
+  }
+
+  test("ivfpq round-trip via Searcher.open facade") {
+    val (corpus, queries) = vecs
+    val model = IvfPqIndex.trainDeterministic(corpus, 8, 8, 16, Metric.L2)
+    val codes = IvfPqIndex.encode(corpus, model)
+    val path = tmp()
+    IndexIO.saveIvfPq(spark, path, model, codes)
+    val s = Searcher.open(spark, path).withK(10).withNprobe(4)
+    val after = s.search(queries)
+    val before = IvfPqIndex.search(codes, model, queries, 10, 4)
+    assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
+  }
+
+  test("version compatibility rule (version.go:27-37)") {
+    IndexIO.checkCompatible("1.0.0")
+    intercept[IllegalArgumentException](IndexIO.checkCompatible("2.0.0"))
+    intercept[IllegalArgumentException](IndexIO.checkCompatible("1.1.0"))
+    intercept[IllegalArgumentException](IndexIO.checkCompatible("bogus"))
+  }
+
+  test("stats report rows, dim, type, bytes; list sizes reflect skew") {
+    val (corpus, _) = vecs
+    val path = tmp()
+    IndexIO.saveFlat(spark, path, corpus, Metric.L2)
+    val st = IndexStats.forPath(spark, path).first()
+    assert(st.getAs[Long]("total_vectors") == corpus.count())
+    assert(st.getAs[String]("index_type") == "flat")
+    assert(st.getAs[Long]("storage_bytes") > 0)
+
+    val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
+    val sizes = IndexStats.listSizes(IvfIndex.assign(corpus, model))
+    assert(sizes.agg(sum(col("list_size"))).first().getLong(0) == corpus.count())
+  }
+
+  test("facade range search on quantized kinds filters by distance") {
+    val (corpus, queries) = vecs
+    val s = Searcher(FlatKind(corpus, Metric.L2))
+    val r = s.rangeSearch(queries, threshold = 1.2, maxResults = 20)
+    assert(r.where(col("distance") > 1.2).count() == 0)
+  }
+}
