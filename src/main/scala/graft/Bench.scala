@@ -85,7 +85,7 @@ object Bench {
     queries.count()
 
     val (flatRes, flatSec) = time {
-      val r = FlatIndex.knn(vectors, queries, K, Metric.L2).cache()
+      val r = FlatIndex.knnBlocked(vectors, queries, K, Metric.L2).cache()
       r.count(); r
     }
     results("flat_search_sec") = flatSec
@@ -114,7 +114,7 @@ object Bench {
       val c = PqIndex.encode(vectors, pqModel).cache(); c.count(); c
     }
     val (pqRes, pqSec) = time {
-      val r = PqIndex.knn(pqCodes, pqModel, queries, K).cache(); r.count(); r
+      val r = PqIndex.knnBlocked(pqCodes, pqModel, queries, K).cache(); r.count(); r
     }
     results("pq_build_sec") = pqBuild + pqEncode
     results("pq_search_sec") = pqSec

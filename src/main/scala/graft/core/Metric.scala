@@ -12,30 +12,53 @@ import graft.functions.VectorFunctions._
   * Adding a metric = adding one case here — the reference's `Metric`
   * interface extension point (metric.go:19-22, SURVEY.md §2.10).
   */
-sealed trait Metric {
+sealed trait Metric extends Serializable {
   def name: String
   def distance(a: Column, b: Column): Column
   /** Monotone in `distance`; safe to rank/threshold-compare by. */
   def rankKey(a: Column, b: Column): Column = distance(a, b)
   /** Recover the reported distance from the rank key. */
   def finishRank(rk: Column): Column = rk
+  /** Scalar form of [[rankKey]] for blocked (mapPartitions) kernels —
+    * must match the column expression bit-for-bit (same fold order). */
+  def rankKeyScalar(a: Array[Double], b: Array[Double]): Double
 }
 
 object Metric {
+  private def dotS(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
   case object L2 extends Metric {
     val name = "l2"
     def distance(a: Column, b: Column): Column = l2(a, b)
     override def rankKey(a: Column, b: Column): Column = l2Sq(a, b)
     override def finishRank(rk: Column): Column =
       org.apache.spark.sql.functions.sqrt(rk)
+    def rankKeyScalar(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
   }
   case object Cosine extends Metric {
     val name = "cosine"
     def distance(a: Column, b: Column): Column = cosineDistance(a, b)
+    def rankKeyScalar(a: Array[Double], b: Array[Double]): Double = {
+      val na = math.sqrt(dotS(a, a))
+      val nb = math.sqrt(dotS(b, b))
+      if (na == 0.0 || nb == 0.0) 1.0
+      else 1.0 - math.min(1.0, math.max(-1.0, dotS(a, b) / (na * nb)))
+    }
   }
   case object Dot extends Metric {
     val name = "dot"
     def distance(a: Column, b: Column): Column = innerProductDistance(a, b)
+    def rankKeyScalar(a: Array[Double], b: Array[Double]): Double = -dotS(a, b)
   }
 
   val all: Seq[Metric] = Seq(L2, Cosine, Dot)

@@ -81,24 +81,61 @@ object Centroids {
       .where((col("rn") - 1) % stride === 0)
       .orderBy(col("rn")).limit(kk)
       .collect().map(_.getSeq[Double](1).toVector).toVector
+    val dim = cents.head.size
+    val data = cached.select(col("vec")).rdd
+      .map(_.getSeq[Double](0).toArray).cache()
+    data.count()
+    val sc = cached.sparkSession.sparkContext
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
-      val updated = cached
-        .withColumn("cid", nearest(col("vec"), cents))
-        .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
-        .select(col("cid"), col("ps.m").as("cv"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toVector).toMap
-      val next = cents.indices.map(i => updated.getOrElse(i, cents(i))).toVector
+      // one treeAggregate pass per iteration: assign (closure argmin) +
+      // per-cluster sum/count accumulation in primitive arrays — no
+      // explode, no shuffle of per-component rows
+      val bc = sc.broadcast(cents.map(_.toArray).toArray)
+      val (sums, counts) = data.treeAggregate(
+        (Array.ofDim[Double](kk, dim), new Array[Long](kk)))(
+        seqOp = { case ((s, c), v) =>
+          val cb = bc.value
+          var best = -1
+          var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < cb.length) {
+            val row = cb(ci)
+            var d = 0.0
+            var i = 0
+            while (i < dim && d < bestD) { val t = v(i) - row(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = ci }
+            ci += 1
+          }
+          val target = s(best)
+          var i = 0
+          while (i < dim) { target(i) += v(i); i += 1 }
+          c(best) += 1
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var ci = 0
+          while (ci < kk) {
+            val a = s1(ci); val b = s2(ci)
+            var i = 0
+            while (i < dim) { a(i) += b(i); i += 1 }
+            c1(ci) += c2(ci)
+            ci += 1
+          }
+          (s1, c1)
+        })
+      bc.destroy()
+      val next = cents.indices.map { ci =>
+        if (counts(ci) > 0) sums(ci).map(_ / counts(ci)).toVector else cents(ci)
+      }.toVector
       moved = cents.iterator.zip(next.iterator).exists { case (a, b) =>
         a.iterator.zip(b.iterator).exists { case (x, y) => math.abs(x - y) > 1e-12 }
       }
       cents = next
       iter += 1
     }
+    data.unpersist()
     cached.unpersist()
     cents
   }

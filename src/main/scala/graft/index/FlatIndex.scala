@@ -60,6 +60,62 @@ object FlatIndex {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Batch kNN via a blocked mapPartitions kernel: the corpus partition
+    * streams once through a primitive-array loop holding a bounded
+    * (dist, id)-ordered buffer per query — the n·q candidate rows are
+    * never materialized, and the final top-k merge sees at most
+    * k·partitions rows per query. This is the BLAS-style kernel every
+    * batch brute-force scan wants; results are identical to [[knn]]
+    * (same rank-key arithmetic, same tie-break). Queries must fit in a
+    * broadcast (they are the small side by construction). */
+  def knnBlocked(corpus: DataFrame, queries: DataFrame, k: Int, metric: Metric): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
+    val qids = qRows.map(_.getLong(0))
+    val qvecs = qRows.map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast((qids, qvecs))
+    val partials = corpus.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (ids, qs) = bc.value
+        val nq = qs.length
+        val heapD = Array.fill(nq)(new Array[Double](k))
+        val heapI = Array.fill(nq)(new Array[Long](k))
+        val sizes = new Array[Int](nq)
+        while (it.hasNext) {
+          val (id, vseq) = it.next()
+          val v = vseq.toArray
+          var qi = 0
+          while (qi < nq) {
+            val d = metric.rankKeyScalar(qs(qi), v)
+            val sz = sizes(qi)
+            val hd = heapD(qi)
+            val hi = heapI(qi)
+            val accept = sz < k || d < hd(sz - 1) ||
+              (d == hd(sz - 1) && id < hi(sz - 1))
+            if (accept) {
+              var pos = if (sz < k) sz else k - 1
+              while (pos > 0 && (hd(pos - 1) > d ||
+                (hd(pos - 1) == d && hi(pos - 1) > id))) {
+                hd(pos) = hd(pos - 1); hi(pos) = hi(pos - 1); pos -= 1
+              }
+              hd(pos) = d; hi(pos) = id
+              if (sz < k) sizes(qi) = sz + 1
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          (0 until sizes(qi)).iterator.map { r =>
+            (ids(qi), heapI(qi)(r), heapD(qi)(r))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rank_key")
+    topK(partials, k, metric)
+  }
+
   /** Per-query top-k over a (query_id, neighbor_id, rank_key) frame. */
   def topK(distances: DataFrame, k: Int, metric: Metric = Metric.L2): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("rank_key"), col("neighbor_id"))

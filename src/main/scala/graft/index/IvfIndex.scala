@@ -47,12 +47,17 @@ object IvfIndex {
     * (ivf.go:127-129). */
   def probes(queries: DataFrame, model: IvfModel, nprobe: Int): DataFrame = {
     val np = math.min(math.max(nprobe, 1), model.nlist)
-    val cents = Centroids.centroidLit(model.centroids)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // centroids as a small broadcast DataFrame — a typedlit matrix would
+    // put nlist×dim literal nodes in the plan (40k+ at nlist=316/dim=128),
+    // bloating analysis/codegen
+    val cdf = model.centroids.zipWithIndex
+      .map { case (v, i) => (i, v) }.toDF("cluster_id", "cvec")
     val w = Window.partitionBy("query_id").orderBy(col("cdist2"), col("cluster_id"))
     queries
-      .select(col("query_id"), col("qvec"), posexplode(cents).as(Seq("cpos", "cvec")))
+      .crossJoin(broadcast(cdf))
       .withColumn("cdist2", graft.functions.VectorFunctions.l2Sq(col("qvec"), col("cvec")))
-      .withColumn("cluster_id", col("cpos").cast("int"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= np)
       .select(col("query_id"), col("qvec"), col("cluster_id"))

@@ -31,33 +31,125 @@ object PqIndex {
     require(nbits >= 1 && nbits <= 16, s"nbits must be in [1,16], got $nbits")
   }
 
-  /** Production trainer: M independent k-means fits over subvector slices
-    * (SURVEY.md A2 — "fit M independent KMeans models on slice()"). */
+  /** Production trainer: M per-subspace Lloyd's fits run *jointly* — one
+    * treeAggregate pass per iteration updates all M codebooks at once
+    * (pq.go:273-343 kMeansSubspace semantics: strided init, ≤10 iters,
+    * early exit; running the subspaces jointly turns 10·M Spark jobs into
+    * 10). */
   def train(vectors: DataFrame, m: Int, nbits: Int, metric: Metric,
-      seed: Long = 42L): PqModel = {
+      seed: Long = 42L, maxIter: Int = 10): PqModel = {
     val dim = vectors.select(size(col("vec"))).first().getInt(0)
     validate(dim, m, nbits)
     val ksub = 1 << nbits
     val dsub = dim / m
-    val codebooks = (0 until m).map { mi =>
-      val sub = vectors.select(col("id"), slice(col("vec"), mi * dsub + 1, dsub).as("vec"))
-      Centroids.kMeans(sub, ksub, seed + mi)
+    val cached = vectors.select(col("id"), col("vec")).cache()
+    val n = cached.count()
+    val kk = math.max(1, math.min(ksub.toLong, n).toInt)
+    // strided init per subspace over the same sample rows (pq.go:280-290)
+    val stride = math.max(1L, n / kk)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val sample = cached
+      .withColumn("rn", row_number().over(w))
+      .where((col("rn") - 1) % stride === 0)
+      .orderBy(col("rn")).limit(kk)
+      .collect().map(_.getSeq[Double](1).toArray)
+    var cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(m, kk)((mi, j) => sample(j).slice(mi * dsub, (mi + 1) * dsub))
+    val data = cached.select(col("vec")).rdd
+      .map(_.getSeq[Double](0).toArray).cache()
+    data.count()
+    val sc = vectors.sparkSession.sparkContext
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val bc = sc.broadcast(cbs)
+      val (sums, counts) = data.treeAggregate(
+        (Array.ofDim[Double](m, kk, dsub), Array.ofDim[Long](m, kk)))(
+        seqOp = { case ((s, c), v) =>
+          val cb = bc.value
+          var mi = 0
+          while (mi < m) {
+            val book = cb(mi)
+            val off = mi * dsub
+            var best = -1
+            var bestD = Double.MaxValue
+            var j = 0
+            while (j < book.length) {
+              val row = book(j)
+              var d = 0.0
+              var i = 0
+              while (i < dsub && d < bestD) { val t = v(off + i) - row(i); d += t * t; i += 1 }
+              if (d < bestD) { bestD = d; best = j }
+              j += 1
+            }
+            val target = s(mi)(best)
+            var i = 0
+            while (i < dsub) { target(i) += v(off + i); i += 1 }
+            c(mi)(best) += 1
+            mi += 1
+          }
+          (s, c)
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var mi = 0
+          while (mi < m) {
+            var j = 0
+            while (j < kk) {
+              val a = s1(mi)(j); val b = s2(mi)(j)
+              var i = 0
+              while (i < dsub) { a(i) += b(i); i += 1 }
+              c1(mi)(j) += c2(mi)(j)
+              j += 1
+            }
+            mi += 1
+          }
+          (s1, c1)
+        })
+      bc.destroy()
+      var anyMoved = false
+      val next = Array.tabulate(m, kk) { (mi, j) =>
+        if (counts(mi)(j) > 0) {
+          val nv = sums(mi)(j).map(_ / counts(mi)(j))
+          if (!anyMoved) {
+            val old = cbs(mi)(j)
+            var i = 0
+            while (i < dsub && !anyMoved) {
+              if (math.abs(nv(i) - old(i)) > 1e-12) anyMoved = true
+              i += 1
+            }
+          }
+          nv
+        } else cbs(mi)(j)
+      }
+      moved = anyMoved
+      cbs = next
+      iter += 1
     }
-    PqModel(codebooks.toVector, metric)
+    data.unpersist()
+    cached.unpersist()
+    PqModel(cbs.map(_.map(_.toVector).toVector).toVector, metric)
   }
 
   /** Deterministic trainer: codebook[m][j] = mean subvector over ids with
-    * id % ksub == j — oracle-reproducible. */
+    * id % ksub == j — oracle-reproducible. All M×Ksub×dsub cells come
+    * from ONE aggregation pass (grouping by (subspace, bucket, position)
+    * instead of M separate per-slice jobs). */
   def trainDeterministic(vectors: DataFrame, m: Int, ksub: Int, metric: Metric): PqModel = {
     val dim = vectors.select(size(col("vec"))).first().getInt(0)
     require(dim % m == 0, s"dimension $dim must be divisible by M=$m")
     val dsub = dim / m
-    val codebooks = (0 until m).map { mi =>
-      val sub = vectors.select(col("id"),
-        slice(col("vec"), mi * dsub + 1, dsub).as("vec"))
-      Centroids.bucketMeans(sub, ksub)
-    }
-    PqModel(codebooks.toVector, metric)
+    val cells = vectors
+      .select((col("id") % ksub).cast("int").as("j"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .select(col("j"), (col("pos") / dsub).cast("int").as("m"),
+        (col("pos") % dsub).cast("int").as("spos"), col("x"))
+      .groupBy(col("m"), col("j"), col("spos"))
+      .agg(avg(col("x")).as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val codebooks = Vector.tabulate(m, ksub, dsub)((mi, j, i) => cells((mi, j, i)))
+      .map(_.map(_.toVector).toVector)
+    PqModel(codebooks, metric)
   }
 
   /** Encode expression: ARRAY<INT> of per-subspace argmin codebook ids
@@ -75,6 +167,78 @@ object PqIndex {
     * projection (SURVEY.md §4). */
   def adcDist2(qvec: Column, code: Column, model: PqModel): Column =
     org.apache.spark.sql.graftx.IndexExpressions.pqAdc(qvec, code, model.codebooks)
+
+  /** Blocked ADC kNN: per-query distance tables (M × Ksub subspace
+    * distances — the reference's loop-invariant hoist, pq.go:144-155)
+    * are precomputed ONCE on the driver and broadcast (nq·M·Ksub
+    * doubles), so the code scan is M table lookups per (code, query)
+    * instead of dim flops — 16× less arithmetic at M=8, dsub=16. The
+    * n·q candidate rows are never materialized. Results identical to
+    * [[knn]] (same per-subspace fold order). */
+  def knnBlocked(codes: DataFrame, model: PqModel, queries: DataFrame, k: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = model.m
+    val dsub = model.dsub
+    val ksub = model.ksub
+    val cbs = model.codebooks.map(_.map(_.toArray).toArray).toArray
+    val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
+    val qids = qRows.map(_.getLong(0))
+    val tables = qRows.map { r =>
+      val q = r.getSeq[Double](1).toArray
+      Array.tabulate(m, ksub) { (mi, j) =>
+        val row = cbs(mi)(j)
+        val off = mi * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = q(off + i) - row(i); d += t * t; i += 1 }
+        d
+      }
+    }
+    val bc = spark.sparkContext.broadcast((qids, tables))
+    val partials = codes.select(col("id").cast("long"), col("code"))
+      .as[(Long, Seq[Int])]
+      .mapPartitions { it =>
+        val (ids, tabs) = bc.value
+        val nq = ids.length
+        val heapD = Array.fill(nq)(new Array[Double](k))
+        val heapI = Array.fill(nq)(new Array[Long](k))
+        val sizes = new Array[Int](nq)
+        while (it.hasNext) {
+          val (id, codeSeq) = it.next()
+          val code = codeSeq.toArray
+          var qi = 0
+          while (qi < nq) {
+            val tab = tabs(qi)
+            var d = 0.0
+            var mi = 0
+            while (mi < m) { d += tab(mi)(code(mi)); mi += 1 }
+            val sz = sizes(qi)
+            val hd = heapD(qi)
+            val hi = heapI(qi)
+            val accept = sz < k || d < hd(sz - 1) ||
+              (d == hd(sz - 1) && id < hi(sz - 1))
+            if (accept) {
+              var pos = if (sz < k) sz else k - 1
+              while (pos > 0 && (hd(pos - 1) > d ||
+                (hd(pos - 1) == d && hi(pos - 1) > id))) {
+                hd(pos) = hd(pos - 1); hi(pos) = hi(pos - 1); pos -= 1
+              }
+              hd(pos) = d; hi(pos) = id
+              if (sz < k) sizes(qi) = sz + 1
+            }
+            qi += 1
+          }
+        }
+        (0 until nq).iterator.flatMap { qi =>
+          (0 until sizes(qi)).iterator.map { r =>
+            (ids(qi), heapI(qi)(r), heapD(qi)(r))
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rank_key")
+    FlatIndex.topK(partials, k, Metric.L2)
+  }
 
   /** Batch ADC kNN over the codes table. */
   def knn(codes: DataFrame, model: PqModel, queries: DataFrame, k: Int): DataFrame = {

@@ -20,6 +20,25 @@ class TopKAggregatorSpec extends AnyFunSuite {
     assert(win.exceptAll(agg).count() == 0 && agg.exceptAll(win).count() == 0)
   }
 
+  test("blocked kernel ≡ window top-k on real data (l2 and cosine)") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    for (m <- Seq(Metric.L2, Metric.Cosine)) {
+      val win = FlatIndex.knn(corpus, queries, 10, m)
+      val blocked = FlatIndex.knnBlocked(corpus, queries, 10, m)
+      assert(win.exceptAll(blocked).count() == 0 && blocked.exceptAll(win).count() == 0,
+        s"mismatch for metric ${m.name}")
+    }
+  }
+
+  test("blocked table-ADC ≡ expression ADC for PQ") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val model = graft.index.PqIndex.trainDeterministic(corpus, 8, 16, Metric.L2)
+    val codes = graft.index.PqIndex.encode(corpus, model)
+    val expr = graft.index.PqIndex.knn(codes, model, queries, 10)
+    val blocked = graft.index.PqIndex.knnBlocked(codes, model, queries, 10)
+    assert(expr.exceptAll(blocked).count() == 0 && blocked.exceptAll(expr).count() == 0)
+  }
+
   test("aggregator handles fewer candidates than k") {
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val agg = FlatIndex.knnAgg(corpus.limit(3), queries.limit(2), 10, Metric.L2)
