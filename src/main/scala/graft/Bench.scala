@@ -135,6 +135,28 @@ object Bench {
     results("ivfpq_qps") = benchQ / ivfpqSec
     results("ivfpq_recall") = recallVs(flatRes, ivfpqRes)
 
+    // -- single-query serving latency (A6: the reference's per-query
+    // benchmarkSearch shape — warmup, then timed singles, percentiles) --
+    val serveQ = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERVE", "30").toInt
+    if (serveQ > 0) {
+      val singles = queries.limit(serveQ).collect()
+      val one = spark.createDataFrame(
+        java.util.Arrays.asList(singles.head),
+        queries.schema)
+      FlatIndex.knn(vectors, one, K, Metric.L2).count() // warmup
+      val times = singles.map { row =>
+        val df = spark.createDataFrame(java.util.Arrays.asList(row), queries.schema)
+        val t0 = System.nanoTime()
+        FlatIndex.knn(vectors, df, K, Metric.L2).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      def pct(p: Double) = times(math.min(times.length - 1, (p * times.length).toInt))
+      results("serve_p50_ms") = pct(0.50)
+      results("serve_p95_ms") = pct(0.95)
+      results("serve_p99_ms") = pct(0.99)
+      results("serve_qps") = 1000.0 * times.length / times.sum
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._1.endsWith("sec")).values.sum +

@@ -43,7 +43,8 @@ object IndexIO {
     case c => c.toString
   }
   def writeMeta(path: String, fields: Map[String, String]): Unit = {
-    val all = fields + ("version" -> versionString)
+    val all = if (fields.contains("version")) fields
+      else fields + ("version" -> versionString)
     val json = all.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{\n  ", ",\n  ", "\n}\n")
