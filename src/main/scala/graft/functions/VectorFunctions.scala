@@ -75,4 +75,10 @@ object VectorFunctions {
 
   /** similarity = 1 − distance (examples/.../main.go:236). */
   def similarity(distance: Column): Column = lit(1.0) - distance
+
+  /** M·v via per-row dot products (simd.go:105-115): `matrix` is an
+    * ARRAY<ARRAY<DOUBLE>> column (small, e.g. a PQ table), result is
+    * ARRAY<DOUBLE> of row dots. */
+  def matVec(matrix: Column, v: Column): Column =
+    transform(matrix, row => dot(row, v))
 }

@@ -129,6 +129,16 @@ object FlatIndex {
         col("rank"))
   }
 
+  /** Full n×n distance matrix as (id_a, id_b, distance) — tests/small n
+    * only, like the reference's PairwiseL2Distance (simd.go:119-136). */
+  def pairwiseDistances(vectors: DataFrame, metric: Metric): DataFrame = {
+    val a = vectors.select(col("id").as("id_a"), col("vec").as("va"))
+    val b = vectors.select(col("id").as("id_b"), col("vec").as("vb"))
+    a.crossJoin(b).select(
+      col("id_a"), col("id_b"),
+      metric.finishRank(metric.rankKey(col("va"), col("vb"))).as("distance"))
+  }
+
   /** Range search: exact filter on distance ≤ threshold, capped at
     * `maxResults` per query by ascending distance. More exact than the
     * reference's k×10-overfetch approximation (search.go:165-189,

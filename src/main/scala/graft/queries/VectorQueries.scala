@@ -123,6 +123,24 @@ object VectorQueries extends QueryProvider {
           col("query_id"),
           round(coalesce(col("n"), lit(0L)) / lit(K.toDouble), 4).as("recall"))
     }),
+    // F13 + F14: matrix·vector projection and pairwise distance matrix
+    // (simd.go:105-115, simd.go:119-136) over a bounded id prefix
+    "pairwise_matvec" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir).where(col("id") < 20)
+        .select(col("id"), col("vec"))
+      val pairs = graft.index.FlatIndex.pairwiseDistances(v, Metric.L2)
+      // 2-row projection matrix: all-ones and alternating ±1
+      val mat = typedlit(Seq(
+        Seq.fill(64)(1.0),
+        (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0)))
+      val proj = v.select(col("id").as("id_a"),
+        graft.functions.VectorFunctions.matVec(mat, col("vec")).as("mv"))
+      pairs.join(proj, Seq("id_a"))
+        .select(col("id_a"), col("id_b"),
+          round(col("distance"), 4).as("distance"),
+          round(col("mv")(0), 4).as("proj_sum"),
+          round(col("mv")(1), 4).as("proj_alt"))
+    }),
     // J4 + F17: payload join — kNN neighbors back to document records
     "knn_payload_join" -> ((s, dir) => {
       val (corpus, queries) = vecTables(s, dir)
@@ -177,6 +195,18 @@ object VectorQueries extends QueryProvider {
          |  GROUP BY rl.query_id)
          |SELECT q.query_id, round(coalesce(ov.n, 0) / ${K.toDouble}, 4) AS recall
          |FROM q LEFT JOIN ov ON q.query_id = ov.query_id""".stripMargin,
+    "pairwise_matvec" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev
+         |           FROM embeddings WHERE vec_id < 20),
+         |mv AS (SELECT id,
+         |  list_reduce(list_transform(range(1, len(ev)+1), i -> ev[i]), (x,y) -> x+y) AS proj_sum,
+         |  list_reduce(list_transform(range(1, len(ev)+1),
+         |    i -> CASE WHEN (i-1) % 2 = 0 THEN ev[i] ELSE -ev[i] END), (x,y) -> x+y) AS proj_alt
+         |  FROM v)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       round(sqrt(${sqlL2SqG("a.ev", "b.ev")}), 4) AS distance,
+         |       round(mv.proj_sum, 4) AS proj_sum, round(mv.proj_alt, 4) AS proj_alt
+         |FROM v a CROSS JOIN v b JOIN mv ON mv.id = a.id""".stripMargin,
     "knn_payload_join" ->
       s"""WITH $sqlVecCtes,
          |d AS (

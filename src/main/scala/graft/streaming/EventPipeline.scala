@@ -43,6 +43,32 @@ object EventPipeline {
       .start()
   }
 
+  /** Custom streaming state via mapGroupsWithState: per-user running
+    * (event count, value sum), emitted each micro-batch in Update mode —
+    * the KeyValueGroupedDataset stateful surface (SURVEY.md §2.9). */
+  def startRunningUserStats(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    stream
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+        var (n, v) = state.getOption.getOrElse((0L, 0.0))
+        rows.foreach { r => n += 1; v += r._2 }
+        state.update((n, v))
+        (uid, n, v)
+      }
+      .toDF("user_id", "n_events", "total_value")
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+
   /** Continuous index maintenance: each micro-batch of vectors is
     * assigned to its cluster with the *frozen* trained centroids and
     * appended to the index table — the reference's add-after-train

@@ -34,6 +34,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState keeps running per-user stats across micro-batches") {
+    val batchSchema = Tables.load(spark, TestSession.Sf0001, "events").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_state")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(TestSession.Sf0001, "events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val q = EventPipeline.startRunningUserStats(
+      spark, dir.toString, batchSchema, "stream_user_stats")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, max(n_events) AS n FROM stream_user_stats GROUP BY user_id")
+      val batch = Tables.load(spark, TestSession.Sf0001, "events")
+        .groupBy(org.apache.spark.sql.functions.col("user_id"))
+        .count().withColumnRenamed("count", "n")
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("foreachBatch appends assigned vectors to an IVF index table") {
     val (corpus, queries) = graft.queries.VectorQueries.vecTables(spark, TestSession.Sf0001)
     val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
