@@ -1,8 +1,10 @@
 package graft.index
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Metric
 import graft.functions.VectorFunctions._
 
 /** Centroid training + nearest-centroid assignment (SURVEY.md J2/A1/A2).
@@ -26,9 +28,12 @@ object Centroids {
   /** Argmin over the centroid matrix: INT cluster id from a native
     * codegen'd double loop ([[org.apache.spark.sql.graftx.IndexExpressions]]) — no
     * shuffle, no UDF, no per-element interpretation. Ties break toward
-    * the lower cluster_id (strict `<`). */
-  def nearest(vec: Column, centroids: Seq[Seq[Double]]): Column =
-    org.apache.spark.sql.graftx.IndexExpressions.nearestIndex(vec, centroids)
+    * the lower cluster_id (strict `<`). Metric-aware, like the
+    * reference's findNearestCentroid under the configured metric
+    * (ivf.go:240-252). */
+  def nearest(vec: Column, centroids: Seq[Seq[Double]],
+      metric: Metric = Metric.L2): Column =
+    org.apache.spark.sql.graftx.IndexExpressions.nearestIndex(vec, centroids, metric.name)
 
   /** Deterministic, SQL-expressible "training": centroid c = mean of the
     * vectors whose `id % nlist == c`. Exercises the same assignment /
@@ -45,57 +50,83 @@ object Centroids {
       .select(col("bucket"), col("ps.m").as("cv"))
       .orderBy("bucket")
       .collect()
+    // positional cluster_id must equal the bucket id the oracle computes:
+    // a sparse id space (some residue mod nlist unpopulated) would silently
+    // compact and shift every subsequent id (ADVICE r1) — fail fast instead
+    val buckets = rows.map(_.getInt(0))
+    require(buckets.sameElements(0 until rows.length),
+      s"bucketMeans: id residues mod $nlist are not dense " +
+        s"(got buckets ${buckets.take(8).mkString(",")}…) — positional " +
+        "cluster ids would not match bucket ids")
     rows.map(r => r.getSeq[Double](1).toVector).toVector
+  }
+
+  /** Default trainer sample cap. The reference harness trains quantizers
+    * on ≤ 5000 vectors (benchmark_comparison.go); at 100 TB an uncapped
+    * trainer would stream the whole corpus through Lloyd's — the cap
+    * bounds every training job regardless of input size. */
+  val DefaultTrainCap = 100000
+
+  /** Deterministic (rank, vec) training sample: id-ascending rank from a
+    * distributed sort + zipWithIndex — NOT a global one-partition ranking
+    * window, which serializes the corpus through a single task — capped
+    * at `cap` rows. Cached; the caller unpersists. */
+  private[index] def trainingSample(vectors: DataFrame, cap: Int,
+      idCol: String, vecCol: String): RDD[(Long, Array[Double])] = {
+    val hasId = vectors.columns.contains(idCol)
+    val base = if (hasId)
+      vectors.select(col(idCol).cast("double").as("id"), col(vecCol).as("vec"))
+    else
+      vectors.select(monotonically_increasing_id().cast("double").as("id"),
+        col(vecCol).as("vec"))
+    base.rdd.map(r => (r.getDouble(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+      .zipWithIndex()
+      .filter(_._2 < cap)
+      .map { case ((_, v), rank) => (rank, v) }
+      .cache()
   }
 
   /** Production trainer: distributed Lloyd's with the reference's exact
     * semantics — strided init over the (id-ordered) training sample,
     * ≤ maxIter iterations, early exit when centroids stop moving
     * (ivf.go:255-317; the reference's comment says k-means++ but the code
-    * is plain striding — SURVEY.md A2 ⚠).
+    * is plain striding — SURVEY.md A2 ⚠). Assignment uses the configured
+    * metric, as the reference does (ivf.go:133-135); the update step is
+    * the plain mean, also as the reference does.
     *
-    * Each iteration is one Spark job: native-codegen'd argmin assignment
-    * (no shuffle) + per-cluster mean (posexplode → partial-agg groupBy);
-    * only the nlist×dim centroid matrix ever reaches the driver. This
+    * Each iteration is one treeAggregate pass: closure argmin + per-
+    * cluster sum/count in primitive arrays — no explode, no shuffle of
+    * per-component rows, only the k×dim matrix reaches the driver. This
     * outperforms MLlib's RDD KMeans by >10× at quantizer shapes
-    * (k∈[100,256], capped 5k training rows — measured in Bench) while
-    * staying deterministic. `seed` is accepted for API compatibility;
-    * determinism comes from the strided init, as in the reference.
+    * (k∈[100,256], capped training — measured in Bench) while staying
+    * deterministic. `seed` is accepted for API compatibility; determinism
+    * comes from the strided init, as in the reference.
     *
     * Empty clusters keep their previous centroid (ivf.go:296-314). */
   def kMeans(vectors: DataFrame, k: Int, seed: Long = 42L, maxIter: Int = 10,
-      vecCol: String = "vec", idCol: String = "id"): Seq[Seq[Double]] = {
-    val hasId = vectors.columns.contains(idCol)
-    val base = if (hasId) vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      else vectors.select(monotonically_increasing_id().as("id"), col(vecCol).as("vec"))
-    val cached = base.cache()
-    val n = cached.count()
+      vecCol: String = "vec", idCol: String = "id",
+      metric: Metric = Metric.L2,
+      sampleCap: Int = DefaultTrainCap): Seq[Seq[Double]] = {
+    val sample = trainingSample(vectors, sampleCap, idCol, vecCol)
+    val n = sample.count()
+    require(n > 0, "cannot train k-means on an empty vector table")
     val kk = math.max(1, math.min(k.toLong, n).toInt)
-    // strided init: every ⌊n/k⌋-th vector in id order (training sets are
-    // capped small — the reference caps at 5000 — so the 1-partition
-    // ranking window is driver-cheap)
+    // strided init: every ⌊n/k⌋-th vector in id order
     val stride = math.max(1L, n / kk)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-    var cents: Seq[Seq[Double]] = cached
-      .withColumn("rn", row_number().over(w))
-      .where((col("rn") - 1) % stride === 0)
-      .orderBy(col("rn")).limit(kk)
-      .collect().map(_.getSeq[Double](1).toVector).toVector
+    var cents: Seq[Seq[Double]] = sample
+      .filter { case (r, _) => r % stride == 0 && r / stride < kk }
+      .collect().sortBy(_._1).map(_._2.toVector).toVector
     val dim = cents.head.size
-    val data = cached.select(col("vec")).rdd
-      .map(_.getSeq[Double](0).toArray).cache()
-    data.count()
-    val sc = cached.sparkSession.sparkContext
+    val isL2 = metric == Metric.L2
+    val sc = vectors.sparkSession.sparkContext
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
-      // one treeAggregate pass per iteration: assign (closure argmin) +
-      // per-cluster sum/count accumulation in primitive arrays — no
-      // explode, no shuffle of per-component rows
       val bc = sc.broadcast(cents.map(_.toArray).toArray)
-      val (sums, counts) = data.treeAggregate(
+      val (sums, counts) = sample.treeAggregate(
         (Array.ofDim[Double](kk, dim), new Array[Long](kk)))(
-        seqOp = { case ((s, c), v) =>
+        seqOp = { case ((s, c), (_, v)) =>
           val cb = bc.value
           var best = -1
           var bestD = Double.MaxValue
@@ -103,8 +134,10 @@ object Centroids {
           while (ci < cb.length) {
             val row = cb(ci)
             var d = 0.0
-            var i = 0
-            while (i < dim && d < bestD) { val t = v(i) - row(i); d += t * t; i += 1 }
+            if (isL2) {
+              var i = 0
+              while (i < dim && d < bestD) { val t = v(i) - row(i); d += t * t; i += 1 }
+            } else d = metric.rankKeyScalar(v, row)
             if (d < bestD) { bestD = d; best = ci }
             ci += 1
           }
@@ -135,8 +168,7 @@ object Centroids {
       cents = next
       iter += 1
     }
-    data.unpersist()
-    cached.unpersist()
+    sample.unpersist()
     cents
   }
 }

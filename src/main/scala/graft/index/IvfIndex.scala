@@ -13,13 +13,15 @@ import graft.core.Metric
   * Spark layout: the index table is the vector table + a `cluster_id`
   * column, written partitioned by `cluster_id`; the centroid matrix is a
   * small driver-side artifact. Search is:
-  *   1. probe ranking — per query, top-nprobe centroids by distance
-  *      (tiny: queries × nlist, all in one projection over the centroid
-  *      literal);
+  *   1. probe ranking — per query, top-nprobe centroids by the model's
+  *      metric (ivf.go:133-135 probes with the configured metric);
   *   2. probe join — `codes ⋈ broadcast(probes)` on cluster_id: with the
   *      table partitioned by cluster_id this is a partition-pruned scan
   *      (SURVEY.md J3); nothing about the big side ever shuffles;
-  *   3. exact distances within the probed lists + per-query top-k.
+  *   3. exact distances within the probed lists + per-query top-k via
+  *      the bounded map-side aggregator — the candidate rows are combined
+  *      to ≤ k per (query, partition) before any shuffle (VERDICT r1:
+  *      the window formulation shuffled every candidate row).
   */
 final case class IvfModel(centroids: Seq[Seq[Double]], metric: Metric) {
   def nlist: Int = centroids.size
@@ -27,24 +29,27 @@ final case class IvfModel(centroids: Seq[Seq[Double]], metric: Metric) {
 
 object IvfIndex {
 
-  /** Train on the vector table (production: MLlib k-means). */
+  /** Train on the vector table (production: distributed Lloyd's under the
+    * model's metric, capped training sample — see [[Centroids.kMeans]]). */
   def train(vectors: DataFrame, nlist: Int, metric: Metric, seed: Long = 42L): IvfModel =
-    IvfModel(Centroids.kMeans(vectors, nlist, seed), metric)
+    IvfModel(Centroids.kMeans(vectors, nlist, seed, metric = metric), metric)
 
   /** Deterministic trainer (id-bucket means) — same machinery,
     * oracle-reproducible. */
   def trainDeterministic(vectors: DataFrame, nlist: Int, metric: Metric): IvfModel =
     IvfModel(Centroids.bucketMeans(vectors, nlist), metric)
 
-  /** Add-side: tag each vector with its nearest centroid (J2). Pure
-    * projection — streaming-safe, appendable (ivf.go:93-112 semantics:
-    * new vectors use the trained centroids until an explicit re-train). */
+  /** Add-side: tag each vector with its nearest centroid under the
+    * model's metric (J2, ivf.go:240-252). Pure projection —
+    * streaming-safe, appendable (ivf.go:93-112 semantics: new vectors use
+    * the trained centroids until an explicit re-train). */
   def assign(vectors: DataFrame, model: IvfModel): DataFrame =
-    vectors.withColumn("cluster_id", Centroids.nearest(col("vec"), model.centroids))
+    vectors.withColumn("cluster_id",
+      Centroids.nearest(col("vec"), model.centroids, model.metric))
 
-  /** Per-query probe set: top-nprobe clusters by centroid distance.
-    * Output (query_id, qvec, cluster_id). nprobe is clamped to nlist
-    * (ivf.go:127-129). */
+  /** Per-query probe set: top-nprobe clusters by centroid distance under
+    * the model's metric. Output (query_id, qvec, cluster_id). nprobe is
+    * clamped to nlist (ivf.go:127-129). */
   def probes(queries: DataFrame, model: IvfModel, nprobe: Int): DataFrame = {
     val np = math.min(math.max(nprobe, 1), model.nlist)
     val spark = queries.sparkSession
@@ -54,25 +59,108 @@ object IvfIndex {
     // bloating analysis/codegen
     val cdf = model.centroids.zipWithIndex
       .map { case (v, i) => (i, v) }.toDF("cluster_id", "cvec")
-    val w = Window.partitionBy("query_id").orderBy(col("cdist2"), col("cluster_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("ckey"), col("cluster_id"))
     queries
       .crossJoin(broadcast(cdf))
-      .withColumn("cdist2", graft.functions.VectorFunctions.l2Sq(col("qvec"), col("cvec")))
+      .withColumn("ckey", model.metric.rankKey(col("qvec"), col("cvec")))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= np)
       .select(col("query_id"), col("qvec"), col("cluster_id"))
   }
 
-  /** Search the assigned table (`cluster_id` column present). */
+  /** Search the assigned table (`cluster_id` column present) — the fully
+    * distributed plan (queries can themselves be a huge table). The
+    * bounded aggregator combines map-side, so the shuffle carries at most
+    * k·partitions rows per query, not the full probed candidate set. */
   def search(assigned: DataFrame, model: IvfModel, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
+    if (k <= 0) return searchAll(assigned, model, queries, nprobe)
     val p = probes(queries, model, nprobe)
     val candidates = assigned.join(broadcast(p), Seq("cluster_id"))
       .select(
         col("query_id"),
         col("id").as("neighbor_id"),
         model.metric.rankKey(col("qvec"), col("vec")).as("rank_key"))
-    FlatIndex.topK(candidates, k, model.metric)
+    FlatIndex.topKAgg(candidates, k, model.metric)
+  }
+
+  /** k ≤ 0 clamps to "all probed rows" (flat.go:82-84 clamp semantics). */
+  private def searchAll(assigned: DataFrame, model: IvfModel, queries: DataFrame,
+      nprobe: Int): DataFrame = {
+    val p = probes(queries, model, nprobe)
+    val candidates = assigned.join(broadcast(p), Seq("cluster_id"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        model.metric.rankKey(col("qvec"), col("vec")).as("rank_key"))
+    FlatIndex.topK(candidates, 0, model.metric)
+  }
+
+  /** Blocked serving kernel, result-identical to [[search]]: probe
+    * ranking runs driver-side over the small centroid matrix (nq·nlist
+    * rank keys), a cluster→queries inverted index ships by broadcast, and
+    * each index partition streams once through a primitive loop scoring a
+    * row only against the queries that probe its cluster. The candidate
+    * rows are never materialized, joined, or shuffled — the final top-k
+    * merge sees ≤ k·partitions rows per query. Queries must fit on the
+    * driver (they are the bounded side by construction; use [[search]]
+    * for query *tables*). */
+  def searchBlocked(assigned: DataFrame, model: IvfModel, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    if (k <= 0) return searchAll(assigned, model, queries, nprobe)
+    val np = math.min(math.max(nprobe, 1), model.nlist)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val metric = model.metric
+    val cents = model.centroids.map(_.toArray).toArray
+    val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
+    val qids = qRows.map(_.getLong(0))
+    val qvecs = qRows.map(_.getSeq[Double](1).toArray)
+    val inv = invertedProbes(qvecs.map(probeSet(_, cents, metric, np)), model.nlist)
+    val bc = spark.sparkContext.broadcast((qids, qvecs, inv))
+    val partials = assigned
+      .select(col("id").cast("long"), col("vec"), col("cluster_id"))
+      .as[(Long, Seq[Double], Int)]
+      .mapPartitions { it =>
+        val (ids, qs, inverted) = bc.value
+        val heaps = Array.fill(qs.length)(new BoundedTopK(k))
+        while (it.hasNext) {
+          val (id, vseq, cid) = it.next()
+          val qlist = inverted(cid)
+          if (qlist.length > 0) {
+            val v = vseq.toArray
+            var t = 0
+            while (t < qlist.length) {
+              val qi = qlist(t)
+              heaps(qi).insert(id, metric.rankKeyScalar(qs(qi), v))
+              t += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          (0 until h.size).iterator.map(r => (ids(qi), h.ids(r), h.dists(r)))
+        }
+      }
+      .toDF("query_id", "neighbor_id", "rank_key")
+    FlatIndex.topK(partials, k, metric)
+  }
+
+  /** Driver-side top-nprobe cluster ids for one query — the same
+    * ascending (rank_key, cluster_id) order as [[probes]]. */
+  private[index] def probeSet(q: Array[Double], cents: Array[Array[Double]],
+      metric: Metric, np: Int): Array[Int] =
+    Array.tabulate(cents.length)(c => (metric.rankKeyScalar(q, cents(c)), c))
+      .sortBy(identity).take(np).map(_._2)
+
+  /** cluster → indices of the queries probing it. */
+  private[index] def invertedProbes(probes: Array[Array[Int]], nlist: Int): Array[Array[Int]] = {
+    val buf = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int])
+    var qi = 0
+    while (qi < probes.length) {
+      probes(qi).foreach(c => buf(c) += qi)
+      qi += 1
+    }
+    buf.map(_.toArray)
   }
 
   /** One-shot convenience: assign + search. */

@@ -19,24 +19,50 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * lower index — oracle parity is unchanged.
   */
 
-/** argmin over matrix rows by squared L2 → INT cluster id. */
-case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]])
+/** argmin over matrix rows by the metric's rank key → INT cluster id.
+  * `mode` ∈ {"l2", "dot", "cosine"} — the reference assigns/probes with
+  * the *configured* metric (ivf.go:133-135, 240-252), so assignment must
+  * be metric-aware too. Ties break toward the lower row index (strict
+  * `<`), matching `Metric.rankKeyScalar` bit-for-bit. */
+case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]],
+    mode: String = "l2")
     extends UnaryExpression with ExpectsInputTypes {
+  require(Set("l2", "dot", "cosine")(mode), s"unknown nearest-centroid mode '$mode'")
+  // centroid norms, used by the cosine mode only
+  private lazy val rowNorms: Array[Double] =
+    matrix.map(r => math.sqrt(r.map(x => x * x).sum))
+
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = IntegerType
-  override def prettyName: String = "graft_nearest_centroid"
+  override def prettyName: String = s"graft_nearest_centroid_$mode"
 
   override def nullSafeEval(v: Any): Any = {
     val vec = v.asInstanceOf[ArrayData]
     var best = -1
     var bestD = Double.MaxValue
+    val nv = if (mode == "cosine") {
+      var s = 0.0; var i = 0
+      while (i < vec.numElements()) { val x = vec.getDouble(i); s += x * x; i += 1 }
+      math.sqrt(s)
+    } else 0.0
     var c = 0
     while (c < matrix.length) {
       val row = matrix(c)
+      val n = math.min(row.length, vec.numElements())
       var d = 0.0
       var i = 0
-      val n = math.min(row.length, vec.numElements())
-      while (i < n) { val t = vec.getDouble(i) - row(i); d += t * t; i += 1 }
+      mode match {
+        case "l2" =>
+          while (i < n) { val t = vec.getDouble(i) - row(i); d += t * t; i += 1 }
+        case "dot" =>
+          while (i < n) { d -= vec.getDouble(i) * row(i); i += 1 }
+        case "cosine" =>
+          var dot = 0.0
+          while (i < n) { dot += vec.getDouble(i) * row(i); i += 1 }
+          val nc = rowNorms(c)
+          d = if (nv == 0.0 || nc == 0.0) 1.0
+            else 1.0 - math.min(1.0, math.max(-1.0, dot / (nv * nc)))
+      }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -45,6 +71,7 @@ case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cb = ctx.addReferenceObj("centroids", matrix, "double[][]")
+    val nrm = if (mode == "cosine") ctx.addReferenceObj("rowNorms", rowNorms, "double[]") else ""
     nullSafeCodeGen(ctx, ev, v => {
       val best = ctx.freshName("best")
       val bestD = ctx.freshName("bestD")
@@ -54,16 +81,54 @@ case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]])
       val n = ctx.freshName("n")
       val t = ctx.freshName("t")
       val row = ctx.freshName("row")
+      val nv = ctx.freshName("nv")
+      val cs = ctx.freshName("cs")
+      val inner = mode match {
+        case "l2" =>
+          s"""
+             |  double $d = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    double $t = $v.getDouble($i) - $row[$i];
+             |    $d += $t * $t;
+             |  }
+             |""".stripMargin
+        case "dot" =>
+          s"""
+             |  double $d = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    $d -= $v.getDouble($i) * $row[$i];
+             |  }
+             |""".stripMargin
+        case "cosine" =>
+          s"""
+             |  double $d;
+             |  double $t = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    $t += $v.getDouble($i) * $row[$i];
+             |  }
+             |  if ($nv == 0.0 || $nrm[$c] == 0.0) { $d = 1.0; }
+             |  else {
+             |    double $cs = $t / ($nv * $nrm[$c]);
+             |    $d = 1.0 - java.lang.Math.min(1.0, java.lang.Math.max(-1.0, $cs));
+             |  }
+             |""".stripMargin
+      }
+      val normPrefix = if (mode == "cosine")
+        s"""
+           |double $nv = 0.0;
+           |for (int $i = 0; $i < $v.numElements(); $i++) {
+           |  double $t = $v.getDouble($i); $nv += $t * $t;
+           |}
+           |$nv = java.lang.Math.sqrt($nv);
+           |""".stripMargin
+      else ""
       s"""
+         |$normPrefix
          |int $best = -1; double $bestD = Double.MAX_VALUE;
          |for (int $c = 0; $c < $cb.length; $c++) {
          |  double[] $row = $cb[$c];
          |  int $n = java.lang.Math.min($row.length, $v.numElements());
-         |  double $d = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $t = $v.getDouble($i) - $row[$i];
-         |    $d += $t * $t;
-         |  }
+         |  $inner
          |  if ($d < $bestD) { $bestD = $d; $best = $c; }
          |}
          |${ev.value} = $best;
@@ -248,8 +313,8 @@ object IndexExpressions {
   def residual(vec: Column, clusterId: Column, matrix: Seq[Seq[Double]]): Column =
     column(ResidualExpr(expression(vec), expression(clusterId), matrix.map(_.toArray).toArray))
 
-  def nearestIndex(vec: Column, matrix: Seq[Seq[Double]]): Column =
-    column(NearestIndexExpr(expression(vec), matrix.map(_.toArray).toArray))
+  def nearestIndex(vec: Column, matrix: Seq[Seq[Double]], mode: String = "l2"): Column =
+    column(NearestIndexExpr(expression(vec), matrix.map(_.toArray).toArray, mode))
   def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     column(PqEncodeExpr(expression(vec), codebooks.map(_.map(_.toArray).toArray).toArray))
   def pqAdc(qvec: Column, code: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
