@@ -11,6 +11,9 @@ package graft.index
   * drift between paths.
   */
 private[index] final class BoundedTopK(k: Int) {
+  // k == 0 would make insert() read dists(-1); callers clamp k <= 0 to the
+  // "all rows" path before constructing (flat.go:82-84), so fail loudly here
+  require(k > 0, s"BoundedTopK requires k > 0, got $k")
   val dists = new Array[Double](k)
   val ids = new Array[Long](k)
   var size = 0

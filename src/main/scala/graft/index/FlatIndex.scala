@@ -116,12 +116,13 @@ object FlatIndex {
     topK(partials, k, metric)
   }
 
-  /** Per-query top-k over a (query_id, neighbor_id, rank_key) frame. */
+  /** Per-query top-k over a (query_id, neighbor_id, rank_key) frame.
+    * k ≤ 0 clamps to "all rows, ranked" (flat.go:82-84 clamp-to-n
+    * semantics) — the rank filter is skipped, not applied as `rank <= 0`. */
   def topK(distances: DataFrame, k: Int, metric: Metric = Metric.L2): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("rank_key"), col("neighbor_id"))
-    distances
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    val ranked = distances.withColumn("rank", row_number().over(w))
+    (if (k <= 0) ranked else ranked.where(col("rank") <= k))
       .select(
         col("query_id"),
         col("neighbor_id"),

