@@ -7,15 +7,34 @@ import graft.core.Metric
 import graft.index._
 
 /** Benchmark main (driver contract): prints ONE JSON line
-  * `{"metric":...,"value":seconds,"unit":"sec","queries":{...},"sf":...}`.
+  * `{"metric":...,"value":seconds,"unit":"sec","queries":{...},"sf":...}`
+  * to stdout, the same bare line to stderr (sbt prefixes stdout with
+  * `[info]`, which broke the driver's parse two rounds running), and
+  * writes it to `SPARK_GRAFT_BENCH_OUT` (default `BENCH_OUT.json` under
+  * the working directory).
   *
-  * Two sections, both folded into the `queries` map:
+  * Timing discipline (VERDICT r2: single-shot timings under accumulated
+  * cache pressure made rounds incomparable):
+  *  - every index section unpersists its caches before the next starts;
+  *  - search sections run once to warm (plan, codegen, broadcast), then
+  *    twice timed — the reported time is the min;
+  *  - builds are timed single-shot (training is the workload, not noise).
+  *
+  * Sections, all folded into the `queries` map:
   *  - headline driver-testdata queries (seconds each);
   *  - a BASELINE-comparable synthetic vector benchmark mirroring the
   *    reference harness (BASELINE.md: 100k × 128-dim vectors, 1000
   *    queries, k=10, l2, train capped at 5000 — benchmark_comparison.go):
-  *    build/search seconds, QPS, and recall@10 vs the flat oracle for
-  *    flat / IVF(nlist=316, nprobe=10) / PQ(m=16) / IVFPQ(nlist=316, m=8).
+  *    build/search seconds, QPS, recall@10 vs the flat oracle for
+  *    flat / IVF(nlist=√n, nprobe=10) / PQ(m=16) / IVFPQ(nlist=√n, m=8)
+  *    / sign-LSH — the ANN kinds carry recall rows so the HNSW-
+  *    substitution claim (SURVEY §7 M5) is measured, not asserted;
+  *  - single-query serving percentiles through the IVF blocked probe
+  *    path. (Spark's floor for ONE query is a scheduled job — tens of
+  *    ms — so the reference's in-process 27.9 ms p50 is out of reach by
+  *    construction; the probe path keeps the scan 3% of flat. The honest
+  *    Spark serving story is batching: amortized per-query latency in a
+  *    1000-query batch is well under 27.9 ms — see *_qps.)
   */
 object Bench {
 
@@ -38,6 +57,16 @@ object Bench {
     val t0 = System.nanoTime()
     val r = body
     (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Warmup once, time twice, report min; the returned frame is cached
+    * (for recall joins) — caller unpersists. */
+  private def searchBest2(mk: () => DataFrame): (DataFrame, Double) = {
+    mk().count() // warm: plan, codegen, broadcast ship
+    val (_, t1) = time(mk().count())
+    val r = mk().cache()
+    val (_, t2) = time(r.count())
+    (r, math.min(t1, t2))
   }
 
   private def recallVs(flat: DataFrame, approx: DataFrame): Double = {
@@ -84,10 +113,9 @@ object Bench {
     val queries = syntheticVectors(spark, benchQ, dim, 7777777L, "query_id", "qvec").cache()
     queries.count()
 
-    val (flatRes, flatSec) = time {
-      val r = FlatIndex.knnBlocked(vectors, queries, K, Metric.L2).cache()
-      r.count(); r
-    }
+    // flat — the exact oracle every recall row compares against
+    val (flatRes, flatSec) = searchBest2(() =>
+      FlatIndex.knnBlocked(vectors, queries, K, Metric.L2))
     results("flat_search_sec") = flatSec
     results("flat_qps") = benchQ / flatSec
     results("flat_recall") = 1.0
@@ -96,58 +124,34 @@ object Bench {
     val trainSet = vectors.limit(trainCap).cache(); trainSet.count()
     val nlist = math.max(16, math.sqrt(benchN.toDouble).toInt) // ref: 316 at 100k
 
+    // IVF
     val (ivfModel, ivfBuild) = time(IvfIndex.train(trainSet, nlist, Metric.L2))
     val (assigned, ivfAssign) = time {
       val a = IvfIndex.assign(vectors, ivfModel).cache(); a.count(); a
     }
-    val (ivfRes, ivfSec) = time {
-      val r = IvfIndex.search(assigned, ivfModel, queries, K, nprobe = 10).cache()
-      r.count(); r
-    }
+    val (ivfRes, ivfSec) = searchBest2(() =>
+      IvfIndex.searchBlocked(assigned, ivfModel, queries, K, nprobe = 10))
     results("ivf_build_sec") = ivfBuild + ivfAssign
     results("ivf_search_sec") = ivfSec
     results("ivf_qps") = benchQ / ivfSec
     results("ivf_recall") = recallVs(flatRes, ivfRes)
+    ivfRes.unpersist()
 
-    val (pqModel, pqBuild) = time(PqIndex.train(trainSet, m = 16, nbits = 8, Metric.L2))
-    val (pqCodes, pqEncode) = time {
-      val c = PqIndex.encode(vectors, pqModel).cache(); c.count(); c
-    }
-    val (pqRes, pqSec) = time {
-      val r = PqIndex.knnBlocked(pqCodes, pqModel, queries, K).cache(); r.count(); r
-    }
-    results("pq_build_sec") = pqBuild + pqEncode
-    results("pq_search_sec") = pqSec
-    results("pq_qps") = benchQ / pqSec
-    results("pq_recall") = recallVs(flatRes, pqRes)
-
-    val (ivfpqModel, ivfpqBuild) = time(
-      IvfPqIndex.train(trainSet, nlist, m = 8, nbits = 8, Metric.L2))
-    val (ivfpqCodes, ivfpqEncode) = time {
-      val c = IvfPqIndex.encode(vectors, ivfpqModel).cache(); c.count(); c
-    }
-    val (ivfpqRes, ivfpqSec) = time {
-      val r = IvfPqIndex.search(ivfpqCodes, ivfpqModel, queries, K, nprobe = 10).cache()
-      r.count(); r
-    }
-    results("ivfpq_build_sec") = ivfpqBuild + ivfpqEncode
-    results("ivfpq_search_sec") = ivfpqSec
-    results("ivfpq_qps") = benchQ / ivfpqSec
-    results("ivfpq_recall") = recallVs(flatRes, ivfpqRes)
-
-    // -- single-query serving latency (A6: the reference's per-query
-    // benchmarkSearch shape — warmup, then timed singles, percentiles) --
+    // -- single-query serving latency through the IVF probe path (A6:
+    // the reference's per-query benchmarkSearch shape — warmup, timed
+    // singles, percentiles). IvfServer keeps the hot path to ONE
+    // single-stage RDD job per query: no SQL analysis, no codegen, no
+    // shuffle — those cost ~1–2 s/call through the DataFrame path. --
     val serveQ = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERVE", "30").toInt
     if (serveQ > 0) {
+      val server = new graft.query.IvfServer(assigned, ivfModel).warm()
       val singles = queries.limit(serveQ).collect()
-      val one = spark.createDataFrame(
-        java.util.Arrays.asList(singles.head),
-        queries.schema)
-      FlatIndex.knn(vectors, one, K, Metric.L2).count() // warmup
-      val times = singles.map { row =>
-        val df = spark.createDataFrame(java.util.Arrays.asList(row), queries.schema)
+        .map(_.getSeq[Double](1).toArray)
+      server.search(singles.head, K, 10) // warmup
+      server.search(singles.head, K, 10)
+      val times = singles.map { q =>
         val t0 = System.nanoTime()
-        FlatIndex.knn(vectors, df, K, Metric.L2).count()
+        server.search(q, K, 10)
         (System.nanoTime() - t0) / 1e6
       }.sorted
       def pct(p: Double) = times(math.min(times.length - 1, (p * times.length).toInt))
@@ -155,13 +159,82 @@ object Bench {
       results("serve_p95_ms") = pct(0.95)
       results("serve_p99_ms") = pct(0.99)
       results("serve_qps") = 1000.0 * times.length / times.sum
+      server.unpersist()
     }
+    assigned.unpersist()
+
+    // PQ
+    val (pqModel, pqBuild) = time(PqIndex.train(trainSet, m = 16, nbits = 8, Metric.L2))
+    val (pqCodes, pqEncode) = time {
+      val c = PqIndex.encode(vectors, pqModel).cache(); c.count(); c
+    }
+    val (pqRes, pqSec) = searchBest2(() =>
+      PqIndex.knnBlocked(pqCodes, pqModel, queries, K))
+    results("pq_build_sec") = pqBuild + pqEncode
+    results("pq_search_sec") = pqSec
+    results("pq_qps") = benchQ / pqSec
+    results("pq_recall") = recallVs(flatRes, pqRes)
+    pqRes.unpersist(); pqCodes.unpersist()
+
+    // IVFPQ
+    val (ivfpqModel, ivfpqBuild) = time(
+      IvfPqIndex.train(trainSet, nlist, m = 8, nbits = 8, Metric.L2))
+    val (ivfpqCodes, ivfpqEncode) = time {
+      val c = IvfPqIndex.encode(vectors, ivfpqModel).cache(); c.count(); c
+    }
+    val (ivfpqRes, ivfpqSec) = searchBest2(() =>
+      IvfPqIndex.searchBlocked(ivfpqCodes, ivfpqModel, queries, K, nprobe = 10))
+    results("ivfpq_build_sec") = ivfpqBuild + ivfpqEncode
+    results("ivfpq_search_sec") = ivfpqSec
+    results("ivfpq_qps") = benchQ / ivfpqSec
+    results("ivfpq_recall") = recallVs(flatRes, ivfpqRes)
+    ivfpqRes.unpersist(); ivfpqCodes.unpersist()
+
+    // sign-LSH — the HNSW-substitution ANN kind, measured like the rest
+    val lshPlanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LSH_PLANES", "6").toInt
+    val (lshIdx, lshBuild) = time {
+      val i = LshIndex.index(vectors, lshPlanes).cache(); i.count(); i
+    }
+    val (lshRes, lshSec) = searchBest2(() =>
+      LshIndex.knnBlocked(lshIdx, queries, K, lshPlanes, Metric.L2))
+    results("lsh_build_sec") = lshBuild
+    results("lsh_search_sec") = lshSec
+    results("lsh_qps") = benchQ / lshSec
+    results("lsh_recall") = recallVs(flatRes, lshRes)
+    lshRes.unpersist(); lshIdx.unpersist()
+
+    // MLlib BRP-LSH production ANN join (rows-only; MLlib RNG). Capped
+    // hard: the OR-amplified candidate set grows superlinearly — 20k rows
+    // took 480 s; this row evidences the path works, not its scaling.
+    val brpN = math.min(benchN, 2000L)
+    val (_, brpSec) = time {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val v = vectors.limit(brpN.toInt)
+        .select(col("id"), array_to_vector(col("vec")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(0.5).setNumHashTables(3).setSeed(42L)
+        .setInputCol("features").setOutputCol("hashes")
+      lsh.fit(v).approxSimilarityJoin(v, v, 1.2, "dist")
+        .where(col("datasetA.id") < col("datasetB.id")).count()
+    }
+    results("brp_join_sec") = brpSec
+
+    flatRes.unpersist(); trainSet.unpersist()
+    queries.unpersist(); vectors.unpersist()
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._1.endsWith("sec")).values.sum +
       headline.flatMap(results.get).sum
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_n":$benchN,"bench_q":$benchQ}""")
+    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_n":$benchN,"bench_q":$benchQ}"""
+    println(line)
+    System.err.println(line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception => System.err.println(s"bench-out write failed: $e") }
     spark.stop()
   }
 }

@@ -22,6 +22,8 @@ sealed trait Metric extends Serializable {
   /** Scalar form of [[rankKey]] for blocked (mapPartitions) kernels —
     * must match the column expression bit-for-bit (same fold order). */
   def rankKeyScalar(a: Array[Double], b: Array[Double]): Double
+  /** Scalar form of [[finishRank]] for driver-merged serving. */
+  def finishRankScalar(rk: Double): Double = rk
 }
 
 object Metric {
@@ -44,6 +46,7 @@ object Metric {
       while (i < n) { val t = a(i) - b(i); acc += t * t; i += 1 }
       acc
     }
+    override def finishRankScalar(rk: Double): Double = math.sqrt(rk)
   }
   case object Cosine extends Metric {
     val name = "cosine"

@@ -7,10 +7,10 @@ package graft.index
   * A candidate is accepted iff the buffer has room or it beats the
   * current k-th entry; inserts are O(k) shifts on primitive arrays (no
   * boxing, no allocation after construction). Shared by every blocked
-  * kernel (flat / PQ-ADC / IVF / IVFPQ) so the tie-break semantics can't
-  * drift between paths.
+  * kernel (flat / PQ-ADC / IVF / IVFPQ / LSH) and the serving merge so
+  * the tie-break semantics can't drift between paths.
   */
-private[index] final class BoundedTopK(k: Int) {
+private[graft] final class BoundedTopK(k: Int) {
   // k == 0 would make insert() read dists(-1); callers clamp k <= 0 to the
   // "all rows" path before constructing (flat.go:82-84), so fail loudly here
   require(k > 0, s"BoundedTopK requires k > 0, got $k")
@@ -30,4 +30,21 @@ private[index] final class BoundedTopK(k: Int) {
       if (sz < k) size = sz + 1
     }
   }
+
+  /** This buffer's (id, dist) entries, ascending. */
+  def drainIterator: Iterator[(Long, Double)] =
+    (0 until size).iterator.map(r => (ids(r), dists(r)))
+
+  /** (id, dist, rank) with rank 1..size. */
+  def ranked: Array[(Long, Double, Int)] =
+    Array.tabulate(size)(r => (ids(r), dists(r), r + 1))
+}
+
+private[graft] object BoundedTopK {
+  /** Flatten one partition's per-query heaps into the partial-result rows
+    * every blocked kernel emits: (query_id, neighbor_id, rank_key). */
+  def drain(heaps: Array[BoundedTopK], qids: Array[Long]): Iterator[(Long, Long, Double)] =
+    heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+      (0 until h.size).iterator.map(r => (qids(qi), h.ids(r), h.dists(r)))
+    }
 }

@@ -69,6 +69,7 @@ object FlatIndex {
     * (same rank-key arithmetic, same tie-break). Queries must fit in a
     * broadcast (they are the small side by construction). */
   def knnBlocked(corpus: DataFrame, queries: DataFrame, k: Int, metric: Metric): DataFrame = {
+    if (k <= 0) return knn(corpus, queries, k, metric) // clamp-to-all path
     val spark = corpus.sparkSession
     import spark.implicits._
     val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
@@ -80,37 +81,17 @@ object FlatIndex {
       .mapPartitions { it =>
         val (ids, qs) = bc.value
         val nq = qs.length
-        val heapD = Array.fill(nq)(new Array[Double](k))
-        val heapI = Array.fill(nq)(new Array[Long](k))
-        val sizes = new Array[Int](nq)
+        val heaps = Array.fill(nq)(new BoundedTopK(k))
         while (it.hasNext) {
           val (id, vseq) = it.next()
           val v = vseq.toArray
           var qi = 0
           while (qi < nq) {
-            val d = metric.rankKeyScalar(qs(qi), v)
-            val sz = sizes(qi)
-            val hd = heapD(qi)
-            val hi = heapI(qi)
-            val accept = sz < k || d < hd(sz - 1) ||
-              (d == hd(sz - 1) && id < hi(sz - 1))
-            if (accept) {
-              var pos = if (sz < k) sz else k - 1
-              while (pos > 0 && (hd(pos - 1) > d ||
-                (hd(pos - 1) == d && hi(pos - 1) > id))) {
-                hd(pos) = hd(pos - 1); hi(pos) = hi(pos - 1); pos -= 1
-              }
-              hd(pos) = d; hi(pos) = id
-              if (sz < k) sizes(qi) = sz + 1
-            }
+            heaps(qi).insert(id, metric.rankKeyScalar(qs(qi), v))
             qi += 1
           }
         }
-        (0 until nq).iterator.flatMap { qi =>
-          (0 until sizes(qi)).iterator.map { r =>
-            (ids(qi), heapI(qi)(r), heapD(qi)(r))
-          }
-        }
+        BoundedTopK.drain(heaps, ids)
       }
       .toDF("query_id", "neighbor_id", "rank_key")
     topK(partials, k, metric)

@@ -104,7 +104,8 @@ object IvfIndex {
     * rows are never materialized, joined, or shuffled — the final top-k
     * merge sees ≤ k·partitions rows per query. Queries must fit on the
     * driver (they are the bounded side by construction; use [[search]]
-    * for query *tables*). */
+    * for query *tables*). `query_id` is cast to LONG, like every blocked
+    * kernel; callers with non-long query ids should use [[search]]. */
   def searchBlocked(assigned: DataFrame, model: IvfModel, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     if (k <= 0) return searchAll(assigned, model, queries, nprobe)
@@ -137,9 +138,7 @@ object IvfIndex {
             }
           }
         }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          (0 until h.size).iterator.map(r => (ids(qi), h.ids(r), h.dists(r)))
-        }
+        BoundedTopK.drain(heaps, ids)
       }
       .toDF("query_id", "neighbor_id", "rank_key")
     FlatIndex.topK(partials, k, metric)
@@ -147,7 +146,7 @@ object IvfIndex {
 
   /** Driver-side top-nprobe cluster ids for one query — the same
     * ascending (rank_key, cluster_id) order as [[probes]]. */
-  private[index] def probeSet(q: Array[Double], cents: Array[Array[Double]],
+  private[graft] def probeSet(q: Array[Double], cents: Array[Array[Double]],
       metric: Metric, np: Int): Array[Int] =
     Array.tabulate(cents.length)(c => (metric.rankKeyScalar(q, cents(c)), c))
       .sortBy(identity).take(np).map(_._2)

@@ -78,4 +78,89 @@ object IvfPqIndex {
   def knn(vectors: DataFrame, model: IvfPqModel, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame =
     search(encode(vectors, model), model, queries, k, nprobe)
+
+  /** Blocked serving kernel, result-identical to [[search]]: probe
+    * ranking and the per-(query, probe) residuals are computed
+    * driver-side (nq·nprobe·dim doubles — ~10 MB at nq=1000, dim=128),
+    * shipped as a cluster→(query, residual) inverted index by broadcast.
+    * Each codes partition streams once; a row is ADC-scored only against
+    * the queries probing its cluster, with the same per-subspace fold
+    * order as the PqAdc expression (bit-identical distances). Candidates
+    * are never materialized or shuffled — the final merge sees
+    * ≤ k·partitions rows per query.
+    *
+    * At extreme rows-per-cluster (the 100 TB layout, where a cluster
+    * holds ≫ ksub codes per partition) hoisting full M×Ksub ADC tables
+    * per (query, probe) amortizes further — same fold order, same
+    * results; the direct form is used here because at nq=1000 the table
+    * broadcast (nq·nprobe·M·Ksub doubles ≈ 160 MB) dominates.
+    * `query_id` is cast to LONG, like every blocked kernel. */
+  def searchBlocked(codes: DataFrame, model: IvfPqModel, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    if (k <= 0) return search(codes, model, queries, k, nprobe)
+    val np = math.min(math.max(nprobe, 1), model.coarse.nlist)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val cents = model.coarse.centroids.map(_.toArray).toArray
+    val cbs = model.pq.codebookArrays
+    val m = model.pq.m
+    val dsub = model.pq.dsub
+    val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
+    val qids = qRows.map(_.getLong(0))
+    val qvecs = qRows.map(_.getSeq[Double](1).toArray)
+    // cluster -> (probing query indices, their residuals w.r.t. that centroid)
+    val nlist = model.coarse.nlist
+    val qiBuf = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int])
+    val resBuf = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Array[Double]])
+    var qi = 0
+    while (qi < qvecs.length) {
+      val q = qvecs(qi)
+      IvfIndex.probeSet(q, cents, model.coarse.metric, np).foreach { c =>
+        val cent = cents(c)
+        val r = new Array[Double](q.length)
+        var i = 0
+        while (i < q.length) { r(i) = q(i) - cent(i); i += 1 }
+        qiBuf(c) += qi
+        resBuf(c) += r
+      }
+      qi += 1
+    }
+    val inv = Array.tabulate(nlist)(c => (qiBuf(c).toArray, resBuf(c).toArray))
+    val bc = spark.sparkContext.broadcast((qids, inv, cbs))
+    val partials = codes
+      .select(col("id").cast("long"), col("cluster_id"), col("code"))
+      .as[(Long, Int, Seq[Int])]
+      .mapPartitions { it =>
+        val (ids, inverted, cbs) = bc.value
+        val heaps = Array.fill(ids.length)(new BoundedTopK(k))
+        while (it.hasNext) {
+          val (id, cid, codeSeq) = it.next()
+          val (qlist, rlist) = inverted(cid)
+          if (qlist.length > 0) {
+            val code = codeSeq.toArray
+            var t = 0
+            while (t < qlist.length) {
+              val r = rlist(t)
+              // same accumulation shape as PqAdcExpr.nullSafeEval
+              var acc = 0.0
+              var mi = 0
+              while (mi < m) {
+                val row = cbs(mi)(code(mi))
+                val off = mi * dsub
+                var d = 0.0
+                var i = 0
+                while (i < dsub) { val x = r(off + i) - row(i); d += x * x; i += 1 }
+                acc += d
+                mi += 1
+              }
+              heaps(qlist(t)).insert(id, acc)
+              t += 1
+            }
+          }
+        }
+        BoundedTopK.drain(heaps, ids)
+      }
+      .toDF("query_id", "neighbor_id", "rank_key")
+    FlatIndex.topK(partials, k, Metric.L2)
+  }
 }

@@ -61,6 +61,73 @@ object LshIndex {
     FlatIndex.topK(candidates, k, metric)
   }
 
+  /** Scalar twin of [[bucket]] — identical arithmetic and fold order, so
+    * a driver-side query bucket equals the Column-computed corpus bucket
+    * bit-for-bit. */
+  private[graft] def bucketScalar(vec: Array[Double], planes: Int): Long = {
+    require(planes >= 1 && planes <= 62,
+      s"planes must be in [1, 62] to fit a LONG bucket id, got $planes")
+    var acc = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var i = 0
+      while (i < vec.length) {
+        dot += vec(i) *
+          (((p * 2654435761L + i * 40503L) % 1000003L).toDouble / 1000003.0 - 0.5)
+        i += 1
+      }
+      if (dot > 0.0) acc += (1L << p)
+      p += 1
+    }
+    acc
+  }
+
+  /** Blocked ANN kernel, result-identical to [[knn]]: query buckets are
+    * computed driver-side, a bucket→queries hash map ships by broadcast,
+    * and each index partition streams once, scoring a row only against
+    * the queries in its bucket via the shared [[BoundedTopK]] buffer —
+    * candidates never materialize into a join or shuffle. `query_id` is
+    * cast to LONG, like every blocked kernel. */
+  def knnBlocked(indexed: DataFrame, queries: DataFrame, k: Int, planes: Int,
+      metric: Metric): DataFrame = {
+    if (k <= 0) return knn(indexed, queries, k, planes, metric)
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
+    val qids = qRows.map(_.getLong(0))
+    val qvecs = qRows.map(_.getSeq[Double](1).toArray)
+    val byBucket = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    qvecs.zipWithIndex.foreach { case (q, qi) =>
+      byBucket.getOrElseUpdate(bucketScalar(q, planes), new scala.collection.mutable.ArrayBuffer[Int]) += qi
+    }
+    val inv: Map[Long, Array[Int]] = byBucket.map { case (b, qs) => b -> qs.toArray }.toMap
+    val bc = spark.sparkContext.broadcast((qids, qvecs, inv))
+    val partials = indexed.select(col("id").cast("long"), col("vec"), col("bucket"))
+      .as[(Long, Seq[Double], Long)]
+      .mapPartitions { it =>
+        val (ids, qs, inverted) = bc.value
+        val heaps = Array.fill(qs.length)(new BoundedTopK(k))
+        while (it.hasNext) {
+          val (id, vseq, b) = it.next()
+          inverted.get(b) match {
+            case Some(qlist) =>
+              val v = vseq.toArray
+              var t = 0
+              while (t < qlist.length) {
+                val qi = qlist(t)
+                heaps(qi).insert(id, metric.rankKeyScalar(qs(qi), v))
+                t += 1
+              }
+            case None =>
+          }
+        }
+        BoundedTopK.drain(heaps, ids)
+      }
+      .toDF("query_id", "neighbor_id", "rank_key")
+    FlatIndex.topK(partials, k, metric)
+  }
+
   // ---- DuckDB fragments ----
   def sqlBucket(vec: String, planes: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $planes), p ->

@@ -21,6 +21,9 @@ final case class PqModel(codebooks: Seq[Seq[Seq[Double]]], metric: Metric) {
   def ksub: Int = codebooks.head.size
   def dsub: Int = codebooks.head.head.size
   def dim: Int = m * dsub
+  /** Primitive copy for blocked kernels (computed once per use site). */
+  private[index] def codebookArrays: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
 }
 
 object PqIndex {
@@ -181,34 +184,20 @@ object PqIndex {
     * n·q candidate rows are never materialized. Results identical to
     * [[knn]] (same per-subspace fold order). */
   def knnBlocked(codes: DataFrame, model: PqModel, queries: DataFrame, k: Int): DataFrame = {
+    if (k <= 0) return knn(codes, model, queries, k)
     val spark = codes.sparkSession
     import spark.implicits._
     val m = model.m
-    val dsub = model.dsub
-    val ksub = model.ksub
-    val cbs = model.codebooks.map(_.map(_.toArray).toArray).toArray
     val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
     val qids = qRows.map(_.getLong(0))
-    val tables = qRows.map { r =>
-      val q = r.getSeq[Double](1).toArray
-      Array.tabulate(m, ksub) { (mi, j) =>
-        val row = cbs(mi)(j)
-        val off = mi * dsub
-        var d = 0.0
-        var i = 0
-        while (i < dsub) { val t = q(off + i) - row(i); d += t * t; i += 1 }
-        d
-      }
-    }
+    val tables = qRows.map(r => adcTable(r.getSeq[Double](1).toArray, model))
     val bc = spark.sparkContext.broadcast((qids, tables))
     val partials = codes.select(col("id").cast("long"), col("code"))
       .as[(Long, Seq[Int])]
       .mapPartitions { it =>
         val (ids, tabs) = bc.value
         val nq = ids.length
-        val heapD = Array.fill(nq)(new Array[Double](k))
-        val heapI = Array.fill(nq)(new Array[Long](k))
-        val sizes = new Array[Int](nq)
+        val heaps = Array.fill(nq)(new BoundedTopK(k))
         while (it.hasNext) {
           val (id, codeSeq) = it.next()
           val code = codeSeq.toArray
@@ -218,31 +207,31 @@ object PqIndex {
             var d = 0.0
             var mi = 0
             while (mi < m) { d += tab(mi)(code(mi)); mi += 1 }
-            val sz = sizes(qi)
-            val hd = heapD(qi)
-            val hi = heapI(qi)
-            val accept = sz < k || d < hd(sz - 1) ||
-              (d == hd(sz - 1) && id < hi(sz - 1))
-            if (accept) {
-              var pos = if (sz < k) sz else k - 1
-              while (pos > 0 && (hd(pos - 1) > d ||
-                (hd(pos - 1) == d && hi(pos - 1) > id))) {
-                hd(pos) = hd(pos - 1); hi(pos) = hi(pos - 1); pos -= 1
-              }
-              hd(pos) = d; hi(pos) = id
-              if (sz < k) sizes(qi) = sz + 1
-            }
+            heaps(qi).insert(id, d)
             qi += 1
           }
         }
-        (0 until nq).iterator.flatMap { qi =>
-          (0 until sizes(qi)).iterator.map { r =>
-            (ids(qi), heapI(qi)(r), heapD(qi)(r))
-          }
-        }
+        BoundedTopK.drain(heaps, ids)
       }
       .toDF("query_id", "neighbor_id", "rank_key")
     FlatIndex.topK(partials, k, Metric.L2)
+  }
+
+  /** M × Ksub subspace distance table for one (residual) query vector —
+    * the loop-invariant ADC hoist (pq.go:144-155). Inner fold matches
+    * [[org.apache.spark.sql.graftx.IndexExpressions.pqAdc]] per-subspace
+    * accumulation bit-for-bit, so table-sum == expression ADC exactly. */
+  private[index] def adcTable(q: Array[Double], model: PqModel): Array[Array[Double]] = {
+    val dsub = model.dsub
+    val cbs = model.codebookArrays
+    Array.tabulate(model.m, model.ksub) { (mi, j) =>
+      val row = cbs(mi)(j)
+      val off = mi * dsub
+      var d = 0.0
+      var i = 0
+      while (i < dsub) { val t = q(off + i) - row(i); d += t * t; i += 1 }
+      d
+    }
   }
 
   /** Batch ADC kNN over the codes table. */

@@ -31,16 +31,24 @@ final class Searcher private (kind: IndexKind, opts: SearchOptions) {
   def options: SearchOptions = opts
 
   /** Batch kNN: queries (query_id, qvec) → (query_id, neighbor_id,
-    * distance, rank). */
+    * distance, rank).
+    *
+    * Serves through the blocked kernels (the facade is the interactive
+    * surface; query batches are bounded by construction, mirroring the
+    * reference's in-memory Search([]float32) contract) — each is
+    * result-identical to its plan-based sibling but shuffles at most
+    * k·partitions rows per query. For query *tables* too large to
+    * collect, call the `search`/`knn` plan forms on the index objects
+    * directly. */
   def search(queries: DataFrame): DataFrame = kind match {
     case FlatKind(vectors, metric) =>
-      FlatIndex.knn(vectors, queries, opts.k, metric)
+      FlatIndex.knnBlocked(vectors, queries, opts.k, metric)
     case IvfKind(model, assigned) =>
-      IvfIndex.search(assigned, model, queries, opts.k, opts.nprobe)
+      IvfIndex.searchBlocked(assigned, model, queries, opts.k, opts.nprobe)
     case PqKind(model, codes) =>
-      PqIndex.knn(codes, model, queries, opts.k)
+      PqIndex.knnBlocked(codes, model, queries, opts.k)
     case IvfPqKind(model, codes) =>
-      IvfPqIndex.search(codes, model, queries, opts.k, opts.nprobe)
+      IvfPqIndex.searchBlocked(codes, model, queries, opts.k, opts.nprobe)
   }
 
   /** Range search (search.go:165-189) — exact on flat; on quantized kinds

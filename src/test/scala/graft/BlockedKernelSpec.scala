@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Metric
+import graft.index._
+import graft.queries.VectorQueries
+
+/** Every blocked (mapPartitions) kernel must be result-identical to its
+  * plan-based sibling — same distances (bit-for-bit), same (distance, id)
+  * tie-break, same rank numbering. */
+class BlockedKernelSpec extends AnyFunSuite {
+
+  lazy val spark = TestSession.spark
+
+  private def assertSame(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, label: String): Unit =
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      s"blocked vs plan mismatch for $label")
+
+  test("IVF searchBlocked ≡ search across all metrics") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    for (m <- Metric.all) {
+      val model = IvfIndex.trainDeterministic(corpus, 8, m)
+      val assigned = IvfIndex.assign(corpus, model)
+      val win = IvfIndex.search(assigned, model, queries, 10, nprobe = 3)
+      val blocked = IvfIndex.searchBlocked(assigned, model, queries, 10, nprobe = 3)
+      assertSame(win, blocked, s"ivf/${m.name}")
+    }
+  }
+
+  test("IVFPQ searchBlocked ≡ search") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val model = IvfPqIndex.trainDeterministic(corpus, nlist = 8, m = 4, ksub = 16, Metric.L2)
+    val codes = IvfPqIndex.encode(corpus, model)
+    val win = IvfPqIndex.search(codes, model, queries, 10, nprobe = 3)
+    val blocked = IvfPqIndex.searchBlocked(codes, model, queries, 10, nprobe = 3)
+    assertSame(win, blocked, "ivfpq")
+  }
+
+  test("IvfServer single-query serving ≡ searchBlocked") {
+    import org.apache.spark.sql.functions.col
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
+    val assigned = IvfIndex.assign(corpus, model)
+    val server = new graft.query.IvfServer(assigned, model).warm()
+    val qRows = queries.limit(3).collect()
+    qRows.foreach { r =>
+      val qid = r.getLong(0)
+      val served = server.search(r.getSeq[Double](1).toArray, 5, nprobe = 3)
+      val expected = IvfIndex
+        .searchBlocked(assigned, model, queries.where(col("query_id") === qid), 5, nprobe = 3)
+        .orderBy("rank").collect()
+        .map(x => (x.getLong(1), x.getDouble(2), x.getInt(3)))
+      assert(served.toSeq == expected.toSeq, s"serving mismatch for query $qid")
+    }
+    server.unpersist()
+  }
+
+  test("LSH knnBlocked ≡ knn, and scalar bucket ≡ column bucket") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val planes = 12
+    val indexed = LshIndex.index(corpus, planes)
+    // scalar twin must reproduce the Column-computed buckets exactly
+    import org.apache.spark.sql.functions.col
+    val mismatch = indexed.select(col("vec"), col("bucket")).collect().count { r =>
+      LshIndex.bucketScalar(r.getSeq[Double](0).toArray, planes) != r.getLong(1)
+    }
+    assert(mismatch == 0, s"$mismatch scalar/column bucket disagreements")
+    val win = LshIndex.knn(indexed, queries, 10, planes, Metric.L2)
+    val blocked = LshIndex.knnBlocked(indexed, queries, 10, planes, Metric.L2)
+    assertSame(win, blocked, "lsh")
+  }
+}
