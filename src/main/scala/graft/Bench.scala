@@ -205,8 +205,9 @@ object Bench {
 
     // MLlib BRP-LSH production ANN join (rows-only; MLlib RNG). Capped
     // hard: the OR-amplified candidate set grows superlinearly — 20k rows
-    // took 480 s; this row evidences the path works, not its scaling.
-    val brpN = math.min(benchN, 2000L)
+    // took 480 s, 2k took 81 s; this row evidences the path works, not
+    // its scaling.
+    val brpN = math.min(benchN, 1000L)
     val (_, brpSec) = time {
       import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
       import org.apache.spark.ml.functions.array_to_vector

@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI lifecycle (cmd/cli/main.go surface): generate → build → info →
+  * search, each subcommand driving the same library paths users call. */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark = TestSession.spark
+
+  test("generate -> build ivf -> info -> search lifecycle") {
+    val vecs = Files.createTempDirectory("cli_vecs").toString
+    val idx = Files.createTempDirectory("cli_idx").toString
+    Cli.run(spark, "generate",
+      Map("n" -> "300", "dim" -> "8", "seed" -> "42", "output" -> vecs))
+    assert(spark.read.parquet(vecs).count() == 300)
+    Cli.run(spark, "build",
+      Map("type" -> "ivf", "input" -> vecs, "output" -> idx, "nlist" -> "8"))
+    val meta = graft.io.IndexIO.readMeta(idx)
+    assert(meta("index_type") == "ivf" && meta("nlist") == "8")
+    Cli.run(spark, "info", Map("index" -> idx))
+    Cli.run(spark, "search",
+      Map("index" -> idx, "query" -> vecs, "k" -> "3", "nprobe" -> "2", "limit" -> "3"))
+  }
+
+  test("build flat + bench smoke") {
+    val vecs = Files.createTempDirectory("cli_vecs2").toString
+    val idx = Files.createTempDirectory("cli_idx2").toString
+    Cli.run(spark, "generate",
+      Map("n" -> "100", "dim" -> "4", "seed" -> "1", "output" -> vecs))
+    Cli.run(spark, "build", Map("type" -> "flat", "input" -> vecs, "output" -> idx))
+    assert(graft.io.IndexIO.readMeta(idx)("index_type") == "flat")
+    Cli.run(spark, "bench",
+      Map("type" -> "flat", "vectors" -> "200", "dim" -> "8", "queries" -> "10"))
+  }
+}
