@@ -203,6 +203,21 @@ object Bench {
     results("lsh_recall") = recallVs(flatRes, lshRes)
     lshRes.unpersist(); lshIdx.unpersist()
 
+    // Hamming-1 multi-probe LSH: finer buckets (2^planes), 1+planes probed
+    // per query — candidate fraction (planes+1)/2^planes ≈ IVF's probe
+    // fraction at planes=8, recovering boundary recall
+    val mpPlanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LSH_MP_PLANES", "8").toInt
+    val (mpIdx, mpBuild) = time {
+      val i = LshIndex.index(vectors, mpPlanes).cache(); i.count(); i
+    }
+    val (mpRes, mpSec) = searchBest2(() =>
+      LshIndex.knnBlocked(mpIdx, queries, K, mpPlanes, Metric.L2, hamming = 1))
+    results("lsh_mp_build_sec") = mpBuild
+    results("lsh_mp_search_sec") = mpSec
+    results("lsh_mp_qps") = benchQ / mpSec
+    results("lsh_mp_recall") = recallVs(flatRes, mpRes)
+    mpRes.unpersist(); mpIdx.unpersist()
+
     // MLlib BRP-LSH production ANN join (rows-only; MLlib RNG). Capped
     // hard: the OR-amplified candidate set grows superlinearly — 20k rows
     // took 480 s, 2k took 81 s; this row evidences the path works, not

@@ -61,6 +61,30 @@ object LshIndex {
     FlatIndex.topK(candidates, k, metric)
   }
 
+  /** The query's probe buckets at Hamming radius ≤ 1: its own bucket plus
+    * each single-bit flip. A neighbor separated by exactly one hyperplane
+    * lands one bit away, so radius-1 probing recovers the largest slice
+    * of recall sign-LSH loses at bucket boundaries, scanning
+    * (planes+1)/2^planes of the corpus in expectation. */
+  private def probeBuckets(qb: Column, planes: Int): Column =
+    array((Seq(qb) ++ (0 until planes).map(p => qb.bitwiseXOR(lit(1L << p)))): _*)
+
+  /** Multi-probe ANN: candidates from the query's bucket and every
+    * Hamming-1 neighbor bucket; exact re-rank. A corpus row has exactly
+    * one bucket and the probe set is distinct, so no (query, neighbor)
+    * pair duplicates — no dedup shuffle needed. */
+  def knnMultiProbe(indexed: DataFrame, queries: DataFrame, k: Int, planes: Int,
+      metric: Metric): DataFrame = {
+    val q = queries
+      .withColumn("bucket", explode(probeBuckets(bucket(col("qvec"), planes), planes)))
+    val candidates = indexed.join(broadcast(q), Seq("bucket"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        metric.rankKey(col("qvec"), col("vec")).as("rank_key"))
+    FlatIndex.topK(candidates, k, metric)
+  }
+
   /** Scalar twin of [[bucket]] — identical arithmetic and fold order, so
     * a driver-side query bucket equals the Column-computed corpus bucket
     * bit-for-bit. */
@@ -90,7 +114,8 @@ object LshIndex {
     * candidates never materialize into a join or shuffle. `query_id` is
     * cast to LONG, like every blocked kernel. */
   def knnBlocked(indexed: DataFrame, queries: DataFrame, k: Int, planes: Int,
-      metric: Metric): DataFrame = {
+      metric: Metric, hamming: Int = 0): DataFrame = {
+    require(hamming >= 0 && hamming <= 1, s"hamming radius must be 0 or 1, got $hamming")
     if (k <= 0) return knn(indexed, queries, k, planes, metric)
     val spark = indexed.sparkSession
     import spark.implicits._
@@ -98,8 +123,12 @@ object LshIndex {
     val qids = qRows.map(_.getLong(0))
     val qvecs = qRows.map(_.getSeq[Double](1).toArray)
     val byBucket = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.ArrayBuffer[Int]]
+    def register(b: Long, qi: Int): Unit =
+      byBucket.getOrElseUpdate(b, new scala.collection.mutable.ArrayBuffer[Int]) += qi
     qvecs.zipWithIndex.foreach { case (q, qi) =>
-      byBucket.getOrElseUpdate(bucketScalar(q, planes), new scala.collection.mutable.ArrayBuffer[Int]) += qi
+      val qb = bucketScalar(q, planes)
+      register(qb, qi)
+      if (hamming >= 1) (0 until planes).foreach(p => register(qb ^ (1L << p), qi))
     }
     val inv: Map[Long, Array[Int]] = byBucket.map { case (b, qs) => b -> qs.toArray }.toMap
     val bc = spark.sparkContext.broadcast((qids, qvecs, inv))

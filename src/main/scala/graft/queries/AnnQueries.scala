@@ -28,6 +28,22 @@ object AnnQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // The blocked serving kernel, hash-matched against the SAME oracle
+    // as knn_lsh (result-identity driver-verified)
+    "knn_lsh_blocked" -> ((s, dir) => {
+      val (corpus, queries) = VectorQueries.vecTables(s, dir)
+      LshIndex.knnBlocked(LshIndex.index(corpus, Planes), queries, K, Planes, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Hamming-1 multi-probe: the query's bucket plus every single-bit
+    // flip — the recall-recovery path for the HNSW-substitution story
+    "knn_lsh_multiprobe" -> ((s, dir) => {
+      val (corpus, queries) = VectorQueries.vecTables(s, dir)
+      LshIndex.knnMultiProbe(LshIndex.index(corpus, Planes), queries, K, Planes, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     // Production ANN: MLlib BucketedRandomProjectionLSH approximate
     // similarity join (rows-only check — MLlib's RNG isn't SQL-expressible)
     "ann_brp_similarity_join" -> ((s, dir) => {
@@ -47,7 +63,28 @@ object AnnQueries extends QueryProvider {
     })
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesBase +
+    ("knn_lsh_blocked" -> oraclesBase("knn_lsh")) +
+    ("knn_lsh_multiprobe" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev,
+         |                  ${LshIndex.sqlBucket("CAST(embedding AS DOUBLE[])", Planes)} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         |             ${LshIndex.sqlBucket("CAST(embedding AS DOUBLE[])", Planes)} AS qb
+         |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+         |probes AS (SELECT query_id, qv,
+         |  unnest(list_prepend(qb, list_transform(range(0, $Planes),
+         |    p -> xor(qb, CAST(1 AS BIGINT) << p)))) AS bucket FROM q),
+         |cand AS (SELECT p.query_id, v.id AS neighbor_id,
+         |                ${VectorQueries.sqlL2SqG("qv", "ev")} AS d2
+         |         FROM probes p JOIN v ON p.bucket = v.bucket),
+         |r AS (SELECT query_id, neighbor_id, d2,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+         |      FROM cand)
+         |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $K""".stripMargin)
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "lsh_buckets" ->
       s"""SELECT vec_id AS id, ${LshIndex.sqlBucket("ev", Planes)} AS bucket
          |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)""".stripMargin,

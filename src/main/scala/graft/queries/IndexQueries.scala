@@ -69,6 +69,23 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // Blocked-kernel variants: same semantics through the mapPartitions
+    // serving kernels — hash-matched against the SAME oracle SQL as the
+    // plan-based *_det rows, so result-identity is driver-verified, not
+    // just sbt-asserted
+    "knn_ivf_blocked" -> ((s, dir) => {
+      val (corpus, queries, model) = detIvf(s, dir)
+      IvfIndex.searchBlocked(IvfIndex.assign(corpus, model), model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    "knn_ivfpq_blocked" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = IvfPqIndex.trainDeterministic(corpus, Nlist, M, Ksub, Metric.L2)
+      IvfPqIndex.searchBlocked(IvfPqIndex.encode(corpus, model), model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     // Production MLlib-trained variants (rows-only driver check;
     // recall vs flat oracle asserted in ScalaTest)
     "knn_ivf_kmeans" -> ((s, dir) => {
@@ -148,7 +165,11 @@ object IndexQueries extends QueryProvider {
        |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $K""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesBase +
+    ("knn_ivf_blocked" -> oraclesBase("knn_ivf_det")) +
+    ("knn_ivfpq_blocked" -> oraclesBase("knn_ivfpq_det"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "ivf_assign_det" ->
       s"""WITH $base
          |SELECT id, cluster_id FROM assign""".stripMargin,

@@ -57,6 +57,18 @@ class BlockedKernelSpec extends AnyFunSuite {
     server.unpersist()
   }
 
+  test("LSH multiprobe: blocked hamming-1 ≡ plan formulation, recall ≥ single-bucket") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val planes = 8
+    val indexed = LshIndex.index(corpus, planes)
+    val plan = LshIndex.knnMultiProbe(indexed, queries, 10, planes, Metric.L2)
+    val blocked = LshIndex.knnBlocked(indexed, queries, 10, planes, Metric.L2, hamming = 1)
+    assertSame(plan, blocked, "lsh-multiprobe")
+    // radius-1 probing can only add candidates: result count is ≥ single-bucket's
+    val single = LshIndex.knn(indexed, queries, 10, planes, Metric.L2)
+    assert(blocked.count() >= single.count())
+  }
+
   test("LSH knnBlocked ≡ knn, and scalar bucket ≡ column bucket") {
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val planes = 12
