@@ -49,4 +49,37 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = planOf(FlatIndex.distanceJoin(corpus, queries, Metric.L2))
     assert(plan.contains("graft_l2sq"), s"expected graft_l2sq in:\n$plan")
   }
+
+  test("minhash band self-join shuffles narrow rows — token arrays join back after distinct") {
+    val df = SparkEntry.queries("near_dup_minhash")(spark, TestSession.Sf0001)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val bandJoins = joins.filter(_.condition.exists(_.references.exists(_.name == "band")))
+    assert(bandJoins.nonEmpty, "expected the band-key candidate self-join")
+    bandJoins.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.name)
+      assert(!carried.exists(_.startsWith("ts")),
+        s"band join must not carry token arrays, got: ${carried.mkString(", ")}")
+    }
+  }
+
+  test("float32 drift vs the reference stays within accumulated epsilon (doc'd divergence)") {
+    // The reference computes distances in float32 (internal/math/distance.go);
+    // this engine is float64 end-to-end (SURVEY §7.3). The divergence bound a
+    // gofaiss user inherits on import: relative error ~ dim * 2^-24.
+    val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val vecs = corpus.limit(50).collect().map(_.getSeq[Double](1).toArray)
+    val eps = vecs(0).length * math.pow(2, -24) * 4 // accumulation headroom
+    for (a <- vecs.take(10); b <- vecs.take(10)) {
+      val d64 = Metric.L2.rankKeyScalar(a, b)
+      val d32 = {
+        var acc = 0.0f; var i = 0
+        while (i < a.length) { val t = a(i).toFloat - b(i).toFloat; acc += t * t; i += 1 }
+        acc.toDouble
+      }
+      if (d64 > 0) assert(math.abs(d64 - d32) / d64 < eps,
+        s"float32 drift ${math.abs(d64 - d32) / d64} exceeds $eps")
+    }
+  }
 }
