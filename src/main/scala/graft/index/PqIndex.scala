@@ -54,11 +54,88 @@ object PqIndex {
     require(n > 0, "cannot train PQ on an empty vector table")
     val kk = math.max(1, math.min(ksub.toLong, n).toInt)
     // strided init per subspace over the same sample rows (pq.go:280-290)
-    val sample = ts.stridedInit(kk)
-    var cbs: Array[Array[Array[Double]]] =
+    def initCbs(sample: Array[Array[Double]]): Array[Array[Array[Double]]] =
       Array.tabulate(m, kk)((mi, j) => sample(j).slice(mi * dsub, (mi + 1) * dsub))
+    val cbs =
+      if (n * dim <= Centroids.LocalTrainBudget)
+        lloydLocalPq(ts.localData, initCbs(ts.stridedInitLocal(kk)), dsub, maxIter)
+      else
+        lloydDistributedPq(vectors.sparkSession.sparkContext, ts,
+          initCbs(ts.stridedInit(kk)), dsub, maxIter)
+    ts.unpersist()
+    PqModel(cbs.map(_.map(_.toVector).toVector).toVector, metric)
+  }
+
+  /** Sequential joint-subspace Lloyd's over the collected sample — same
+    * assignment, mean-update, empty-cell and early-exit rules as
+    * [[lloydDistributedPq]]; rows fold in ascending-id order (see
+    * [[Centroids.lloydLocal]] on why small samples train driver-locally). */
+  private[graft] def lloydLocalPq(data: Array[Array[Double]],
+      init: Array[Array[Array[Double]]], dsub: Int,
+      maxIter: Int): Array[Array[Array[Double]]] = {
+    val m = init.length
+    val kk = init(0).length
+    var cbs = init
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.ofDim[Double](m, kk, dsub)
+      val counts = Array.ofDim[Long](m, kk)
+      var r = 0
+      while (r < data.length) {
+        val v = data(r)
+        var mi = 0
+        while (mi < m) {
+          val book = cbs(mi)
+          val off = mi * dsub
+          var best = -1
+          var bestD = Double.MaxValue
+          var j = 0
+          while (j < book.length) {
+            val row = book(j)
+            var d = 0.0
+            var i = 0
+            while (i < dsub && d < bestD) { val t = v(off + i) - row(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j }
+            j += 1
+          }
+          val target = sums(mi)(best)
+          var i = 0
+          while (i < dsub) { target(i) += v(off + i); i += 1 }
+          counts(mi)(best) += 1
+          mi += 1
+        }
+        r += 1
+      }
+      var anyMoved = false
+      val next = Array.tabulate(m, kk) { (mi, j) =>
+        if (counts(mi)(j) > 0) {
+          val nv = sums(mi)(j).map(_ / counts(mi)(j))
+          if (!anyMoved) {
+            val old = cbs(mi)(j)
+            var i = 0
+            while (i < dsub && !anyMoved) {
+              if (math.abs(nv(i) - old(i)) > 1e-12) anyMoved = true
+              i += 1
+            }
+          }
+          nv
+        } else cbs(mi)(j)
+      }
+      moved = anyMoved
+      cbs = next
+      iter += 1
+    }
+    cbs
+  }
+
+  private[graft] def lloydDistributedPq(sc: org.apache.spark.SparkContext,
+      ts: Centroids.TrainSample, init: Array[Array[Array[Double]]], dsub: Int,
+      maxIter: Int): Array[Array[Array[Double]]] = {
+    val m = init.length
+    val kk = init(0).length
+    var cbs = init
     val data = ts.data
-    val sc = vectors.sparkSession.sparkContext
     var iter = 0
     var moved = true
     while (iter < maxIter && moved) {
@@ -125,8 +202,7 @@ object PqIndex {
       cbs = next
       iter += 1
     }
-    ts.unpersist()
-    PqModel(cbs.map(_.map(_.toVector).toVector).toVector, metric)
+    cbs
   }
 
   /** Deterministic trainer: codebook[m][j] = mean subvector over ids with

@@ -67,4 +67,37 @@ class DistanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Metric("manhattan"))
     assert(Metric("L2") == Metric.L2) // case-insensitive
   }
+
+  test("native LSH bucket matches the HOF formulation and the scalar twin") {
+    import org.apache.spark.sql.functions._
+    // the r3 interpreted-HOF formulation, kept here as the independent
+    // oracle for the native expression's arithmetic and fold order
+    def planeComponent(p: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+      ((p * 2654435761L + i * 40503L) % 1000003L).cast("double") / 1000003.0 - 0.5
+    def hofBucket(vec: org.apache.spark.sql.Column, planes: Int) =
+      aggregate(sequence(lit(0), lit(planes - 1)), lit(0L), (acc, p) =>
+        acc + when(
+          aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (x, i) => x * planeComponent(p, i)), lit(0.0), (a, v) => a + v) > 0.0,
+          call_function("shiftleft", lit(1L), p)).otherwise(0L))
+    val vecs = (0 until 50).map(r =>
+      (r.toLong, Seq.tabulate(17)(i => math.sin(r * 31 + i * 7).toDouble)))
+    val df = vecs.toDF("id", "vec").cache()
+    for (planes <- Seq(1, 6, 8, 62)) {
+      val rows = df.select(col("id"),
+          graft.index.LshIndex.bucket(col("vec"), planes).as("nat"),
+          hofBucket(col("vec"), planes).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(2),
+          s"planes=$planes id=${r.getLong(0)}: native ${r.getLong(1)} != hof ${r.getLong(2)}")
+      }
+      val byId = vecs.toMap
+      rows.foreach { r =>
+        val sc = graft.index.LshIndex.bucketScalar(byId(r.getLong(0)).toArray, planes)
+        assert(r.getLong(1) == sc)
+      }
+    }
+    df.unpersist()
+  }
 }
