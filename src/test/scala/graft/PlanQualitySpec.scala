@@ -64,6 +64,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("near_dup_embedding self-join is bucket-gated — no unbounded cross join") {
+    val df = SparkEntry.queries("near_dup_embedding")(spark, TestSession.Sf0001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"embedding near-dup must not cross-join the corpus with itself:\n$plan")
+    // the candidate join must be an equi-join keyed on the LSH bucket
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.exists(_.condition.exists(_.references.exists(_.name == "bucket"))),
+      "expected the sign-LSH bucket equi-join to gate the cosine verify")
+  }
+
   test("float32 drift vs the reference stays within accumulated epsilon (doc'd divergence)") {
     // The reference computes distances in float32 (internal/math/distance.go);
     // this engine is float64 end-to-end (SURVEY §7.3). The divergence bound a
