@@ -161,6 +161,20 @@ object Bench {
       results("serve_qps") = 1000.0 * times.length / times.sum
       server.unpersist()
     }
+
+    // -- facade path: Searcher.open on a PERSISTED index — IndexIO load +
+    // blocked kernel together, the path a real library user hits (save is
+    // build-side, untimed; the timed part is open + batch search) --
+    {
+      val idxPath = java.nio.file.Files.createTempDirectory("graft_bench_idx").toString
+      graft.io.IndexIO.saveIvf(spark, idxPath, ivfModel, assigned)
+      def openAndSearch(): Long = graft.query.Searcher.open(spark, idxPath)
+        .withK(K).withNprobe(10).search(queries).count()
+      openAndSearch() // warm: parquet footer reads, plan, codegen
+      val (_, t1) = time(openAndSearch())
+      val (_, t2) = time(openAndSearch())
+      results("searcher_open_search_sec") = math.min(t1, t2)
+    }
     assigned.unpersist()
 
     // PQ
@@ -216,7 +230,30 @@ object Bench {
     results("lsh_mp_search_sec") = mpSec
     results("lsh_mp_qps") = benchQ / mpSec
     results("lsh_mp_recall") = recallVs(flatRes, mpRes)
-    mpRes.unpersist(); mpIdx.unpersist()
+    mpRes.unpersist()
+
+    // single-query serving through the LSH bucket mask (the reference's
+    // in-process serving role lands on its default/HNSW index — here the
+    // substitute kind; scan fraction (planes+1)/2^planes ≈ 3.5% at planes=8)
+    val serveQ2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERVE", "30").toInt
+    if (serveQ2 > 0) {
+      val lshServer = new graft.query.LshServer(mpIdx, mpPlanes, Metric.L2).warm()
+      val singles = queries.limit(serveQ2).collect().map(_.getSeq[Double](1).toArray)
+      lshServer.search(singles.head, K)
+      lshServer.search(singles.head, K)
+      val times = singles.map { q =>
+        val t0 = System.nanoTime()
+        lshServer.search(q, K)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      def pct(p: Double) = times(math.min(times.length - 1, (p * times.length).toInt))
+      results("serve_lsh_p50_ms") = pct(0.50)
+      results("serve_lsh_p95_ms") = pct(0.95)
+      results("serve_lsh_p99_ms") = pct(0.99)
+      results("serve_lsh_qps") = 1000.0 * times.length / times.sum
+      lshServer.unpersist()
+    }
+    mpIdx.unpersist()
 
     // MLlib BRP-LSH production ANN join (rows-only; MLlib RNG). Capped
     // hard: the OR-amplified candidate set grows superlinearly — 20k rows

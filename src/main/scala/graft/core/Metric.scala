@@ -22,6 +22,10 @@ sealed trait Metric extends Serializable {
   /** Scalar form of [[rankKey]] for blocked (mapPartitions) kernels —
     * must match the column expression bit-for-bit (same fold order). */
   def rankKeyScalar(a: Array[Double], b: Array[Double]): Double
+  /** [[rankKeyScalar]] against a row packed at `off` in a flat block —
+    * the serving-cache layout (one primitive array per partition, no
+    * per-row object). Identical fold order to the two-array form. */
+  def rankKeyScalar(q: Array[Double], data: Array[Double], off: Int, dim: Int): Double
   /** Scalar form of [[finishRank]] for driver-merged serving. */
   def finishRankScalar(rk: Double): Double = rk
 }
@@ -31,6 +35,13 @@ object Metric {
     val n = math.min(a.length, b.length)
     var acc = 0.0; var i = 0
     while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  private def dotOff(q: Array[Double], data: Array[Double], off: Int, dim: Int): Double = {
+    val n = math.min(q.length, dim)
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += q(i) * data(off + i); i += 1 }
     acc
   }
 
@@ -46,6 +57,12 @@ object Metric {
       while (i < n) { val t = a(i) - b(i); acc += t * t; i += 1 }
       acc
     }
+    def rankKeyScalar(q: Array[Double], data: Array[Double], off: Int, dim: Int): Double = {
+      val n = math.min(q.length, dim)
+      var acc = 0.0; var i = 0
+      while (i < n) { val t = q(i) - data(off + i); acc += t * t; i += 1 }
+      acc
+    }
     override def finishRankScalar(rk: Double): Double = math.sqrt(rk)
   }
   case object Cosine extends Metric {
@@ -57,11 +74,22 @@ object Metric {
       if (na == 0.0 || nb == 0.0) 1.0
       else 1.0 - math.min(1.0, math.max(-1.0, dotS(a, b) / (na * nb)))
     }
+    def rankKeyScalar(q: Array[Double], data: Array[Double], off: Int, dim: Int): Double = {
+      var nb2 = 0.0
+      var i = 0
+      while (i < dim) { val x = data(off + i); nb2 += x * x; i += 1 }
+      val na = math.sqrt(dotS(q, q))
+      val nb = math.sqrt(nb2)
+      if (na == 0.0 || nb == 0.0) 1.0
+      else 1.0 - math.min(1.0, math.max(-1.0, dotOff(q, data, off, dim) / (na * nb)))
+    }
   }
   case object Dot extends Metric {
     val name = "dot"
     def distance(a: Column, b: Column): Column = innerProductDistance(a, b)
     def rankKeyScalar(a: Array[Double], b: Array[Double]): Double = -dotS(a, b)
+    def rankKeyScalar(q: Array[Double], data: Array[Double], off: Int, dim: Int): Double =
+      -dotOff(q, data, off, dim)
   }
 
   val all: Seq[Metric] = Seq(L2, Cosine, Dot)

@@ -136,6 +136,27 @@ object IndexIO {
     (IvfPqModel(coarse, pq), spark.read.parquet(s"$path/codes"))
   }
 
+  // ---- LSH (the HNSW-substitution kind; reference default index —
+  //      search.go:220-228) ----
+  def saveLsh(spark: SparkSession, path: String, indexed: DataFrame,
+      planes: Int, metric: Metric): Unit = {
+    val dim = indexed.select(size(col("vec"))).first().getInt(0)
+    // partitioned by bucket: a probe read (own bucket + Hamming-1 flips)
+    // is a partition-pruned scan, same layout trick as the IVF kinds
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    writeMeta(path, Map(
+      "index_type" -> "lsh", "metric" -> metric.name,
+      "dim" -> dim.toString, "planes" -> planes.toString))
+  }
+  def loadLsh(spark: SparkSession, path: String): (Int, Metric, DataFrame) = {
+    val meta = loadChecked(path, "lsh")
+    // partition-column type inference narrows small bucket ids to INT;
+    // the kernels key on LONG buckets — restore the written type
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("bucket", col("bucket").cast("long"))
+    (meta("planes").toInt, Metric(meta("metric")), codes)
+  }
+
   private def loadChecked(path: String, expectedType: String): Map[String, String] = {
     val meta = readMeta(path)
     checkCompatible(meta("version"))

@@ -18,9 +18,17 @@ final case class FlatKind(vectors: DataFrame, metric: Metric) extends IndexKind
 final case class IvfKind(model: IvfModel, assigned: DataFrame) extends IndexKind
 final case class PqKind(model: PqModel, codes: DataFrame) extends IndexKind
 final case class IvfPqKind(model: IvfPqModel, codes: DataFrame) extends IndexKind
+/** Sign-LSH — the engine's HNSW-substitution ANN kind (SURVEY.md §7 M5):
+  * the reference's *default* index is HNSW (search.go:220-228); a gofaiss
+  * user's `build`/`open` lands here. `indexed` is the (id, vec, bucket)
+  * table of [[LshIndex.index]]. */
+final case class LshKind(planes: Int, indexed: DataFrame, metric: Metric) extends IndexKind
 
-/** Defaults of search.go:32-39 (K=10, Nprobe=10; EfSearch kept for API
-  * parity — no HNSW graph exists to consume it, see SURVEY.md §7.3). */
+/** Defaults of search.go:32-39 (K=10, Nprobe=10). EfSearch maps onto the
+  * LSH kind's probe breadth — ≥ 1 probes Hamming-1 neighbor buckets too
+  * (multi-probe, the measured-recall default), 0 probes only the query's
+  * own bucket; other kinds ignore it (no HNSW graph exists to consume it,
+  * SURVEY.md §7.3). */
 final case class SearchOptions(k: Int = 10, nprobe: Int = 10, efSearch: Int = 50)
 
 final class Searcher private (kind: IndexKind, opts: SearchOptions) {
@@ -49,6 +57,9 @@ final class Searcher private (kind: IndexKind, opts: SearchOptions) {
       PqIndex.knnBlocked(codes, model, queries, opts.k)
     case IvfPqKind(model, codes) =>
       IvfPqIndex.searchBlocked(codes, model, queries, opts.k, opts.nprobe)
+    case LshKind(planes, indexed, metric) =>
+      LshIndex.knnBlocked(indexed, queries, opts.k, planes, metric,
+        hamming = if (opts.efSearch >= 1) 1 else 0)
   }
 
   /** Range search (search.go:165-189) — exact on flat; on quantized kinds
@@ -86,6 +97,7 @@ object Searcher {
       case "ivf" => val (m, a) = IndexIO.loadIvf(spark, path); IvfKind(m, a)
       case "pq" => val (m, c) = IndexIO.loadPq(spark, path); PqKind(m, c)
       case "ivfpq" => val (m, c) = IndexIO.loadIvfPq(spark, path); IvfPqKind(m, c)
+      case "lsh" => val (p, m, i) = IndexIO.loadLsh(spark, path); LshKind(p, i, m)
       case t => throw new IllegalArgumentException(s"unknown index type '$t'")
     }
     apply(kind)

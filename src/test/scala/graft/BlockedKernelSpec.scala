@@ -57,6 +57,27 @@ class BlockedKernelSpec extends AnyFunSuite {
     server.unpersist()
   }
 
+  test("LshServer single-query serving ≡ knnBlocked at both hamming radii") {
+    import org.apache.spark.sql.functions.col
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val planes = 8
+    val indexed = LshIndex.index(corpus, planes)
+    val server = new graft.query.LshServer(indexed, planes, Metric.L2).warm()
+    val qRows = queries.limit(3).collect()
+    for (hamming <- Seq(0, 1); r <- qRows) {
+      val qid = r.getLong(0)
+      val served = server.search(r.getSeq[Double](1).toArray, 5, hamming)
+      val expected = LshIndex
+        .knnBlocked(indexed, queries.where(col("query_id") === qid), 5, planes,
+          Metric.L2, hamming)
+        .orderBy("rank").collect()
+        .map(x => (x.getLong(1), x.getDouble(2), x.getInt(3)))
+      assert(served.toSeq == expected.toSeq,
+        s"lsh serving mismatch for query $qid at hamming=$hamming")
+    }
+    server.unpersist()
+  }
+
   test("LSH multiprobe: blocked hamming-1 ≡ plan formulation, recall ≥ single-bucket") {
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val planes = 8

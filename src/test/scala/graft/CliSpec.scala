@@ -25,6 +25,23 @@ class CliSpec extends AnyFunSuite {
       Map("index" -> idx, "query" -> vecs, "k" -> "3", "nprobe" -> "2", "limit" -> "3"))
   }
 
+  test("build lsh (via the hnsw alias) -> search lifecycle") {
+    val vecs = Files.createTempDirectory("cli_vecs3").toString
+    val idx = Files.createTempDirectory("cli_idx3").toString
+    Cli.run(spark, "generate",
+      Map("n" -> "300", "dim" -> "8", "seed" -> "7", "output" -> vecs))
+    // the reference CLI's documented command line says -type hnsw
+    // (cmd/cli/main.go:84-87) — it must land on the lsh kind with a note
+    Cli.run(spark, "build",
+      Map("type" -> "hnsw", "input" -> vecs, "output" -> idx, "planes" -> "6"))
+    val meta = graft.io.IndexIO.readMeta(idx)
+    assert(meta("index_type") == "lsh" && meta("planes") == "6")
+    Cli.run(spark, "search",
+      Map("index" -> idx, "query" -> vecs, "k" -> "3", "limit" -> "3"))
+    Cli.run(spark, "bench",
+      Map("type" -> "lsh", "vectors" -> "200", "dim" -> "8", "queries" -> "10", "planes" -> "4"))
+  }
+
   test("build flat + bench smoke") {
     val vecs = Files.createTempDirectory("cli_vecs2").toString
     val idx = Files.createTempDirectory("cli_idx2").toString

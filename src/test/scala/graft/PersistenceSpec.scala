@@ -58,6 +58,24 @@ class PersistenceSpec extends AnyFunSuite {
     assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
   }
 
+  test("lsh round-trip via Searcher.open is rank-identical to knnBlocked") {
+    val (corpus, queries) = vecs
+    val planes = 8
+    val indexed = LshIndex.index(corpus, planes)
+    val path = tmp()
+    IndexIO.saveLsh(spark, path, indexed, planes, Metric.L2)
+    val meta = IndexIO.readMeta(path)
+    assert(meta("index_type") == "lsh" && meta("planes") == "8")
+    val s = Searcher.open(spark, path).withK(10) // efSearch default ≥ 1 → multi-probe
+    val after = s.search(queries)
+    val before = LshIndex.knnBlocked(indexed, queries, 10, planes, Metric.L2, hamming = 1)
+    assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
+    // efSearch = 0 narrows to the single-bucket probe
+    val narrow = Searcher.open(spark, path).withK(10).withEfSearch(0).search(queries)
+    val single = LshIndex.knnBlocked(indexed, queries, 10, planes, Metric.L2, hamming = 0)
+    assert(single.exceptAll(narrow).count() == 0 && narrow.exceptAll(single).count() == 0)
+  }
+
   test("version compatibility rule (version.go:27-37)") {
     IndexIO.checkCompatible("1.0.0")
     intercept[IllegalArgumentException](IndexIO.checkCompatible("2.0.0"))
