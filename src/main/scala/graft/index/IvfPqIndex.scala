@@ -89,15 +89,28 @@ object IvfPqIndex {
     * are never materialized or shuffled — the final merge sees
     * ≤ k·partitions rows per query.
     *
-    * At extreme rows-per-cluster (the 100 TB layout, where a cluster
-    * holds ≫ ksub codes per partition) hoisting full M×Ksub ADC tables
-    * per (query, probe) amortizes further — same fold order, same
-    * results; the direct form is used here because at nq=1000 the table
-    * broadcast (nq·nprobe·M·Ksub doubles ≈ 160 MB) dominates.
-    * `query_id` is cast to LONG, like every blocked kernel. */
+    * ADC tables hoist *adaptively, per partition*: a driver-side hoist of
+    * all nq·nprobe M×Ksub tables would broadcast ≈ 160 MB at nq=1000, so
+    * instead each partition counts the rows it streams per cluster and
+    * builds that cluster's tables only once the count passes
+    * `adcHoistThreshold` (default ksub — the flop break-even: one table
+    * costs dim·Ksub, each subsequent row then saves ~dim). Sparse
+    * clusters (the nq=1000 bench shape, ~10 rows per cluster-partition)
+    * never pay the table cost; dense clusters (the 100 TB layout, ≫ ksub
+    * rows per partition) converge to M lookups per row. The table entry
+    * and the direct form share the same per-subspace fold, so distances
+    * are bit-identical either way. `query_id` is cast to LONG, like
+    * every blocked kernel. */
   def searchBlocked(codes: DataFrame, model: IvfPqModel, queries: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int): DataFrame =
+    searchBlocked(codes, model, queries, k, nprobe, adcHoistThreshold = -1)
+
+  /** `adcHoistThreshold` < 0 means ksub (the flop break-even); 0 hoists
+    * on the first row (test hook for the table path). */
+  private[graft] def searchBlocked(codes: DataFrame, model: IvfPqModel,
+      queries: DataFrame, k: Int, nprobe: Int, adcHoistThreshold: Int): DataFrame = {
     if (k <= 0) return search(codes, model, queries, k, nprobe)
+    val hoistAt = if (adcHoistThreshold >= 0) adcHoistThreshold else model.pq.ksub
     val np = math.min(math.max(nprobe, 1), model.coarse.nlist)
     val spark = codes.sparkSession
     import spark.implicits._
@@ -133,25 +146,54 @@ object IvfPqIndex {
       .mapPartitions { it =>
         val (ids, inverted, cbs) = bc.value
         val heaps = Array.fill(ids.length)(new BoundedTopK(k))
+        val ksub = cbs(0).length
+        val nClusters = inverted.length
+        val seen = new Array[Int](nClusters)
+        // per cluster, per probing query: the M×Ksub ADC table — built
+        // lazily once this partition has streamed > hoistAt of its rows
+        val tables = new Array[Array[Array[Array[Double]]]](nClusters)
         while (it.hasNext) {
           val (id, cid, codeSeq) = it.next()
           val (qlist, rlist) = inverted(cid)
           if (qlist.length > 0) {
             val code = codeSeq.toArray
+            seen(cid) += 1
+            if (tables(cid) == null && seen(cid) > hoistAt) {
+              tables(cid) = rlist.map { r =>
+                // entry (mi)(j): same inner fold as the direct form below
+                Array.tabulate(m, ksub) { (mi, j) =>
+                  val row = cbs(mi)(j)
+                  val off = mi * dsub
+                  var d = 0.0
+                  var i = 0
+                  while (i < dsub) { val x = r(off + i) - row(i); d += x * x; i += 1 }
+                  d
+                }
+              }
+            }
+            val tab = tables(cid)
             var t = 0
             while (t < qlist.length) {
-              val r = rlist(t)
-              // same accumulation shape as PqAdcExpr.nullSafeEval
+              // same accumulation shape as PqAdcExpr.nullSafeEval: per-
+              // subspace partials added in ascending mi — the table path
+              // adds the SAME doubles in the SAME order, so distances are
+              // bit-identical to the direct path
               var acc = 0.0
               var mi = 0
-              while (mi < m) {
-                val row = cbs(mi)(code(mi))
-                val off = mi * dsub
-                var d = 0.0
-                var i = 0
-                while (i < dsub) { val x = r(off + i) - row(i); d += x * x; i += 1 }
-                acc += d
-                mi += 1
+              if (tab != null) {
+                val tt = tab(t)
+                while (mi < m) { acc += tt(mi)(code(mi)); mi += 1 }
+              } else {
+                val r = rlist(t)
+                while (mi < m) {
+                  val row = cbs(mi)(code(mi))
+                  val off = mi * dsub
+                  var d = 0.0
+                  var i = 0
+                  while (i < dsub) { val x = r(off + i) - row(i); d += x * x; i += 1 }
+                  acc += d
+                  mi += 1
+                }
               }
               heaps(qlist(t)).insert(id, acc)
               t += 1

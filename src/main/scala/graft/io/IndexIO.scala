@@ -78,7 +78,12 @@ object IndexIO {
 
   // ---- IVF ----
   def saveIvf(spark: SparkSession, path: String, model: IvfModel, assigned: DataFrame): Unit = {
-    assigned.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/codes")
+    // repartition on the partition column first: without it every writer
+    // task emits a file into every cluster dir (tasks × nlist small files
+    // — ~10k at nlist=316; their listing + footer reads dominated
+    // Searcher.open), with it each cluster is one file
+    assigned.repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/codes")
     centroidsDf(spark, model.centroids).write.mode("overwrite").parquet(s"$path/centroids")
     writeMeta(path, Map(
       "index_type" -> "ivf", "metric" -> model.metric.name,
@@ -118,7 +123,8 @@ object IndexIO {
 
   // ---- IVFPQ ----
   def saveIvfPq(spark: SparkSession, path: String, model: IvfPqModel, codes: DataFrame): Unit = {
-    codes.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/codes")
+    codes.repartition(col("cluster_id")) // one file per cluster (see saveIvf)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/codes")
     centroidsDf(spark, model.coarse.centroids).write.mode("overwrite").parquet(s"$path/centroids")
     codebooksDf(spark, model.pq.codebooks).write.mode("overwrite").parquet(s"$path/codebooks")
     writeMeta(path, Map(
@@ -142,8 +148,10 @@ object IndexIO {
       planes: Int, metric: Metric): Unit = {
     val dim = indexed.select(size(col("vec"))).first().getInt(0)
     // partitioned by bucket: a probe read (own bucket + Hamming-1 flips)
-    // is a partition-pruned scan, same layout trick as the IVF kinds
-    indexed.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    // is a partition-pruned scan, same layout trick as the IVF kinds;
+    // repartition → one file per bucket (see saveIvf)
+    indexed.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
     writeMeta(path, Map(
       "index_type" -> "lsh", "metric" -> metric.name,
       "dim" -> dim.toString, "planes" -> planes.toString))

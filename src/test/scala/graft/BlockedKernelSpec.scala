@@ -29,13 +29,18 @@ class BlockedKernelSpec extends AnyFunSuite {
     }
   }
 
-  test("IVFPQ searchBlocked ≡ search") {
+  test("IVFPQ searchBlocked ≡ search, with and without the ADC-table hoist") {
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val model = IvfPqIndex.trainDeterministic(corpus, nlist = 8, m = 4, ksub = 16, Metric.L2)
     val codes = IvfPqIndex.encode(corpus, model)
     val win = IvfPqIndex.search(codes, model, queries, 10, nprobe = 3)
     val blocked = IvfPqIndex.searchBlocked(codes, model, queries, 10, nprobe = 3)
     assertSame(win, blocked, "ivfpq")
+    // force the per-partition table path from row one — the hoisted-table
+    // fold must be bit-identical to the direct form
+    val hoisted = IvfPqIndex.searchBlocked(codes, model, queries, 10, nprobe = 3,
+      adcHoistThreshold = 0)
+    assertSame(win, hoisted, "ivfpq-adc-hoist")
   }
 
   test("IvfServer single-query serving ≡ searchBlocked") {
