@@ -86,6 +86,18 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // Driver-verified proof that the adaptive ADC-table hoist is
+    // bit-identical to the direct form: threshold 0 forces the hoisted
+    // table path from the first row of every partition, against the same
+    // oracle SQL as knn_ivfpq_det
+    "knn_ivfpq_hoist" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = IvfPqIndex.trainDeterministic(corpus, Nlist, M, Ksub, Metric.L2)
+      IvfPqIndex.searchBlocked(IvfPqIndex.encode(corpus, model), model, queries,
+          K, Nprobe, adcHoistThreshold = 0)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     // Production MLlib-trained variants (rows-only driver check;
     // recall vs flat oracle asserted in ScalaTest)
     "knn_ivf_kmeans" -> ((s, dir) => {
@@ -167,7 +179,8 @@ object IndexQueries extends QueryProvider {
 
   def oracles: Map[String, String] = oraclesBase +
     ("knn_ivf_blocked" -> oraclesBase("knn_ivf_det")) +
-    ("knn_ivfpq_blocked" -> oraclesBase("knn_ivfpq_det"))
+    ("knn_ivfpq_blocked" -> oraclesBase("knn_ivfpq_det")) +
+    ("knn_ivfpq_hoist" -> oraclesBase("knn_ivfpq_det"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "ivf_assign_det" ->

@@ -61,6 +61,27 @@ object TextQueries extends QueryProvider {
     "doc_fingerprint" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"), docFingerprint(col("text")).as("fingerprint"))
+    }),
+    // Quality scoring: punctuation/stopword ratios plus a BPE-ish subword
+    // count (ceil(len/4) per whitespace token — the chars/4 heuristic).
+    // The quality flag is pure integer arithmetic (hits*20 >= n_tokens ⇔
+    // stop_ratio >= 0.05) so parity can't hinge on float rounding.
+    "text_quality" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val txt = lower(col("text"))
+      val t = toks(txt)
+      val nTok = size(t)
+      val punct = length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))
+      val en = hits(t, enWords)
+      d.select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        aggregate(t, lit(0L),
+          (acc, tok) => acc + floor((length(tok) + lit(3)) / lit(4))).as("bpe_tokens"),
+        round(punct.cast("double") / length(txt), 4).as("punct_ratio"),
+        round(en.cast("double") / nTok, 4).as("stop_ratio"),
+        when(nTok >= 20 && en * 20 >= nTok && punct * 5 <= length(txt), 1)
+          .otherwise(0).as("quality_flag"))
     })
   )
 
@@ -94,6 +115,24 @@ object TextQueries extends QueryProvider {
          |      list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})),
          |    (a, b) -> (a * 31 + b) % $Mod) AS fingerprint
          |FROM documents""".stripMargin
-    }
+    },
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         |       list_reduce(
+         |         list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(string_split(text, ' '),
+         |             t -> CAST(floor((length(t) + 3) / 4) AS BIGINT))),
+         |         (a, b) -> a + b) AS bpe_tokens,
+         |       round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |             / length(text), 4) AS punct_ratio,
+         |       round(CAST(${sqlHits(enWords)} AS DOUBLE)
+         |             / len(string_split(text, ' ')), 4) AS stop_ratio,
+         |       CASE WHEN len(string_split(text, ' ')) >= 20
+         |              AND ${sqlHits(enWords)} * 20 >= len(string_split(text, ' '))
+         |              AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 5
+         |                  <= length(text)
+         |            THEN 1 ELSE 0 END AS quality_flag
+         |FROM (SELECT doc_id, lower(text) AS text FROM documents)""".stripMargin
   )
 }
