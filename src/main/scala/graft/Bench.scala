@@ -237,6 +237,22 @@ object Bench {
     results("lsh_mp_recall") = recallVs(flatRes, mpRes)
     mpRes.unpersist()
 
+    // Sharded HNSW — the reference's default index, at its bench config
+    // (M=16, efConstruction=200, efSearch=50 — benchmark_results_100k
+    // .json:23-28). Build is one shuffle + embarrassingly-parallel
+    // per-shard graph construction; search fans out to every shard.
+    val hnswShards = sys.env.getOrElse("SPARK_GRAFT_BENCH_HNSW_SHARDS", "32").toInt
+    val (hnswGraph, hnswBuild) = time {
+      val g = HnswIndex.build(vectors, hnswShards, Metric.L2).cache(); g.count(); g
+    }
+    val (hnswRes, hnswSec) = searchBest2(() =>
+      HnswIndex.knnBlocked(hnswGraph, queries, K, Metric.L2, efSearch = 50))
+    results("hnsw_build_sec") = hnswBuild
+    results("hnsw_search_sec") = hnswSec
+    results("hnsw_qps") = benchQ / hnswSec
+    results("hnsw_recall") = recallVs(flatRes, hnswRes)
+    hnswRes.unpersist(); hnswGraph.unpersist()
+
     // single-query serving through the LSH bucket mask (the reference's
     // in-process serving role lands on its default/HNSW index — here the
     // substitute kind; scan fraction (planes+1)/2^planes ≈ 3.5% at planes=8)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Metric, VectorGen}
 import graft.index._
 import graft.io.{GofaissImport, IndexIO}
-import graft.query.{FlatKind, IvfKind, IvfPqKind, LshKind, PqKind, Searcher}
+import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, LshKind, PqKind, Searcher}
 
 /** Command-line lifecycle surface (reference: cmd/cli/main.go:17-73 —
   * bench/build/search subcommands; generate/info/import added for the
@@ -32,25 +32,13 @@ object Cli {
       case Array(k, v) if k.startsWith("-") => k.stripPrefix("-") -> v
     }.toMap
 
-  /** The reference's default index type is hnsw (cmd/cli/main.go:84-87);
-    * its documented command lines work verbatim here, landing on the
-    * engine's substitute ANN kind with a printed note (SURVEY.md §7 M5:
-    * HNSW's sequential graph build is anti-Spark; the capability maps to
-    * sign-LSH bucketed search). */
-  private def resolveType(tpe: String): String =
-    if (tpe == "hnsw") {
-      println("note: this engine substitutes sign-LSH for hnsw " +
-        "(same ANN role, Spark-friendly build; SURVEY.md §7 M5) — using -type lsh")
-      "lsh"
-    } else tpe
-
   private def usage(): Nothing = {
     System.err.println(
       """graft-cli — Spark vector index lifecycle
         |  generate -n 10000 -dim 128 -seed 42 -output /tmp/vecs
         |  build    -type flat|ivf|pq|ivfpq|lsh|hnsw -input /tmp/vecs -output /tmp/idx
         |           [-metric l2] [-nlist 100] [-m 16] [-nbits 8] [-planes 8]
-        |           (hnsw maps to lsh — the engine's substitute ANN kind)
+        |           [-ef 200] [-shards 32]
         |  search   -index /tmp/idx -query /tmp/vecs -k 10 -nprobe 10 -limit 5
         |  bench    -type flat|ivf|pq|ivfpq|lsh|hnsw -vectors 10000 -dim 128 -queries 100
         |  info     -index /tmp/idx
@@ -78,7 +66,7 @@ object Cli {
         println(s"generated $n x $dim vectors -> $out")
 
       case "build" =>
-        val tpe = resolveType(flags.getOrElse("type", "flat"))
+        val tpe = flags.getOrElse("type", "flat")
         val in = flags.getOrElse("input", usage())
         val out = flags.getOrElse("output", usage())
         val metric = Metric(flags.getOrElse("metric", "l2"))
@@ -105,6 +93,13 @@ object Cli {
           case "lsh" =>
             val planes = flags.getOrElse("planes", "8").toInt
             IndexIO.saveLsh(spark, out, LshIndex.index(vectors, planes), planes, metric)
+          case "hnsw" =>
+            // the reference's default index type (cmd/cli/main.go:84-87)
+            val m = flags.getOrElse("m", HnswIndex.M.toString).toInt
+            val ef = flags.getOrElse("ef", HnswIndex.EfConstruction.toString).toInt
+            val shards = flags.getOrElse("shards", "32").toInt
+            val graph = HnswIndex.build(vectors, shards, metric, m, ef)
+            IndexIO.saveHnsw(spark, out, graph, metric, m, ef)
           case t => System.err.println(s"unknown index type '$t'"); usage()
         }
         println(f"built $tpe index -> $out in ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -123,7 +118,7 @@ object Cli {
         res.orderBy("query_id", "rank").show(limit, truncate = false)
 
       case "bench" =>
-        val tpe = resolveType(flags.getOrElse("type", "flat"))
+        val tpe = flags.getOrElse("type", "flat")
         val n = flags.getOrElse("vectors", "10000").toLong
         val dim = flags.getOrElse("dim", "128").toInt
         val nq = flags.getOrElse("queries", "100").toInt
@@ -149,6 +144,9 @@ object Cli {
           case "lsh" =>
             val planes = flags.getOrElse("planes", "8").toInt
             LshKind(planes, LshIndex.index(vectors, planes).cache(), Metric.L2)
+          case "hnsw" =>
+            val shards = flags.getOrElse("shards", "32").toInt
+            HnswKind(HnswIndex.build(vectors, shards, Metric.L2).cache(), Metric.L2)
           case t => System.err.println(s"unknown index type '$t'"); usage()
         }
         val buildS = (System.nanoTime() - t0) / 1e9

@@ -165,6 +165,30 @@ object IndexIO {
     (meta("planes").toInt, Metric(meta("metric")), codes)
   }
 
+  // ---- HNSW (sharded graph; reference default index — search.go:220-228) ----
+  def saveHnsw(spark: SparkSession, path: String, graph: DataFrame,
+      metric: Metric, m: Int = HnswIndex.M,
+      efConstruction: Int = HnswIndex.EfConstruction): Unit = {
+    val dim = graph.select(size(col("vec"))).first().getInt(0)
+    val numShards = graph.agg(max(col("shard"))).first().getInt(0) + 1
+    // one file per shard keeps each graph whole on disk (see saveIvf);
+    // knnBlocked still re-groups defensively after any re-read
+    graph.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/graph")
+    writeMeta(path, Map(
+      "index_type" -> "hnsw", "metric" -> metric.name, "dim" -> dim.toString,
+      "m" -> m.toString, "ef_construction" -> efConstruction.toString,
+      "num_shards" -> numShards.toString))
+  }
+  def loadHnsw(spark: SparkSession, path: String): (Metric, DataFrame) = {
+    val meta = loadChecked(path, "hnsw")
+    // partition-column inference narrows shard to whatever fits; the
+    // kernels group on INT shards — restore the written type
+    val graph = spark.read.parquet(s"$path/graph")
+      .withColumn("shard", col("shard").cast("int"))
+    (Metric(meta("metric")), graph)
+  }
+
   private def loadChecked(path: String, expectedType: String): Map[String, String] = {
     val meta = readMeta(path)
     checkCompatible(meta("version"))

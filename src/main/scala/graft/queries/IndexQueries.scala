@@ -113,6 +113,17 @@ object IndexQueries extends QueryProvider {
       IvfPqIndex.knn(corpus, model, queries, K, Nprobe)
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Sharded HNSW (hnsw.go re-expressed; reference default index).
+    // Deterministic (hash levels, id tie-breaks) but graph traversal
+    // isn't SQL-expressible → rows-only driver check; exhaustive-
+    // equivalence and recall are asserted in HnswIndexSpec.
+    "knn_hnsw" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val graph = HnswIndex.build(corpus, 8, Metric.L2)
+      HnswIndex.knnBlocked(graph, queries, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
     })
   )
 

@@ -23,12 +23,17 @@ final case class IvfPqKind(model: IvfPqModel, codes: DataFrame) extends IndexKin
   * user's `build`/`open` lands here. `indexed` is the (id, vec, bucket)
   * table of [[LshIndex.index]]. */
 final case class LshKind(planes: Int, indexed: DataFrame, metric: Metric) extends IndexKind
+/** Sharded HNSW — the reference's default index (search.go:220-228),
+  * re-expressed as per-shard graphs with a fan-out merge
+  * ([[graft.index.HnswIndex]]). `graph` is the build() table. */
+final case class HnswKind(graph: DataFrame, metric: Metric) extends IndexKind
 
-/** Defaults of search.go:32-39 (K=10, Nprobe=10). EfSearch maps onto the
-  * LSH kind's probe breadth — ≥ 1 probes Hamming-1 neighbor buckets too
-  * (multi-probe, the measured-recall default), 0 probes only the query's
-  * own bucket; other kinds ignore it (no HNSW graph exists to consume it,
-  * SURVEY.md §7.3). */
+/** Defaults of search.go:32-39 (K=10, Nprobe=10, EfSearch=50 — the
+  * reference bench config). EfSearch drives the HNSW kind's layer-0
+  * candidate-list width; on the LSH kind it maps onto probe breadth —
+  * ≥ 1 probes Hamming-1 neighbor buckets too (multi-probe, the
+  * measured-recall default), 0 probes only the query's own bucket;
+  * the exact kinds ignore it. */
 final case class SearchOptions(k: Int = 10, nprobe: Int = 10, efSearch: Int = 50)
 
 final class Searcher private (kind: IndexKind, opts: SearchOptions) {
@@ -60,6 +65,8 @@ final class Searcher private (kind: IndexKind, opts: SearchOptions) {
     case LshKind(planes, indexed, metric) =>
       LshIndex.knnBlocked(indexed, queries, opts.k, planes, metric,
         hamming = if (opts.efSearch >= 1) 1 else 0)
+    case HnswKind(graph, metric) =>
+      HnswIndex.knnBlocked(graph, queries, opts.k, metric, opts.efSearch)
   }
 
   /** Range search (search.go:165-189) — exact on flat; on quantized kinds
@@ -98,6 +105,7 @@ object Searcher {
       case "pq" => val (m, c) = IndexIO.loadPq(spark, path); PqKind(m, c)
       case "ivfpq" => val (m, c) = IndexIO.loadIvfPq(spark, path); IvfPqKind(m, c)
       case "lsh" => val (p, m, i) = IndexIO.loadLsh(spark, path); LshKind(p, i, m)
+      case "hnsw" => val (m, g) = IndexIO.loadHnsw(spark, path); HnswKind(g, m)
       case t => throw new IllegalArgumentException(s"unknown index type '$t'")
     }
     apply(kind)

@@ -25,15 +25,30 @@ class CliSpec extends AnyFunSuite {
       Map("index" -> idx, "query" -> vecs, "k" -> "3", "nprobe" -> "2", "limit" -> "3"))
   }
 
-  test("build lsh (via the hnsw alias) -> search lifecycle") {
+  test("build hnsw (reference default type) -> search lifecycle") {
     val vecs = Files.createTempDirectory("cli_vecs3").toString
     val idx = Files.createTempDirectory("cli_idx3").toString
     Cli.run(spark, "generate",
       Map("n" -> "300", "dim" -> "8", "seed" -> "7", "output" -> vecs))
-    // the reference CLI's documented command line says -type hnsw
-    // (cmd/cli/main.go:84-87) — it must land on the lsh kind with a note
+    // the reference CLI's documented command line (cmd/cli/main.go:84-87)
+    // works verbatim and lands on the real sharded-HNSW kind
     Cli.run(spark, "build",
-      Map("type" -> "hnsw", "input" -> vecs, "output" -> idx, "planes" -> "6"))
+      Map("type" -> "hnsw", "input" -> vecs, "output" -> idx, "shards" -> "4"))
+    val meta = graft.io.IndexIO.readMeta(idx)
+    assert(meta("index_type") == "hnsw" && meta("num_shards") == "4")
+    Cli.run(spark, "search",
+      Map("index" -> idx, "query" -> vecs, "k" -> "3", "limit" -> "3"))
+    Cli.run(spark, "bench",
+      Map("type" -> "hnsw", "vectors" -> "200", "dim" -> "8", "queries" -> "10", "shards" -> "2"))
+  }
+
+  test("build lsh -> search lifecycle") {
+    val vecs = Files.createTempDirectory("cli_vecs4").toString
+    val idx = Files.createTempDirectory("cli_idx4").toString
+    Cli.run(spark, "generate",
+      Map("n" -> "300", "dim" -> "8", "seed" -> "7", "output" -> vecs))
+    Cli.run(spark, "build",
+      Map("type" -> "lsh", "input" -> vecs, "output" -> idx, "planes" -> "6"))
     val meta = graft.io.IndexIO.readMeta(idx)
     assert(meta("index_type") == "lsh" && meta("planes") == "6")
     Cli.run(spark, "search",

@@ -76,6 +76,20 @@ class PersistenceSpec extends AnyFunSuite {
     assert(single.exceptAll(narrow).count() == 0 && narrow.exceptAll(single).count() == 0)
   }
 
+  test("hnsw round-trip via Searcher.open is rank-identical to knnBlocked") {
+    val (corpus, queries) = vecs
+    val graph = HnswIndex.build(corpus, 4, Metric.L2)
+    val path = tmp()
+    IndexIO.saveHnsw(spark, path, graph, Metric.L2)
+    val meta = IndexIO.readMeta(path)
+    assert(meta("index_type") == "hnsw" && meta("num_shards") == "4"
+      && meta("m") == "16" && meta("ef_construction") == "200")
+    val s = Searcher.open(spark, path).withK(10).withEfSearch(200)
+    val after = s.search(queries)
+    val before = HnswIndex.knnBlocked(graph, queries, 10, Metric.L2, efSearch = 200)
+    assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
+  }
+
   test("version compatibility rule (version.go:27-37)") {
     IndexIO.checkCompatible("1.0.0")
     intercept[IllegalArgumentException](IndexIO.checkCompatible("2.0.0"))
