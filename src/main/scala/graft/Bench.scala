@@ -251,7 +251,31 @@ object Bench {
     results("hnsw_search_sec") = hnswSec
     results("hnsw_qps") = benchQ / hnswSec
     results("hnsw_recall") = recallVs(flatRes, hnswRes)
-    hnswRes.unpersist(); hnswGraph.unpersist()
+    hnswRes.unpersist()
+
+    // single-query serving on the HNSW graphs themselves — the
+    // reference's actual in-process serving index (search.go:220-228);
+    // per query each task walks its resident shard graphs (O(ef·degree)
+    // per shard, no corpus scan)
+    val serveQ3 = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERVE", "100").toInt
+    if (serveQ3 > 0) {
+      val hnswServer = new graft.query.HnswServer(hnswGraph, Metric.L2).warm()
+      val singles = queries.limit(serveQ3).collect().map(_.getSeq[Double](1).toArray)
+      hnswServer.search(singles.head, K, efSearch = 50)
+      hnswServer.search(singles.head, K, efSearch = 50)
+      val times = singles.map { q =>
+        val t0 = System.nanoTime()
+        hnswServer.search(q, K, efSearch = 50)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      def pct(p: Double) = times(math.min(times.length - 1, (p * times.length).toInt))
+      results("serve_hnsw_p50_ms") = pct(0.50)
+      results("serve_hnsw_p95_ms") = pct(0.95)
+      results("serve_hnsw_p99_ms") = pct(0.99)
+      results("serve_hnsw_qps") = 1000.0 * times.length / times.sum
+      hnswServer.unpersist()
+    }
+    hnswGraph.unpersist()
 
     // single-query serving through the LSH bucket mask (the reference's
     // in-process serving role lands on its default/HNSW index — here the

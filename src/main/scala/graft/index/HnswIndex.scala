@@ -58,36 +58,84 @@ object HnswIndex {
     math.min(r.toInt, MaxLevel)
   }
 
+  /** Identity partitioner on the shard id: exactly one shard per
+    * partition. A hash `repartition(n, col("shard"))` would land ~n/e
+    * partitions with 2-3 shards and leave others empty (balls-in-bins) —
+    * stragglers on both the build and every fan-out search. */
+  private final class ShardPartitioner(n: Int) extends org.apache.spark.Partitioner {
+    def numPartitions: Int = n
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+  }
+
+  /** (shard → rows) with exactly one shard per partition. */
+  private def byShardRdd[T: scala.reflect.ClassTag](
+      keyed: org.apache.spark.rdd.RDD[(Int, T)], numShards: Int) =
+    keyed.partitionBy(new ShardPartitioner(numShards))
+
   /** Build the sharded graph from an (id, vec) frame. One row per node:
     * (shard, id, vec, level, edges) with `edges(l)` the layer-l adjacency
-    * list. One shuffle (the shard repartition), then each shard builds
-    * independently inside its partition. */
+    * list. One shuffle (the identity shard partition), then each shard
+    * builds independently inside its own partition. */
   def build(vectors: DataFrame, numShards: Int, metric: Metric,
       m: Int = M, efConstruction: Int = EfConstruction): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = vectors.sparkSession
     import spark.implicits._
-    vectors
+    val keyed = vectors
       .select(pmod(col("id"), lit(numShards.toLong)).cast("int").as("shard"),
         col("id").cast("long"), col("vec"))
-      .repartition(numShards, col("shard"))
       .as[(Int, Long, Seq[Double])]
-      .mapPartitions { it =>
-        val byShard = new mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Array[Double])]]
-        it.foreach { case (s, id, v) =>
-          byShard.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((id, v.toArray))
-        }
-        byShard.iterator.flatMap { case (shard, rows) =>
-          val g = new LocalHnsw(m, efConstruction, metric)
-          rows.sortInPlace()(Ordering.by(_._1))
-          rows.foreach { case (id, v) => g.insert(id, v) }
-          g.nodeRows.map { case (id, vec, level, edges) =>
-            (shard, id, vec.toSeq, level, edges.map(_.toSeq).toSeq)
-          }
+      .rdd
+      .map { case (s, id, v) => (s, (id, v)) }
+    val built = byShardRdd(keyed, numShards).mapPartitions { it =>
+      val rows = new mutable.ArrayBuffer[(Long, Array[Double])]
+      var shard = -1
+      it.foreach { case (s, (id, v)) => shard = s; rows += ((id, v.toArray)) }
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val g = new LocalHnsw(m, efConstruction, metric)
+        rows.sortInPlace()(Ordering.by(_._1))
+        rows.foreach { case (id, v) => g.insert(id, v) }
+        g.nodeRows.map { case (id, vec, level, edges) =>
+          (shard, id, vec.toSeq, level, edges.map(_.toSeq).toSeq)
         }
       }
-      .toDF("shard", "id", "vec", "level", "edges")
+    }
+    spark.createDataset(built).toDF("shard", "id", "vec", "level", "edges")
   }
+
+  /** Incremental add (hnsw.go:97-139 Add-after-build): new vectors
+    * route to their shard (`id % numShards`), and ONLY the affected
+    * shards are rebuilt — untouched shards pass through, so the cost is
+    * proportional to the touched fraction (and the rebuild read is
+    * partition-pruned on a disk-backed graph). Because builds are
+    * deterministic with ascending-id insertion, the result is
+    * bit-identical to `build(old ∪ new)` — stronger than the reference's
+    * order-dependent in-place insertion. */
+  def add(graph: DataFrame, vectors: DataFrame, numShards: Int, metric: Metric,
+      m: Int = M, efConstruction: Int = EfConstruction): DataFrame = {
+    val newRows = vectors
+      .select(pmod(col("id"), lit(numShards.toLong)).cast("int").as("shard"),
+        col("id").cast("long"), col("vec"))
+    val affected = newRows.select("shard").distinct()
+    val untouched = graph.join(broadcast(affected), Seq("shard"), "left_anti")
+    val toRebuild = graph.join(broadcast(affected), Seq("shard"), "left_semi")
+      .select(col("id"), col("vec"))
+      .unionByName(vectors.select(col("id"), col("vec")))
+    untouched.unionByName(build(toRebuild, numShards, metric, m, efConstruction))
+  }
+
+  /** Remove nodes by id (hnsw.go:203-242 — the reference supports Remove
+    * on HNSW only): drop the nodes' rows AND every edge pointing at them
+    * (a per-row projection, no shuffle). The entry point needs no stored
+    * update — [[LocalHnsw.fromRows]] recomputes it from the surviving
+    * max-level nodes, which is exactly the reference's fallback
+    * (hnsw.go:226-238). */
+  def remove(graph: DataFrame, removed: Seq[Long]): DataFrame =
+    graph
+      .where(not(col("id").isin(removed: _*)))
+      .withColumn("edges",
+        transform(col("edges"), lvl => filter(lvl, e => !e.isin(removed: _*))))
 
   /** Batch kNN over the sharded graph: broadcast the query batch, fan
     * out to every shard (rebuilt node-map + stored edges — O(n) load, no
@@ -110,17 +158,13 @@ object HnswIndex {
     val bc = spark.sparkContext.broadcast((qids, qvecs))
     val ef = math.max(efSearch, k)
     val nShards = graph.agg(max(col("shard"))).head.getInt(0) + 1
-    val partials = graph
-      .select(col("shard"), col("id").cast("long"), col("vec"), col("level"),
-        col("edges"))
-      .repartition(nShards, col("shard"))
+    val partials = byShardRdd(shardKeyed(graph), nShards)
       .mapPartitions { it =>
         val (ids, qs) = bc.value
         val heaps = Array.fill(qs.length)(new BoundedTopK(k))
-        val byShard = new mutable.HashMap[Int, mutable.ArrayBuffer[Row]]
-        it.foreach { r => byShard.getOrElseUpdate(r.getInt(0), new mutable.ArrayBuffer) += r }
-        byShard.valuesIterator.foreach { rows =>
-          val g = LocalHnsw.fromRows(rows, metric)
+        val rows = it.map(_._2).toArray
+        if (rows.nonEmpty) {
+          val g = LocalHnsw.fromTuples(rows, metric)
           var qi = 0
           while (qi < qs.length) {
             g.knn(qs(qi), k, ef).foreach { case (id, d) => heaps(qi).insert(id, d) }
@@ -129,9 +173,27 @@ object HnswIndex {
         }
         BoundedTopK.drain(heaps, ids)
       }
-      .toDF("query_id", "neighbor_id", "rank_key")
-    FlatIndex.topK(partials, k, metric)
+    FlatIndex.topK(
+      spark.createDataset(partials).toDF("query_id", "neighbor_id", "rank_key"),
+      k, metric)
   }
+
+  /** Graph rows keyed by shard for the identity partitioner. */
+  private[graft] def shardKeyed(graph: DataFrame)
+      : org.apache.spark.rdd.RDD[(Int, (Long, Seq[Double], Int, Seq[Seq[Long]]))] = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    graph
+      .select(col("shard"), col("id").cast("long"), col("vec"), col("level"),
+        col("edges"))
+      .as[(Int, Long, Seq[Double], Int, Seq[Seq[Long]])]
+      .rdd
+      .map { case (s, id, v, l, e) => (s, (id, v, l, e)) }
+  }
+
+  private[graft] def shardPartitioned(graph: DataFrame, numShards: Int)
+      : org.apache.spark.rdd.RDD[(Int, (Long, Seq[Double], Int, Seq[Seq[Long]]))] =
+    byShardRdd(shardKeyed(graph), numShards)
 }
 
 /** One shard's in-memory HNSW graph. Build-side mirrors
@@ -279,20 +341,18 @@ private[graft] final class LocalHnsw(m: Int, efConstruction: Int, metric: Metric
 
 private[graft] object LocalHnsw {
 
-  /** Rebuild a shard graph from stored (shard, id, vec, level, edges)
-    * rows — O(n) load, no re-insertion. The entry point is recomputed as
-    * the min-id node of the max level, which is exactly the build-time
+  /** Rebuild a shard graph from stored (id, vec, level, edges) rows —
+    * O(n) load, no re-insertion. The entry point is recomputed as the
+    * min-id node of the max level, which is exactly the build-time
     * entry point: insertion is ascending by id and the entry only moves
     * when a node's level strictly exceeds the running max. */
-  def fromRows(rows: Iterable[Row], metric: Metric): LocalHnsw = {
+  def fromTuples(rows: Iterable[(Long, Seq[Double], Int, Seq[Seq[Long]])],
+      metric: Metric): LocalHnsw = {
     val g = new LocalHnsw(HnswIndex.M, HnswIndex.EfConstruction, metric)
     var entry = -1L
     var top = -1
-    rows.foreach { r =>
-      val id = r.getLong(1)
-      val level = r.getInt(3)
-      val node = new g.Node(id, r.getSeq[Double](2).toArray, level)
-      val stored = r.getSeq[Seq[Long]](4)
+    rows.foreach { case (id, vec, level, stored) =>
+      val node = new g.Node(id, vec.toArray, level)
       var l = 0
       while (l <= level) {
         node.edges(l) ++= stored(l)

@@ -1,0 +1,67 @@
+package graft.query
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.core.Metric
+import graft.index.{BoundedTopK, HnswIndex, LocalHnsw}
+
+/** Online single-query serving over the sharded HNSW graph — the
+  * reference's actual in-process serving role (its default index is
+  * HNSW, pkg/search/search.go:220-228; Search at hnsw.go:141-186).
+  *
+  * Same engineering as [[IvfServer]]/[[LshServer]]: ONE single-stage RDD
+  * job per query, driver-side merge. The cache here is the per-shard
+  * [[LocalHnsw]] graphs themselves, materialized once on the executors
+  * (deserialized in-memory objects — graph navigation needs pointers,
+  * not packed blocks) and coalesced to [[ServeBlocks.ServePartitions]]
+  * tasks so scheduling overhead stays out of the tail. Per query each
+  * task runs the greedy-descent + ef-search on its resident graphs —
+  * O(ef · degree) work per shard, not a corpus scan.
+  *
+  * Result order/tie-break matches [[HnswIndex.knnBlocked]] exactly:
+  * ascending (rank_key, id).
+  */
+// deliberately NOT Serializable — per-query closures capture only locals
+final class HnswServer(graph: DataFrame, metric: Metric) {
+
+  private val m = metric
+
+  private val rdd: RDD[LocalHnsw] = {
+    val met = metric
+    val nShards = graph.agg(org.apache.spark.sql.functions.max(col("shard")))
+      .head.getInt(0) + 1
+    HnswIndex.shardPartitioned(graph, nShards) // identity partition: 1 shard each
+      .coalesce(ServeBlocks.ServePartitions, shuffle = false)
+      .mapPartitions { it =>
+        val byShard = new scala.collection.mutable.HashMap[
+          Int, scala.collection.mutable.ArrayBuffer[(Long, Seq[Double], Int, Seq[Seq[Long]])]]
+        it.foreach { case (s, row) =>
+          byShard.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer) += row
+        }
+        byShard.valuesIterator.map(rows => LocalHnsw.fromTuples(rows, met))
+      }
+      .cache()
+  }
+
+  /** Materialize the shard graphs (call once before timing queries). */
+  def warm(): this.type = { rdd.count(); this }
+
+  /** One query → top-k (id, distance, rank), driver-merged. */
+  def search(q: Array[Double], k: Int,
+      efSearch: Int = HnswIndex.EfSearch): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val ef = math.max(efSearch, k)
+    val partials = rdd.mapPartitions { it =>
+      val merge = new BoundedTopK(k)
+      it.foreach(g => g.knn(q, k, ef).foreach { case (id, d) => merge.insert(id, d) })
+      merge.drainIterator
+    }.collect()
+    val top = new BoundedTopK(k)
+    partials.foreach { case (id, d) => top.insert(id, d) }
+    top.ranked.map { case (id, d, r) => (id, m.finishRankScalar(d), r) }
+  }
+
+  def unpersist(): Unit = rdd.unpersist()
+}

@@ -60,4 +60,59 @@ class MaintenanceSpec extends AnyFunSuite {
       s"appended vector not served back: $hit")
     res.unpersist()
   }
+
+  test("HNSW add rebuilds only affected shards, bit-identical to a full build") {
+    val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    // new ids hit shard (id % 4): ids ≡ 1 (mod 4) touch only shard 1
+    val maxId = corpus.agg(max(col("id"))).first().getLong(0)
+    val base = corpus.where(col("id") % 4 =!= 1 || col("id") <= maxId / 2)
+    val fresh = corpus.where(col("id") % 4 === 1 && col("id") > maxId / 2)
+    assert(fresh.count() > 0)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("id"), col("level"), col("edges"))
+      .collect().map(_.toString).sorted.toSeq
+    val incremental = HnswIndex.add(
+      HnswIndex.build(base, 4, Metric.L2), fresh, 4, Metric.L2)
+    val full = HnswIndex.build(corpus, 4, Metric.L2)
+    assert(snap(incremental) == snap(full))
+  }
+
+  test("HNSW remove drops nodes and dangling edges; search skips them") {
+    import spark.implicits._
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val graph = HnswIndex.build(corpus, 4, Metric.L2)
+    // remove every current max-level node too, forcing the entry-point
+    // fallback recompute (hnsw.go:226-238 semantics via fromRows)
+    val topLevel = graph.agg(max(col("level"))).first().getInt(0)
+    val topIds = graph.where(col("level") === topLevel)
+      .select("id").as[Long].collect().toSeq
+    val removedIds = (topIds ++ Seq(0L, 1L, 2L)).distinct
+    val pruned = HnswIndex.remove(graph, removedIds)
+    assert(pruned.where(col("id").isin(removedIds: _*)).count() == 0)
+    val dangling = pruned.select(explode(flatten(col("edges"))).as("dst"))
+      .where(col("dst").isin(removedIds: _*))
+    assert(dangling.count() == 0, "edges still point at removed nodes")
+    val res = HnswIndex.knnBlocked(pruned, queries, 10, Metric.L2).cache()
+    assert(res.where(col("neighbor_id").isin(removedIds: _*)).count() == 0)
+    assert(res.groupBy("query_id").count().where(col("count") =!= 10).count() == 0)
+    res.unpersist()
+  }
+
+  test("HnswServer single-query serving is rank-identical to knnBlocked") {
+    import spark.implicits._
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val graph = HnswIndex.build(corpus, 4, Metric.L2).cache()
+    val server = new graft.query.HnswServer(graph, Metric.L2).warm()
+    val expected = HnswIndex.knnBlocked(graph, queries, 10, Metric.L2)
+      .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      .collect().groupBy(_.getLong(0))
+    queries.collect().foreach { q =>
+      val qid = q.getLong(0)
+      val got = server.search(q.getSeq[Double](1).toArray, 10)
+      val exp = expected(qid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+      assert(got.toSeq == exp, s"query $qid served mismatch")
+    }
+    server.unpersist(); graph.unpersist()
+  }
 }
