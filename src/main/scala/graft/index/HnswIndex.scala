@@ -201,12 +201,17 @@ object HnswIndex {
   * heaps instead of re-sorted slices (same comparisons — orderings are
   * (rankKey, id), a monotone refinement of the reference's
   * distance-only sort) and deterministic levels from [[HnswIndex.levelOf]].
+  *
+  * All hot-loop state is primitive: adjacency lists are [[LongArrayList]]s,
+  * the visited set is open-addressing ([[LongOpenSet]]), and the
+  * frontier/result heaps are parallel-array binary heaps ([[DistHeap]]) —
+  * no per-candidate boxing anywhere in insert or search.
   */
 private[graft] final class LocalHnsw(m: Int, efConstruction: Int, metric: Metric) {
 
   private final class Node(val id: Long, val vec: Array[Double], val level: Int) {
-    val edges: Array[mutable.ArrayBuffer[Long]] =
-      Array.fill(level + 1)(new mutable.ArrayBuffer[Long])
+    val edges: Array[LongArrayList] =
+      Array.fill(level + 1)(new LongArrayList())
   }
 
   private val nodes = new mutable.LongMap[Node]
@@ -216,8 +221,32 @@ private[graft] final class LocalHnsw(m: Int, efConstruction: Int, metric: Metric
   private def key(q: Array[Double], id: Long): Double =
     metric.rankKeyScalar(q, nodes(id).vec)
 
-  /** Ascending (dist, id) — the engine tie-break. */
-  private val nearestFirst: Ordering[(Double, Long)] = Ordering.Tuple2[Double, Long]
+  /** Greedy hill-descent at one layer: follow strictly-improving edges
+    * until a local minimum (hnsw.go:156-173 / 295-312). Returns the id. */
+  private def descend(q: Array[Double], from: Long, fromTo: Int, downTo: Int): Long = {
+    var curr = from
+    var currDist = key(q, curr)
+    var lc = fromTo
+    while (lc > downTo) {
+      var changed = true
+      while (changed) {
+        changed = false
+        val cn = nodes(curr)
+        if (lc < cn.edges.length) {
+          val es = cn.edges(lc)
+          var e = 0
+          while (e < es.size) {
+            val nb = es(e)
+            val d = key(q, nb)
+            if (d < currDist) { currDist = d; curr = nb; changed = true }
+            e += 1
+          }
+        }
+      }
+      lc -= 1
+    }
+    curr
+  }
 
   def insert(id: Long, vec: Array[Double]): Unit = {
     val level = HnswIndex.levelOf(id, m)
@@ -226,117 +255,114 @@ private[graft] final class LocalHnsw(m: Int, efConstruction: Int, metric: Metric
       entryPoint = id; maxLevel = level; nodes(id) = node; return
     }
     // Greedy descent from the entry point down to level+1 (hnsw.go:295-312)
-    var curr = entryPoint
-    var currDist = key(vec, curr)
-    var lc = maxLevel
-    while (lc > level) {
-      var changed = true
-      while (changed) {
-        changed = false
-        val cn = nodes(curr)
-        if (lc < cn.edges.length) cn.edges(lc).foreach { nb =>
-          val d = key(vec, nb)
-          if (d < currDist) { currDist = d; curr = nb; changed = true }
-        }
-      }
-      lc -= 1
-    }
+    var curr = descend(vec, entryPoint, maxLevel, level)
     // Register before connecting so back-edge pruning can score the new
     // node (the reference instead nil-skips it in pruneConnections,
     // hnsw.go:418-420, silently dropping the fresh back-edge — refined).
     nodes(id) = node
     // Connect at each layer from min(level, maxLevel) down to 0 (hnsw.go:314-341)
-    lc = math.min(level, maxLevel)
+    var lc = math.min(level, maxLevel)
     while (lc >= 0) {
-      val cands = searchLayer(vec, curr, efConstruction, lc)
+      val (candIds, _) = searchLayer(vec, curr, efConstruction, lc)
       val mMax = if (lc == 0) m * 2 else m
-      val selected = cands.sorted(nearestFirst).take(mMax)
-      selected.foreach { case (_, nbId) =>
-        node.edges(lc) += nbId
+      val take = math.min(mMax, candIds.length)
+      var t = 0
+      while (t < take) {
+        val nbId = candIds(t) // ascending (dist, id): the mMax nearest
+        node.edges(lc).add(nbId)
         val nb = nodes(nbId)
         if (lc <= nb.level) {
-          nb.edges(lc) += id
-          if (nb.edges(lc).length > mMax) prune(nb, lc, mMax)
+          nb.edges(lc).add(id)
+          if (nb.edges(lc).size > mMax) prune(nb, lc, mMax)
         }
+        t += 1
       }
-      if (selected.nonEmpty) curr = selected.head._2
+      if (candIds.nonEmpty) curr = candIds(0)
       lc -= 1
     }
     if (level > maxLevel) { maxLevel = level; entryPoint = id }
   }
 
   /** Keep the M nearest of a node's layer edges (hnsw.go:414-431, with
-    * the short-list truncated rather than zero-padded). */
+    * the short-list truncated rather than zero-padded). Selection runs
+    * through [[BoundedTopK]] — the engine-wide (dist, id) tie-break. */
   private def prune(node: Node, layer: Int, mMax: Int): Unit = {
-    val kept = node.edges(layer)
-      .map(nb => (metric.rankKeyScalar(node.vec, nodes(nb).vec), nb))
-      .sorted(nearestFirst)
-      .take(mMax)
-      .map(_._2)
-    node.edges(layer).clear()
-    node.edges(layer) ++= kept
+    val es = node.edges(layer)
+    val keep = new BoundedTopK(mMax)
+    var e = 0
+    while (e < es.size) {
+      val nb = es(e)
+      keep.insert(nb, metric.rankKeyScalar(node.vec, nodes(nb).vec))
+      e += 1
+    }
+    es.clear()
+    var r = 0
+    while (r < keep.size) { es.add(keep.ids(r)); r += 1 }
   }
 
   /** ef-bounded best-first expansion at one layer (hnsw.go:343-394):
     * min-heap of frontier candidates, bounded max-heap of the ef best
     * results; stop when the nearest frontier entry is farther than the
-    * current worst kept result. */
+    * current worst kept result. Returns (ids, dists) ascending (dist, id). */
   private def searchLayer(q: Array[Double], entry: Long, ef: Int,
-      layer: Int): mutable.ArrayBuffer[(Double, Long)] = {
-    val visited = new mutable.HashSet[Long]
-    val frontier = new java.util.PriorityQueue[(Double, Long)](nearestFirst)
-    val results = new java.util.PriorityQueue[(Double, Long)](nearestFirst.reverse)
+      layer: Int): (Array[Long], Array[Double]) = {
+    val visited = new LongOpenSet(ef * 4)
+    val frontier = new DistHeap(ef, maxHeap = false)
+    val results = new DistHeap(ef + 1, maxHeap = true)
     val d0 = key(q, entry)
-    frontier.add((d0, entry)); results.add((d0, entry)); visited += entry
-    while (!frontier.isEmpty) {
-      val c = frontier.poll()
-      if (nearestFirst.compare(c, results.peek()) > 0) {
-        frontier.clear() // nearest frontier is beyond the worst keeper: done
+    frontier.add(d0, entry); results.add(d0, entry); visited.add(entry)
+    var done = false
+    while (!done && frontier.size > 0) {
+      val cd = frontier.peekDist
+      val ci = frontier.peekId
+      // nearest frontier entry is beyond the worst keeper: done
+      if (cd > results.peekDist || (cd == results.peekDist && ci > results.peekId)) {
+        done = true
       } else {
-        val cn = nodes(c._2)
-        if (layer < cn.edges.length) cn.edges(layer).foreach { nb =>
-          if (visited.add(nb)) {
-            val d = key(q, nb)
-            if (results.size < ef || nearestFirst.compare((d, nb), results.peek()) < 0) {
-              frontier.add((d, nb)); results.add((d, nb))
-              if (results.size > ef) results.poll()
+        frontier.poll()
+        val cn = nodes(ci)
+        if (layer < cn.edges.length) {
+          val es = cn.edges(layer)
+          var e = 0
+          while (e < es.size) {
+            val nb = es(e)
+            if (visited.add(nb)) {
+              val d = key(q, nb)
+              if (results.size < ef || d < results.peekDist ||
+                  (d == results.peekDist && nb < results.peekId)) {
+                frontier.add(d, nb); results.add(d, nb)
+                if (results.size > ef) results.poll()
+              }
             }
+            e += 1
           }
         }
       }
     }
-    val out = new mutable.ArrayBuffer[(Double, Long)](results.size)
-    results.forEach(e => out += e)
-    out
+    // drain the worst-first heap into ascending arrays, back to front
+    val n = results.size
+    val ids = new Array[Long](n)
+    val ds = new Array[Double](n)
+    var i = n - 1
+    while (i >= 0) {
+      ids(i) = results.peekId; ds(i) = results.peekDist
+      results.poll(); i -= 1
+    }
+    (ids, ds)
   }
 
   /** Search this shard's graph (hnsw.go:141-186): greedy descent through
     * layers > 0, then layer-0 ef-search; top-k ascending (rankKey, id). */
   def knn(q: Array[Double], k: Int, efSearch: Int): Array[(Long, Double)] = {
     if (entryPoint == -1L) return Array.empty
-    var curr = entryPoint
-    var currDist = key(q, curr)
-    var lc = maxLevel
-    while (lc > 0) {
-      var changed = true
-      while (changed) {
-        changed = false
-        val cn = nodes(curr)
-        if (lc < cn.edges.length) cn.edges(lc).foreach { nb =>
-          val d = key(q, nb)
-          if (d < currDist) { currDist = d; curr = nb; changed = true }
-        }
-      }
-      lc -= 1
-    }
-    searchLayer(q, curr, efSearch, 0)
-      .sorted(nearestFirst).take(k)
-      .map { case (d, id) => (id, d) }.toArray
+    val curr = descend(q, entryPoint, maxLevel, 0)
+    val (ids, ds) = searchLayer(q, curr, efSearch, 0)
+    Array.tabulate(math.min(k, ids.length))(i => (ids(i), ds(i)))
   }
 
   /** (id, vec, level, edges-per-level) rows for the graph table. */
   def nodeRows: Iterator[(Long, Array[Double], Int, Array[Array[Long]])] =
-    nodes.valuesIterator.map(n => (n.id, n.vec, n.level, n.edges.map(_.toArray).toArray))
+    nodes.valuesIterator.map(n => (n.id, n.vec, n.level, n.edges.map(_.toArray)))
 }
 
 private[graft] object LocalHnsw {
@@ -355,7 +381,7 @@ private[graft] object LocalHnsw {
       val node = new g.Node(id, vec.toArray, level)
       var l = 0
       while (l <= level) {
-        node.edges(l) ++= stored(l)
+        stored(l).foreach(node.edges(l).add)
         l += 1
       }
       g.nodes(id) = node
@@ -364,5 +390,98 @@ private[graft] object LocalHnsw {
     g.entryPoint = entry
     g.maxLevel = math.max(top, 0)
     g
+  }
+}
+
+/** Growable primitive long list (adjacency storage — `ArrayBuffer[Long]`
+  * would box every neighbor id on every traversal). */
+private[graft] final class LongArrayList(initCap: Int = 8) {
+  private var a = new Array[Long](initCap)
+  var size = 0
+  def add(x: Long): Unit = {
+    if (size == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+    a(size) = x; size += 1
+  }
+  def apply(i: Int): Long = a(i)
+  def clear(): Unit = size = 0
+  def toArray: Array[Long] = java.util.Arrays.copyOf(a, size)
+}
+
+/** Open-addressing long hash set (linear probing, power-of-two table) —
+  * the searchLayer visited set without per-element boxing. */
+private[graft] final class LongOpenSet(expected: Int) {
+  private var cap = Integer.highestOneBit(math.max(16, expected * 2) - 1) << 1
+  private var mask = cap - 1
+  private var table = new Array[Long](cap)
+  private var used = new Array[Boolean](cap)
+  private var size = 0
+
+  /** true iff newly added. */
+  def add(x: Long): Boolean = {
+    if (size * 2 >= cap) grow()
+    var i = (java.lang.Long.hashCode(x * 0x9e3779b97f4a7c15L) & mask)
+    while (used(i)) {
+      if (table(i) == x) return false
+      i = (i + 1) & mask
+    }
+    used(i) = true; table(i) = x; size += 1
+    true
+  }
+
+  private def grow(): Unit = {
+    val ot = table; val ou = used
+    cap <<= 1; mask = cap - 1
+    table = new Array[Long](cap); used = new Array[Boolean](cap); size = 0
+    var i = 0
+    while (i < ot.length) { if (ou(i)) add(ot(i)); i += 1 }
+  }
+}
+
+/** Binary heap over (dist, id) on parallel primitive arrays, ordered by
+  * the engine-wide lexicographic (dist, id): `maxHeap = false` keeps the
+  * smallest pair at the root (frontier), `true` the largest (bounded
+  * result list — the root is the eviction candidate). */
+private[graft] final class DistHeap(initCap: Int, maxHeap: Boolean) {
+  private var ds = new Array[Double](math.max(4, initCap))
+  private var is = new Array[Long](ds.length)
+  var size = 0
+
+  private def before(d1: Double, i1: Long, d2: Double, i2: Long): Boolean =
+    if (maxHeap) d1 > d2 || (d1 == d2 && i1 > i2)
+    else d1 < d2 || (d1 == d2 && i1 < i2)
+
+  def peekDist: Double = ds(0)
+  def peekId: Long = is(0)
+
+  def add(d: Double, id: Long): Unit = {
+    if (size == ds.length) {
+      ds = java.util.Arrays.copyOf(ds, size * 2)
+      is = java.util.Arrays.copyOf(is, size * 2)
+    }
+    var i = size
+    size += 1
+    while (i > 0 && before(d, id, ds((i - 1) / 2), is((i - 1) / 2))) {
+      val p = (i - 1) / 2
+      ds(i) = ds(p); is(i) = is(p); i = p
+    }
+    ds(i) = d; is(i) = id
+  }
+
+  /** Remove the root. */
+  def poll(): Unit = {
+    size -= 1
+    val d = ds(size); val id = is(size)
+    var i = 0
+    var done = false
+    while (!done) {
+      var c = 2 * i + 1
+      if (c >= size) done = true
+      else {
+        if (c + 1 < size && before(ds(c + 1), is(c + 1), ds(c), is(c))) c += 1
+        if (before(ds(c), is(c), d, id)) { ds(i) = ds(c); is(i) = is(c); i = c }
+        else done = true
+      }
+    }
+    ds(i) = d; is(i) = id
   }
 }

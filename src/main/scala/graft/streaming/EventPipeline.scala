@@ -79,4 +79,28 @@ object EventPipeline {
     IvfIndex.assign(batch, model)
       .write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexPath/codes")
+
+  /** Continuous HNSW maintenance: each micro-batch routes its vectors to
+    * their shards (`id % numShards`) and rebuilds ONLY those shards —
+    * the affected-shard read is partition-pruned (the graph is stored
+    * partitioned by shard) and the rewrite is a dynamic partition
+    * overwrite, so cost per batch is proportional to the touched
+    * fraction. Build determinism makes the result bit-identical to a
+    * full rebuild over old ∪ new ([[graft.index.HnswIndex.add]]). */
+  def appendBatchToHnsw(metric: graft.core.Metric, numShards: Int, indexPath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.index.HnswIndex
+    val spark = batch.sparkSession
+    val affected = batch
+      .select(pmod(col("id"), lit(numShards.toLong)).cast("int").as("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val existing = spark.read.parquet(s"$indexPath/graph")
+      .where(col("shard").isin(affected: _*)) // pruned scan
+      .select(col("id"), col("vec"))
+    HnswIndex.build(existing.unionByName(batch.select(col("id"), col("vec"))),
+        numShards, metric)
+      .repartition(col("shard"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(s"$indexPath/graph")
+  }
 }

@@ -4,7 +4,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.{Metric, Tables}
-import graft.index.{FlatIndex, IvfIndex}
+import graft.index.{FlatIndex, HnswIndex, IvfIndex}
+import graft.queries.VectorQueries
 import graft.streaming.EventPipeline
 
 /** Structured-streaming behavior: the batch-defined plans run as streams
@@ -71,5 +72,29 @@ class StreamingSpec extends AnyFunSuite {
     val batch = FlatIndex.knn(corpus, queries, 10, Metric.L2)
       .select("query_id", "neighbor_id", "rank")
     assert(inc.exceptAll(batch).count() == 0)
+  }
+
+  test("foreachBatch HNSW maintenance rebuilds only touched shards, equals full build") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_hnsw").toString
+    // initial index: even ids; two micro-batches: odd ids split in half
+    val init = corpus.where(col("id") % 2 === 0)
+    val maxId = corpus.agg(max(col("id"))).first().getLong(0)
+    graft.io.IndexIO.saveHnsw(spark, dir, HnswIndex.build(init, 4, Metric.L2), Metric.L2)
+    val b1 = corpus.where(col("id") % 2 === 1 && col("id") <= maxId / 2)
+    val b2 = corpus.where(col("id") % 2 === 1 && col("id") > maxId / 2)
+    EventPipeline.appendBatchToHnsw(Metric.L2, 4, dir)(b1, 0L)
+    EventPipeline.appendBatchToHnsw(Metric.L2, 4, dir)(b2, 1L)
+    val maintained = spark.read.parquet(s"$dir/graph")
+      .withColumn("shard", col("shard").cast("int"))
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("id"), col("level"), col("edges"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(snap(maintained) == snap(HnswIndex.build(corpus, 4, Metric.L2)))
+    val inc = HnswIndex.knnBlocked(maintained, queries, 10, Metric.L2)
+      .select("query_id", "neighbor_id", "rank")
+    val full = HnswIndex.knnBlocked(HnswIndex.build(corpus, 4, Metric.L2), queries, 10, Metric.L2)
+      .select("query_id", "neighbor_id", "rank")
+    assert(inc.exceptAll(full).count() == 0 && full.exceptAll(inc).count() == 0)
   }
 }
