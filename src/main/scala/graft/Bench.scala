@@ -209,7 +209,7 @@ object Bench {
     results("ivfpq_recall") = recallVs(flatRes, ivfpqRes)
     ivfpqRes.unpersist(); ivfpqCodes.unpersist()
 
-    // sign-LSH — the HNSW-substitution ANN kind, measured like the rest
+    // sign-LSH — the engine's high-throughput ANN kind, measured like the rest
     val lshPlanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LSH_PLANES", "6").toInt
     val (lshIdx, lshBuild) = time {
       val i = LshIndex.index(vectors, lshPlanes).cache(); i.count(); i

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.core.Metric
 import graft.functions.VectorFunctions._
 
-/** Random-hyperplane (sign) LSH — the engine's HNSW-replacement ANN kind
-  * (SURVEY.md §7 M5: HNSW's sequential graph build is anti-Spark; the
-  * *capability* — fast approximate kNN — maps to hash-bucketed search).
+/** Random-hyperplane (sign) LSH — the engine's high-throughput ANN kind
+  * (SURVEY.md §7 M5 originally substituted it for HNSW; since round 4 a
+  * real sharded HNSW exists ([[HnswIndex]]) and LSH remains the fastest
+  * approximate path — hash-bucketed search, near-zero build cost).
   *
   * The P hyperplanes are derived from a deterministic integer formula, so
   * the whole pipeline (bucketing → candidate join → exact re-rank) is

@@ -142,8 +142,7 @@ object IndexIO {
     (IvfPqModel(coarse, pq), spark.read.parquet(s"$path/codes"))
   }
 
-  // ---- LSH (the HNSW-substitution kind; reference default index —
-  //      search.go:220-228) ----
+  // ---- LSH (the high-throughput hash-bucketed ANN kind) ----
   def saveLsh(spark: SparkSession, path: String, indexed: DataFrame,
       planes: Int, metric: Metric): Unit = {
     val dim = indexed.select(size(col("vec"))).first().getInt(0)

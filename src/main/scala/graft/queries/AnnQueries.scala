@@ -37,7 +37,7 @@ object AnnQueries extends QueryProvider {
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
     // Hamming-1 multi-probe: the query's bucket plus every single-bit
-    // flip — the recall-recovery path for the HNSW-substitution story
+    // flip — the recall-recovery path for the sign-LSH ANN kind
     "knn_lsh_multiprobe" -> ((s, dir) => {
       val (corpus, queries) = VectorQueries.vecTables(s, dir)
       LshIndex.knnMultiProbe(LshIndex.index(corpus, Planes), queries, K, Planes, Metric.L2)

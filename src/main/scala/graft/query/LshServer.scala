@@ -7,7 +7,7 @@ import graft.core.Metric
 import graft.index.{BoundedTopK, LshIndex}
 
 /** Online single-query serving over a sign-LSH index — the engine's
-  * HNSW-substitution serving role (the reference's default in-process
+  * hash-bucketed serving role (the reference's default in-process
   * index is HNSW, pkg/search/search.go:220-228; SURVEY.md §7 M5 maps
   * that capability to hash-bucketed search).
   *

@@ -18,7 +18,7 @@ final case class FlatKind(vectors: DataFrame, metric: Metric) extends IndexKind
 final case class IvfKind(model: IvfModel, assigned: DataFrame) extends IndexKind
 final case class PqKind(model: PqModel, codes: DataFrame) extends IndexKind
 final case class IvfPqKind(model: IvfPqModel, codes: DataFrame) extends IndexKind
-/** Sign-LSH — the engine's HNSW-substitution ANN kind (SURVEY.md §7 M5):
+/** Sign-LSH — the engine's high-throughput ANN kind (SURVEY.md §7 M5;
   * the reference's *default* index is HNSW (search.go:220-228); a gofaiss
   * user's `build`/`open` lands here. `indexed` is the (id, vec, bucket)
   * table of [[LshIndex.index]]. */
