@@ -100,6 +100,28 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // -- box calibration: single-thread Mflop/s on a fixed fused
+    // multiply-add loop. The bench box has shown 2-3× wall-clock swings
+    // between identical runs (host-level contention); this row lets a
+    // reader normalize timings across rounds instead of guessing. --
+    results("calib_mflops") = {
+      def run(): Double = {
+        val a = Array.tabulate(4096)(i => (i % 97) * 0.5 + 1.0)
+        var acc = 0.0
+        val t0 = System.nanoTime()
+        var rep = 0
+        while (rep < 4096) {
+          var i = 0
+          while (i < a.length) { acc += a(i) * 1.0000001 + 0.5; i += 1 }
+          rep += 1
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (acc == Double.MinValue) println(acc) // defeat dead-code elim
+        2.0 * 4096 * a.length / sec / 1e6
+      }
+      run(); math.max(run(), run()) // warm JIT, report best of 2
+    }
+
     // -- headline testdata queries --
     val headline = Seq(
       "knn_flat_l2", "knn_flat_cosine", "q1_lineitem_agg", "q_revenue_by_nation",

@@ -2,7 +2,7 @@ package graft.index
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
@@ -14,7 +14,7 @@ import graft.core.Metric
   * A single navigable-small-world graph is a sequential, pointer-chasing
   * structure — anti-Spark as one object. The scale-correct shape is the
   * one production ANN systems use to go distributed: SHARD the corpus
-  * (deterministically, `id % numShards`), build an independent HNSW
+  * (deterministically, by a hash of the id), build an independent HNSW
   * graph per shard inside one `mapPartitions` pass (embarrassingly
   * parallel, zero cross-shard traffic), and serve a query by fanning out
   * to every shard's graph and merging the per-shard top-k with the
@@ -58,6 +58,14 @@ object HnswIndex {
     math.min(r.toInt, MaxLevel)
   }
 
+  /** Shard routing: `pmod(xxhash64(id), n)` rather than `id % n` — real
+    * id spaces are rarely dense (all-even ids, range-allocated blocks),
+    * and a modulo route would leave shards empty while doubling others.
+    * The hash is deterministic and only ever computed Column-side, so
+    * build, add, and streaming maintenance can't disagree. */
+  private[graft] def shardCol(numShards: Int) =
+    pmod(xxhash64(col("id").cast("long")), lit(numShards.toLong)).cast("int").as("shard")
+
   /** Identity partitioner on the shard id: exactly one shard per
     * partition. A hash `repartition(n, col("shard"))` would land ~n/e
     * partitions with 2-3 shards and leave others empty (balls-in-bins) —
@@ -82,8 +90,7 @@ object HnswIndex {
     val spark = vectors.sparkSession
     import spark.implicits._
     val keyed = vectors
-      .select(pmod(col("id"), lit(numShards.toLong)).cast("int").as("shard"),
-        col("id").cast("long"), col("vec"))
+      .select(shardCol(numShards), col("id").cast("long"), col("vec"))
       .as[(Int, Long, Seq[Double])]
       .rdd
       .map { case (s, id, v) => (s, (id, v)) }
@@ -105,7 +112,7 @@ object HnswIndex {
   }
 
   /** Incremental add (hnsw.go:97-139 Add-after-build): new vectors
-    * route to their shard (`id % numShards`), and ONLY the affected
+    * route to their shard ([[shardCol]]), and ONLY the affected
     * shards are rebuilt — untouched shards pass through, so the cost is
     * proportional to the touched fraction (and the rebuild read is
     * partition-pruned on a disk-backed graph). Because builds are
@@ -115,8 +122,7 @@ object HnswIndex {
   def add(graph: DataFrame, vectors: DataFrame, numShards: Int, metric: Metric,
       m: Int = M, efConstruction: Int = EfConstruction): DataFrame = {
     val newRows = vectors
-      .select(pmod(col("id"), lit(numShards.toLong)).cast("int").as("shard"),
-        col("id").cast("long"), col("vec"))
+      .select(shardCol(numShards), col("id").cast("long"), col("vec"))
     val affected = newRows.select("shard").distinct()
     val untouched = graph.join(broadcast(affected), Seq("shard"), "left_anti")
     val toRebuild = graph.join(broadcast(affected), Seq("shard"), "left_semi")
@@ -128,7 +134,7 @@ object HnswIndex {
   /** Remove nodes by id (hnsw.go:203-242 — the reference supports Remove
     * on HNSW only): drop the nodes' rows AND every edge pointing at them
     * (a per-row projection, no shuffle). The entry point needs no stored
-    * update — [[LocalHnsw.fromRows]] recomputes it from the surviving
+    * update — [[LocalHnsw.fromTuples]] recomputes it from the surviving
     * max-level nodes, which is exactly the reference's fallback
     * (hnsw.go:226-238). */
   def remove(graph: DataFrame, removed: Seq[Long]): DataFrame =

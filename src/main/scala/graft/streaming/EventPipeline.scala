@@ -81,7 +81,7 @@ object EventPipeline {
       .parquet(s"$indexPath/codes")
 
   /** Continuous HNSW maintenance: each micro-batch routes its vectors to
-    * their shards (`id % numShards`) and rebuilds ONLY those shards —
+    * their shards (HnswIndex.shardCol) and rebuilds ONLY those shards —
     * the affected-shard read is partition-pruned (the graph is stored
     * partitioned by shard) and the rewrite is a dynamic partition
     * overwrite, so cost per batch is proportional to the touched
@@ -92,7 +92,7 @@ object EventPipeline {
     import graft.index.HnswIndex
     val spark = batch.sparkSession
     val affected = batch
-      .select(pmod(col("id"), lit(numShards.toLong)).cast("int").as("shard"))
+      .select(HnswIndex.shardCol(numShards))
       .distinct().collect().map(_.getInt(0)).toSeq
     val existing = spark.read.parquet(s"$indexPath/graph")
       .where(col("shard").isin(affected: _*)) // pruned scan

@@ -63,7 +63,7 @@ class MaintenanceSpec extends AnyFunSuite {
 
   test("HNSW add rebuilds only affected shards, bit-identical to a full build") {
     val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
-    // new ids hit shard (id % 4): ids ≡ 1 (mod 4) touch only shard 1
+    // fresh ids land on a strict subset of shards; base keeps the rest
     val maxId = corpus.agg(max(col("id"))).first().getLong(0)
     val base = corpus.where(col("id") % 4 =!= 1 || col("id") <= maxId / 2)
     val fresh = corpus.where(col("id") % 4 === 1 && col("id") > maxId / 2)
