@@ -36,7 +36,7 @@ final case class HnswKind(graph: DataFrame, metric: Metric) extends IndexKind
   * the exact kinds ignore it. */
 final case class SearchOptions(k: Int = 10, nprobe: Int = 10, efSearch: Int = 50)
 
-final class Searcher private (kind: IndexKind, opts: SearchOptions) {
+final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
 
   def withK(k: Int): Searcher = new Searcher(kind, opts.copy(k = k))
   def withNprobe(n: Int): Searcher = new Searcher(kind, opts.copy(nprobe = n))
@@ -89,6 +89,59 @@ final class Searcher private (kind: IndexKind, opts: SearchOptions) {
     val n = df.count()
     (df, n, (System.nanoTime() - t0) / 1000000L)
   }
+}
+
+/** Fluent index builder (search.go:220-319): pick a type, set options,
+  * `build(vectors)` → a ready [[Searcher]]. Defaults mirror the
+  * reference's (`hnsw`, l2; per-kind option defaults of Build()'s
+  * switch). The reference also declares a dimension up front — here the
+  * schema carries it, so there is nothing to declare; and where the
+  * reference builds an *empty* index to `Add` into, Spark indexes a
+  * DataFrame, so build() takes the corpus directly. */
+final class IndexBuilder private (
+    indexType: String, metric: Metric, opts: Map[String, Int], searchOpts: SearchOptions) {
+
+  def withIndexType(t: String): IndexBuilder =
+    new IndexBuilder(t, metric, opts, searchOpts)
+  def withMetric(name: String): IndexBuilder =
+    new IndexBuilder(indexType, Metric(name), opts, searchOpts)
+  def withIndexOption(key: String, value: Int): IndexBuilder =
+    new IndexBuilder(indexType, metric, opts + (key -> value), searchOpts)
+  def withSearchOptions(o: SearchOptions): IndexBuilder =
+    new IndexBuilder(indexType, metric, opts, o)
+
+  private def opt(key: String, default: Int) = opts.getOrElse(key, default)
+
+  /** Train/index the corpus (an (id, vec) frame) and return the facade. */
+  def build(vectors: DataFrame): Searcher = {
+    val kind = indexType match {
+      case "flat" => FlatKind(vectors, metric)
+      case "hnsw" =>
+        HnswKind(HnswIndex.build(vectors, opt("shards", 32), metric,
+          opt("M", 16), opt("efConstruction", 200)), metric)
+      case "lsh" =>
+        val planes = opt("planes", 8)
+        LshKind(planes, LshIndex.index(vectors, planes), metric)
+      case "pq" =>
+        val model = PqIndex.train(vectors, opt("M", 8), opt("nbits", 8), metric)
+        PqKind(model, PqIndex.encode(vectors, model))
+      case "ivf" =>
+        val model = IvfIndex.train(vectors, opt("nlist", 100), metric)
+        IvfKind(model, IvfIndex.assign(vectors, model))
+      case "ivfpq" =>
+        val model = IvfPqIndex.train(vectors, opt("nlist", 100), opt("M", 8),
+          opt("nbits", 8), metric)
+        IvfPqKind(model, IvfPqIndex.encode(vectors, model))
+      case t => throw new IllegalArgumentException(s"unknown index type: $t")
+    }
+    new Searcher(kind, searchOpts)
+  }
+}
+
+object IndexBuilder {
+  /** Reference defaults: hnsw / l2 / efSearch 50 (search.go:220-228). */
+  def apply(): IndexBuilder =
+    new IndexBuilder("hnsw", Metric.L2, Map.empty, SearchOptions())
 }
 
 object Searcher {

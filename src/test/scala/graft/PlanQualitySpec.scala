@@ -44,6 +44,42 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected pruned ReadSchema in:\n$plan")
   }
 
+  test("HNSW shard-partitioned graph read is partition-pruned by shard filter") {
+    val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw_prune").toString
+    graft.io.IndexIO.saveHnsw(spark,
+      dir, graft.index.HnswIndex.build(corpus, 4, Metric.L2), Metric.L2)
+    val filtered = spark.read.parquet(s"$dir/graph")
+      .where(org.apache.spark.sql.functions.col("shard").isin(1, 2))
+    val plan = planOf(filtered)
+    // the scan must carry a shard partition filter (directory-level prune,
+    // not a post-scan row filter)
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"),
+      s"expected shard partition filters in:\n$plan")
+    assert(!plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+      s"PartitionFilters list is empty in:\n$plan")
+  }
+
+  test("IndexBuilder (search.go:220-319): default type is hnsw; each kind searches") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val q1 = queries.limit(2)
+    // default build lands on the hnsw kind and self-matches at rank 1
+    val s = graft.query.IndexBuilder().withIndexOption("shards", 2).build(corpus)
+    val r1 = s.withK(1).search(q1)
+    assert(r1.where(org.apache.spark.sql.functions
+      .col("query_id") =!= org.apache.spark.sql.functions.col("neighbor_id")).count() == 0)
+    // every named kind builds and returns k results per query
+    Seq("flat", "ivf", "pq", "ivfpq", "lsh").foreach { t =>
+      val st = graft.query.IndexBuilder().withIndexType(t)
+        .withIndexOption("nlist", 8).withIndexOption("M", 8).withIndexOption("nbits", 4)
+        .build(corpus)
+      assert(st.withK(3).search(q1).count() > 0, s"no results for $t")
+    }
+    intercept[IllegalArgumentException] {
+      graft.query.IndexBuilder().withIndexType("nope").build(corpus)
+    }
+  }
+
   test("native distance expressions appear in the plan (not interpreted HOFs)") {
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val plan = planOf(FlatIndex.distanceJoin(corpus, queries, Metric.L2))
