@@ -48,6 +48,39 @@ final class HnswServer(graph: DataFrame, metric: Metric) {
   /** Materialize the shard graphs (call once before timing queries). */
   def warm(): this.type = { rdd.count(); this }
 
+  /** Batch kNN over the RESIDENT graphs — result-identical to
+    * [[HnswIndex.knnBlocked]] (same walks, same [[BoundedTopK]] merge)
+    * but without its per-job cost of re-parsing every node row back
+    * into a graph: one job, graphs already in executor memory. This is
+    * the warm-index batch path, the moral equivalent of the reference
+    * searching its in-memory graph (hnsw.go:189-200 BatchSearch). */
+  def searchBatch(queries: DataFrame, k: Int,
+      efSearch: Int = HnswIndex.EfSearch): DataFrame = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
+    val qids = qRows.map(_.getLong(0))
+    val qvecs = qRows.map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast((qids, qvecs))
+    val ef = math.max(efSearch, k)
+    val partials = rdd.mapPartitions { it =>
+      val (ids, qs) = bc.value
+      val heaps = Array.fill(qs.length)(new BoundedTopK(k))
+      it.foreach { g =>
+        var qi = 0
+        while (qi < qs.length) {
+          g.knn(qs(qi), k, ef).foreach { case (id, d) => heaps(qi).insert(id, d) }
+          qi += 1
+        }
+      }
+      BoundedTopK.drain(heaps, ids)
+    }
+    graft.index.FlatIndex.topK(
+      spark.createDataset(partials).toDF("query_id", "neighbor_id", "rank_key"),
+      k, m)
+  }
+
   /** One query → top-k (id, distance, rank), driver-merged. */
   def search(q: Array[Double], k: Int,
       efSearch: Int = HnswIndex.EfSearch): Array[(Long, Double, Int)] = {

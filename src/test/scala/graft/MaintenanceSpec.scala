@@ -98,6 +98,18 @@ class MaintenanceSpec extends AnyFunSuite {
     res.unpersist()
   }
 
+  test("HnswServer.searchBatch is result-identical to knnBlocked") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val graph = HnswIndex.build(corpus, 4, Metric.L2).cache()
+    val server = new graft.query.HnswServer(graph, Metric.L2).warm()
+    val warm = server.searchBatch(queries, 10)
+      .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+    val cold = HnswIndex.knnBlocked(graph, queries, 10, Metric.L2)
+      .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+    assert(warm.exceptAll(cold).count() == 0 && cold.exceptAll(warm).count() == 0)
+    server.unpersist(); graph.unpersist()
+  }
+
   test("HnswServer single-query serving is rank-identical to knnBlocked") {
     import spark.implicits._
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
