@@ -124,6 +124,22 @@ object IndexQueries extends QueryProvider {
       HnswIndex.knnBlocked(graph, queries, K, Metric.L2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // HNSW in a provably-exhaustive configuration — 64 shards keep every
+    // graph under 2M = 32 nodes (measured max 14 on the driver tables),
+    // so pruning can't fire, each graph stays connected, and ef-search
+    // with ef ≥ shard size can't terminate early: the walk must visit
+    // the whole shard and the result must EQUAL brute force. That makes
+    // the flat-kNN oracle SQL hash-verify the graph machinery end-to-end
+    // (build → persistable rows → fromTuples → descent → searchLayer →
+    // merge) — the one configuration where graph search has an exact
+    // SQL oracle.
+    "knn_hnsw_exact" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val graph = HnswIndex.build(corpus, 64, Metric.L2)
+      HnswIndex.knnBlocked(graph, queries, K, Metric.L2, efSearch = 200)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
     })
   )
 
@@ -191,7 +207,9 @@ object IndexQueries extends QueryProvider {
   def oracles: Map[String, String] = oraclesBase +
     ("knn_ivf_blocked" -> oraclesBase("knn_ivf_det")) +
     ("knn_ivfpq_blocked" -> oraclesBase("knn_ivfpq_det")) +
-    ("knn_ivfpq_hoist" -> oraclesBase("knn_ivfpq_det"))
+    ("knn_ivfpq_hoist" -> oraclesBase("knn_ivfpq_det")) +
+    // exhaustive-configuration HNSW == brute force, by construction
+    ("knn_hnsw_exact" -> VectorQueries.oracles("knn_flat_l2"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "ivf_assign_det" ->
