@@ -35,6 +35,23 @@ object DedupQueries extends QueryProvider {
       d.groupBy(md5(col("text").cast("binary")).as("text_md5"))
         .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
     }),
+    // Skew-proof exact dedup: the same groups through a two-stage salted
+    // aggregation. At 100 TB a viral document is a hot key — one reducer
+    // receives its every copy. Stage 1 groups by (hash, salt) so a hot
+    // hash's rows spread over SaltBuckets reducers and combine map-side;
+    // stage 2 re-aggregates the ≤ SaltBuckets partials per hash. count
+    // and min are associative, so the result is IDENTICAL — same oracle
+    // as dedup_exact_groups.
+    "dedup_exact_salted" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val SaltBuckets = 16
+      d.select(md5(col("text").cast("binary")).as("text_md5"), col("doc_id"),
+          pmod(xxhash64(col("doc_id")), lit(SaltBuckets.toLong)).as("salt"))
+        .groupBy(col("text_md5"), col("salt"))
+        .agg(count(lit(1)).as("pn"), min(col("doc_id")).as("pk"))
+        .groupBy(col("text_md5"))
+        .agg(sum(col("pn")).as("n_dups"), min(col("pk")).as("keeper"))
+    }),
     // MinHash signatures (long format: doc_id, i, minhash)
     "minhash_signatures" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -135,6 +152,10 @@ object DedupQueries extends QueryProvider {
 
   def oracles: Map[String, String] = Map(
     "dedup_exact_groups" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    // salting must not change the result: same oracle as the direct form
+    "dedup_exact_salted" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "minhash_signatures" ->
