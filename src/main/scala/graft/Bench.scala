@@ -147,9 +147,12 @@ object Bench {
     results("flat_qps") = benchQ / flatSec
     results("flat_recall") = 1.0
 
-    val trainCap = math.min(benchN / 2, 5000L).toInt // reference's training cap
-    val trainSet = vectors.limit(trainCap).cache(); trainSet.count()
     val nlist = math.max(16, math.sqrt(benchN.toDouble).toInt) // ref: 316 at 100k
+    // reference's 5000-row training cap (identical protocol at the 100k
+    // config), grown only when IVFPQ's ≥ nlist×10 guard (ivfpq.go:121-123)
+    // demands it — at benchN ≥ 250k, √n·10 exceeds 5000
+    val trainCap = math.min(benchN / 2, math.max(5000L, nlist * 10L)).toInt
+    val trainSet = vectors.limit(trainCap).cache(); trainSet.count()
 
     // IVF
     val (ivfModel, ivfBuild) = time(IvfIndex.train(trainSet, nlist, Metric.L2))

@@ -51,6 +51,17 @@ object StreamQueries extends QueryProvider {
         leftTime = "epoch", rightTime = "p_epoch",
         payload = Seq("p_epoch", "p_event_id"))
     }),
+    // Range join (custom operator, graft.operators.RangeJoin): ordered
+    // pairs of same-user events within one hour, via window-width time
+    // bins — an equi-join, never a nested-loop cross product
+    "events_pairs_1h" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id").as("key"), col("event_id").as("id"),
+          unix_micros(col("ts")).as("us"))
+      graft.operators.RangeJoin.pairs(e, e, windowUs = 3600L * 1000000L)
+        .select(col("key").as("user_id"), col("id_a").as("event_a"),
+          col("id_b").as("event_b"), col("gap_us"))
+    }),
     // Per-user running event count + rank of users by activity
     "events_user_activity" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -86,6 +97,12 @@ object StreamQueries extends QueryProvider {
          |       min(epoch) AS start_epoch, max(epoch) AS end_epoch,
          |       round(sum(value), 2) AS session_value
          |FROM ss GROUP BY user_id, session_idx""".stripMargin,
+    "events_pairs_1h" ->
+      """SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+        |       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.ts < b.ts
+        | AND b.ts <= a.ts + INTERVAL 1 HOUR""".stripMargin,
     "events_asof_purchase" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch

@@ -80,6 +80,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("range join is a binned equi-join — no nested-loop in the plan") {
+    val e = graft.core.Tables.events(spark, TestSession.Sf0001)
+      .select(org.apache.spark.sql.functions.col("user_id").as("key"),
+        org.apache.spark.sql.functions.col("event_id").as("id"),
+        org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")).as("us"))
+    val plan = planOf(graft.operators.RangeJoin.pairs(e, e, 3600L * 1000000L))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), s"expected an equi join in:\n$plan")
+  }
+
   test("native distance expressions appear in the plan (not interpreted HOFs)") {
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val plan = planOf(FlatIndex.distanceJoin(corpus, queries, Metric.L2))
