@@ -66,49 +66,41 @@ object HnswIndex {
   private[graft] def shardCol(numShards: Int) =
     pmod(xxhash64(col("id").cast("long")), lit(numShards.toLong)).cast("int").as("shard")
 
-  /** Identity partitioner on the shard id: exactly one shard per
-    * partition. A hash `repartition(n, col("shard"))` would land ~n/e
-    * partitions with 2-3 shards and leave others empty (balls-in-bins) —
-    * stragglers on both the build and every fan-out search. */
-  private final class ShardPartitioner(n: Int) extends org.apache.spark.Partitioner {
-    def numPartitions: Int = n
-    def getPartition(key: Any): Int = key.asInstanceOf[Int]
-  }
-
-  /** (shard → rows) with exactly one shard per partition. */
-  private def byShardRdd[T: scala.reflect.ClassTag](
-      keyed: org.apache.spark.rdd.RDD[(Int, T)], numShards: Int) =
-    keyed.partitionBy(new ShardPartitioner(numShards))
-
   /** Build the sharded graph from an (id, vec) frame. One row per node:
     * (shard, id, vec, level, edges) with `edges(l)` the layer-l adjacency
-    * list. One shuffle (the identity shard partition), then each shard
-    * builds independently inside its own partition. */
+    * list. The one shuffle is `repartitionByRange` on the shard id — a
+    * Tungsten (UnsafeRow) exchange. (An earlier version used an RDD
+    * identity `Partitioner`, which silently downgraded the shuffle to
+    * JavaSerializer object streams — at 1M vectors that deserialization
+    * dwarfed the graph construction itself. Range partitioning keeps the
+    * wholeness guarantee — equal keys share one range — with the
+    * columnar shuffle path.) Each shard then builds independently inside
+    * its partition; the group-by-shard handles a sampler that ever packs
+    * two shard values into one range. */
   def build(vectors: DataFrame, numShards: Int, metric: Metric,
       m: Int = M, efConstruction: Int = EfConstruction): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
     val spark = vectors.sparkSession
     import spark.implicits._
-    val keyed = vectors
+    vectors
       .select(shardCol(numShards), col("id").cast("long"), col("vec"))
+      .repartitionByRange(numShards, col("shard"))
       .as[(Int, Long, Seq[Double])]
-      .rdd
-      .map { case (s, id, v) => (s, (id, v)) }
-    val built = byShardRdd(keyed, numShards).mapPartitions { it =>
-      val rows = new mutable.ArrayBuffer[(Long, Array[Double])]
-      var shard = -1
-      it.foreach { case (s, (id, v)) => shard = s; rows += ((id, v.toArray)) }
-      if (rows.isEmpty) Iterator.empty
-      else {
-        val g = new LocalHnsw(m, efConstruction, metric)
-        rows.sortInPlace()(Ordering.by(_._1))
-        rows.foreach { case (id, v) => g.insert(id, v) }
-        g.nodeRows.map { case (id, vec, level, edges) =>
-          (shard, id, vec.toSeq, level, edges.map(_.toSeq).toSeq)
+      .mapPartitions { it =>
+        val byShard = new mutable.HashMap[Int, mutable.ArrayBuffer[(Long, Array[Double])]]
+        it.foreach { case (s, id, v) =>
+          byShard.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((id, v.toArray))
+        }
+        byShard.iterator.flatMap { case (shard, rows) =>
+          val g = new LocalHnsw(m, efConstruction, metric)
+          rows.sortInPlace()(Ordering.by(_._1))
+          rows.foreach { case (id, v) => g.insert(id, v) }
+          g.nodeRows.map { case (id, vec, level, edges) =>
+            (shard, id, vec.toSeq, level, edges.map(_.toSeq).toSeq)
+          }
         }
       }
-    }
-    spark.createDataset(built).toDF("shard", "id", "vec", "level", "edges")
+      .toDF("shard", "id", "vec", "level", "edges")
   }
 
   /** Incremental add (hnsw.go:97-139 Add-after-build): new vectors
@@ -164,12 +156,16 @@ object HnswIndex {
     val bc = spark.sparkContext.broadcast((qids, qvecs))
     val ef = math.max(efSearch, k)
     val nShards = graph.agg(max(col("shard"))).head.getInt(0) + 1
-    val partials = byShardRdd(shardKeyed(graph), nShards)
+    val partials = shardGrouped(graph, nShards)
       .mapPartitions { it =>
         val (ids, qs) = bc.value
         val heaps = Array.fill(qs.length)(new BoundedTopK(k))
-        val rows = it.map(_._2).toArray
-        if (rows.nonEmpty) {
+        val byShard = new mutable.HashMap[
+          Int, mutable.ArrayBuffer[(Long, Seq[Double], Int, Seq[Seq[Long]])]]
+        it.foreach { case (s, id, v, l, e) =>
+          byShard.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((id, v, l, e))
+        }
+        byShard.valuesIterator.foreach { rows =>
           val g = LocalHnsw.fromTuples(rows, metric)
           var qi = 0
           while (qi < qs.length) {
@@ -179,27 +175,22 @@ object HnswIndex {
         }
         BoundedTopK.drain(heaps, ids)
       }
-    FlatIndex.topK(
-      spark.createDataset(partials).toDF("query_id", "neighbor_id", "rank_key"),
-      k, metric)
+      .toDF("query_id", "neighbor_id", "rank_key")
+    FlatIndex.topK(partials, k, metric)
   }
 
-  /** Graph rows keyed by shard for the identity partitioner. */
-  private[graft] def shardKeyed(graph: DataFrame)
-      : org.apache.spark.rdd.RDD[(Int, (Long, Seq[Double], Int, Seq[Seq[Long]]))] = {
+  /** Graph rows range-partitioned by shard — whole shards per partition
+    * through the Tungsten shuffle path (see [[build]]'s note). */
+  private[graft] def shardGrouped(graph: DataFrame, numShards: Int)
+      : org.apache.spark.sql.Dataset[(Int, Long, Seq[Double], Int, Seq[Seq[Long]])] = {
     val spark = graph.sparkSession
     import spark.implicits._
     graph
       .select(col("shard"), col("id").cast("long"), col("vec"), col("level"),
         col("edges"))
+      .repartitionByRange(numShards, col("shard"))
       .as[(Int, Long, Seq[Double], Int, Seq[Seq[Long]])]
-      .rdd
-      .map { case (s, id, v, l, e) => (s, (id, v, l, e)) }
   }
-
-  private[graft] def shardPartitioned(graph: DataFrame, numShards: Int)
-      : org.apache.spark.rdd.RDD[(Int, (Long, Seq[Double], Int, Seq[Seq[Long]]))] =
-    byShardRdd(shardKeyed(graph), numShards)
 }
 
 /** One shard's in-memory HNSW graph. Build-side mirrors

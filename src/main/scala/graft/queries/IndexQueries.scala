@@ -125,18 +125,19 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
-    // HNSW in a provably-exhaustive configuration — 64 shards keep every
-    // graph under 2M = 32 nodes (measured max 14 on the driver tables),
-    // so pruning can't fire, each graph stays connected, and ef-search
-    // with ef ≥ shard size can't terminate early: the walk must visit
-    // the whole shard and the result must EQUAL brute force. That makes
-    // the flat-kNN oracle SQL hash-verify the graph machinery end-to-end
-    // (build → persistable rows → fromTuples → descent → searchLayer →
-    // merge) — the one configuration where graph search has an exact
-    // SQL oracle.
+    // HNSW in a provably-exhaustive configuration — n/8 shards keep
+    // every graph far under 2M = 32 nodes (≈8 avg; measured max 14-17
+    // across the sf0.001/0.01/0.1 tables), so pruning can't fire, each
+    // graph stays connected, and ef-search with ef ≥ shard size can't
+    // terminate early: the walk must visit the whole shard and the
+    // result must EQUAL brute force. That makes the flat-kNN oracle SQL
+    // hash-verify the graph machinery end-to-end (build → persistable
+    // rows → fromTuples → descent → searchLayer → merge) — the one
+    // configuration where graph search has an exact SQL oracle.
     "knn_hnsw_exact" -> ((s, dir) => {
       val (corpus, queries) = vecTables(s, dir)
-      val graph = HnswIndex.build(corpus, 64, Metric.L2)
+      val shards = math.max(1, (corpus.count() / 8).toInt)
+      val graph = HnswIndex.build(corpus, shards, Metric.L2)
       HnswIndex.knnBlocked(graph, queries, K, Metric.L2, efSearch = 200)
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))

@@ -32,13 +32,14 @@ final class HnswServer(graph: DataFrame, metric: Metric) {
     val met = metric
     val nShards = graph.agg(org.apache.spark.sql.functions.max(col("shard")))
       .head.getInt(0) + 1
-    HnswIndex.shardPartitioned(graph, nShards) // identity partition: 1 shard each
+    HnswIndex.shardGrouped(graph, nShards) // whole shards via Tungsten range shuffle
+      .rdd
       .coalesce(ServeBlocks.ServePartitions, shuffle = false)
       .mapPartitions { it =>
         val byShard = new scala.collection.mutable.HashMap[
           Int, scala.collection.mutable.ArrayBuffer[(Long, Seq[Double], Int, Seq[Seq[Long]])]]
-        it.foreach { case (s, row) =>
-          byShard.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer) += row
+        it.foreach { case (s, id, v, l, e) =>
+          byShard.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer) += ((id, v, l, e))
         }
         byShard.valuesIterator.map(rows => LocalHnsw.fromTuples(rows, met))
       }

@@ -25,7 +25,9 @@ object IndexStats {
   def forPath(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val meta = IndexIO.readMeta(path)
-    val table = if (Files.exists(Paths.get(path, "vectors"))) "vectors" else "codes"
+    val table = Seq("vectors", "codes", "graph")
+      .find(t => Files.exists(Paths.get(path, t)))
+      .getOrElse(throw new IllegalArgumentException(s"no index table under $path"))
     val rows = spark.read.parquet(s"$path/$table").count()
     val bytes = dirBytes(Paths.get(path))
     Seq((

@@ -36,6 +36,7 @@ class CliSpec extends AnyFunSuite {
       Map("type" -> "hnsw", "input" -> vecs, "output" -> idx, "shards" -> "4"))
     val meta = graft.io.IndexIO.readMeta(idx)
     assert(meta("index_type") == "hnsw" && meta("num_shards") == "4")
+    Cli.run(spark, "info", Map("index" -> idx)) // stats must resolve the graph table
     Cli.run(spark, "search",
       Map("index" -> idx, "query" -> vecs, "k" -> "3", "limit" -> "3"))
     Cli.run(spark, "bench",
