@@ -303,7 +303,11 @@ private[graft] final class LocalHnsw(m: Int, efConstruction: Int, metric: Metric
     * current worst kept result. Returns (ids, dists) ascending (dist, id). */
   private def searchLayer(q: Array[Double], entry: Long, ef: Int,
       layer: Int): (Array[Long], Array[Double]) = {
-    val visited = new LongOpenSet(ef * 4)
+    // presize for the real visited footprint: expansion touches
+    // pops × degree nodes, far beyond ef — at 31k-node shards an ef·4
+    // table rehashed 3-4 times per insert and grow() dominated build
+    // profiles (jstack: 17/31 workers mid-rehash at the 1M validation)
+    val visited = new LongOpenSet(math.max(ef * 4, 4096))
     val frontier = new DistHeap(ef, maxHeap = false)
     val results = new DistHeap(ef + 1, maxHeap = true)
     val d0 = key(q, entry)
