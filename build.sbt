@@ -23,8 +23,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 8g proved too small for the full bench: its resident caches (packed
+// serving blocks, 32 HNSW shard graphs, the LSH/IVF index tables) plus the
+// BRP join's candidate explosion exceeded the ~2-3 GB storage pool late in
+// the run, so Spark silently evicted the serving caches and every
+// single-query job recomputed its whole lineage — serve_lsh read 2,869 ms
+// p50 in BENCH_r04 vs 31.8 ms for the identical kernel shape measured
+// early-run. The box has 128 GiB; give the one local[32] JVM real room.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "56g")}",
 )

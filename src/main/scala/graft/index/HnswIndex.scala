@@ -143,9 +143,13 @@ object HnswIndex {
     * rows reach the final merge per query. The defensive shard
     * repartition keeps each graph whole even if the input frame was
     * re-read or filtered; k ≤ 0 clamps to the engine-wide "all rows
-    * ranked" brute-force path (flat.go:82-84 semantics). */
+    * ranked" brute-force path (flat.go:82-84 semantics).
+    *
+    * `numShards` > 0 skips the `max(shard)` discovery job — pass it when
+    * the caller already knows the build config (the builder, the facade's
+    * persisted `num_shards` metadata, a server holding the model). */
   def knnBlocked(graph: DataFrame, queries: DataFrame, k: Int, metric: Metric,
-      efSearch: Int = EfSearch): DataFrame = {
+      efSearch: Int = EfSearch, numShards: Int = -1): DataFrame = {
     if (k <= 0)
       return FlatIndex.knn(graph.select(col("id"), col("vec")), queries, k, metric)
     val spark = graph.sparkSession
@@ -155,7 +159,9 @@ object HnswIndex {
     val qvecs = qRows.map(_.getSeq[Double](1).toArray)
     val bc = spark.sparkContext.broadcast((qids, qvecs))
     val ef = math.max(efSearch, k)
-    val nShards = graph.agg(max(col("shard"))).head.getInt(0) + 1
+    val nShards =
+      if (numShards > 0) numShards
+      else graph.agg(max(col("shard"))).head.getInt(0) + 1
     val partials = shardGrouped(graph, nShards)
       .mapPartitions { it =>
         val (ids, qs) = bc.value

@@ -297,7 +297,7 @@ object PqIndex {
     * the loop-invariant ADC hoist (pq.go:144-155). Inner fold matches
     * [[org.apache.spark.sql.graftx.IndexExpressions.pqAdc]] per-subspace
     * accumulation bit-for-bit, so table-sum == expression ADC exactly. */
-  private[index] def adcTable(q: Array[Double], model: PqModel): Array[Array[Double]] = {
+  private[graft] def adcTable(q: Array[Double], model: PqModel): Array[Array[Double]] = {
     val dsub = model.dsub
     val cbs = model.codebookArrays
     Array.tabulate(model.m, model.ksub) { (mi, j) =>

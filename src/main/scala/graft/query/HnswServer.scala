@@ -24,14 +24,18 @@ import graft.index.{BoundedTopK, HnswIndex, LocalHnsw}
   * ascending (rank_key, id).
   */
 // deliberately NOT Serializable — per-query closures capture only locals
-final class HnswServer(graph: DataFrame, metric: Metric) {
+final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1) {
 
   private val m = metric
 
   private val rdd: RDD[LocalHnsw] = {
     val met = metric
-    val nShards = graph.agg(org.apache.spark.sql.functions.max(col("shard")))
-      .head.getInt(0) + 1
+    // `numShards` > 0 skips the max(shard) discovery job — pass it when
+    // the build config is known (builder, persisted num_shards metadata)
+    val nShards =
+      if (numShards > 0) numShards
+      else graph.agg(org.apache.spark.sql.functions.max(col("shard")))
+        .head.getInt(0) + 1
     HnswIndex.shardGrouped(graph, nShards) // whole shards via Tungsten range shuffle
       .rdd
       .coalesce(ServeBlocks.ServePartitions, shuffle = false)

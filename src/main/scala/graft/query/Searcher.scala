@@ -25,8 +25,11 @@ final case class IvfPqKind(model: IvfPqModel, codes: DataFrame) extends IndexKin
 final case class LshKind(planes: Int, indexed: DataFrame, metric: Metric) extends IndexKind
 /** Sharded HNSW — the reference's default index (search.go:220-228),
   * re-expressed as per-shard graphs with a fan-out merge
-  * ([[graft.index.HnswIndex]]). `graph` is the build() table. */
-final case class HnswKind(graph: DataFrame, metric: Metric) extends IndexKind
+  * ([[graft.index.HnswIndex]]). `graph` is the build() table; `numShards`
+  * > 0 (known from the build config or the persisted `num_shards`
+  * metadata) spares every search the `max(shard)` discovery job. */
+final case class HnswKind(graph: DataFrame, metric: Metric,
+    numShards: Int = -1) extends IndexKind
 
 /** Defaults of search.go:32-39 (K=10, Nprobe=10, EfSearch=50 — the
   * reference bench config). EfSearch drives the HNSW kind's layer-0
@@ -65,8 +68,24 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
     case LshKind(planes, indexed, metric) =>
       LshIndex.knnBlocked(indexed, queries, opts.k, planes, metric,
         hamming = if (opts.efSearch >= 1) 1 else 0)
-    case HnswKind(graph, metric) =>
-      HnswIndex.knnBlocked(graph, queries, opts.k, metric, opts.efSearch)
+    case HnswKind(graph, metric, numShards) =>
+      HnswIndex.knnBlocked(graph, queries, opts.k, metric, opts.efSearch,
+        numShards)
+  }
+
+  /** Release the cached table a [[Searcher.open]] call pinned. Idempotent;
+    * a Searcher built over caller-owned frames (the [[IndexBuilder]] path)
+    * leaves caching to the caller and this is a no-op on uncached input. */
+  def close(): Unit = {
+    val df = kind match {
+      case FlatKind(vectors, _) => vectors
+      case IvfKind(_, assigned) => assigned
+      case PqKind(_, codes) => codes
+      case IvfPqKind(_, codes) => codes
+      case LshKind(_, indexed, _) => indexed
+      case HnswKind(graph, _, _) => graph
+    }
+    df.unpersist()
   }
 
   /** Range search (search.go:165-189) — exact on flat; on quantized kinds
@@ -117,8 +136,9 @@ final class IndexBuilder private (
     val kind = indexType match {
       case "flat" => FlatKind(vectors, metric)
       case "hnsw" =>
-        HnswKind(HnswIndex.build(vectors, opt("shards", 32), metric,
-          opt("M", 16), opt("efConstruction", 200)), metric)
+        val shards = opt("shards", 32)
+        HnswKind(HnswIndex.build(vectors, shards, metric,
+          opt("M", 16), opt("efConstruction", 200)), metric, shards)
       case "lsh" =>
         val planes = opt("planes", 8)
         LshKind(planes, LshIndex.index(vectors, planes), metric)
@@ -148,17 +168,25 @@ object Searcher {
   def apply(kind: IndexKind): Searcher = new Searcher(kind, SearchOptions())
 
   /** Open a persisted index, detecting its type from metadata
-    * (detectIndexType, search.go:193-208). */
+    * (detectIndexType, search.go:193-208).
+    *
+    * The loaded table is `.cache()`d: an opened index is a serving
+    * object, and without the pin every `search` call re-ran the parquet
+    * scan — 3.3× the cached kernel cost per call in BENCH_r04
+    * (`searcher_open_search_sec`). The cache materializes lazily on the
+    * first search; call [[Searcher.close]] to release it. */
   def open(spark: SparkSession, path: String): Searcher = {
     val meta = IndexIO.readMeta(path)
     IndexIO.checkCompatible(meta("version"))
     val kind = meta("index_type") match {
-      case "flat" => val (v, m) = IndexIO.loadFlat(spark, path); FlatKind(v, m)
-      case "ivf" => val (m, a) = IndexIO.loadIvf(spark, path); IvfKind(m, a)
-      case "pq" => val (m, c) = IndexIO.loadPq(spark, path); PqKind(m, c)
-      case "ivfpq" => val (m, c) = IndexIO.loadIvfPq(spark, path); IvfPqKind(m, c)
-      case "lsh" => val (p, m, i) = IndexIO.loadLsh(spark, path); LshKind(p, i, m)
-      case "hnsw" => val (m, g) = IndexIO.loadHnsw(spark, path); HnswKind(g, m)
+      case "flat" => val (v, m) = IndexIO.loadFlat(spark, path); FlatKind(v.cache(), m)
+      case "ivf" => val (m, a) = IndexIO.loadIvf(spark, path); IvfKind(m, a.cache())
+      case "pq" => val (m, c) = IndexIO.loadPq(spark, path); PqKind(m, c.cache())
+      case "ivfpq" => val (m, c) = IndexIO.loadIvfPq(spark, path); IvfPqKind(m, c.cache())
+      case "lsh" => val (p, m, i) = IndexIO.loadLsh(spark, path); LshKind(p, i.cache(), m)
+      case "hnsw" =>
+        val (m, g) = IndexIO.loadHnsw(spark, path)
+        HnswKind(g.cache(), m, meta.get("num_shards").map(_.toInt).getOrElse(-1))
       case t => throw new IllegalArgumentException(s"unknown index type '$t'")
     }
     apply(kind)

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions.col
 private[query] final case class ServeBlock(
     ids: Array[Long], tags: Array[Long], data: Array[Double], dim: Int)
 
+/** The PQ-code sibling of [[ServeBlock]]: row r's M subspace codes sit at
+  * offset r·m in one flat int array. `tag` is the IVF cluster id for the
+  * IVFPQ kind, 0 for plain PQ. A 100k-row partition is ~3 MB at M=8 —
+  * the whole point of the PQ kinds is that the serving-resident state is
+  * codes, not vectors. */
+private[query] final case class CodeBlock(
+    ids: Array[Long], tags: Array[Long], codes: Array[Int], m: Int)
+
 private[query] object ServeBlocks {
 
   /** Serving partition count: enough for parallel scan, few enough that
@@ -50,6 +58,39 @@ private[query] object ServeBlocks {
         }
         if (dim < 0) Iterator.empty
         else Iterator.single(ServeBlock(ids.result(), tags.result(), data.result(), dim))
+      }
+      .cache()
+  }
+
+  /** Pack (id, code[, tagCol]) rows into one [[CodeBlock]] per partition —
+    * same contract as [[pack]]: coalesced to [[ServePartitions]], cached,
+    * caller materializes and unpersists. */
+  def packCodes(df: DataFrame, tagCol: Option[String]): RDD[CodeBlock] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tagged = tagCol match {
+      case Some(t) => df.select(col("id").cast("long"), col("code"), col(t).cast("long"))
+      case None => df.select(col("id").cast("long"), col("code"),
+        org.apache.spark.sql.functions.lit(0L))
+    }
+    tagged.as[(Long, Seq[Int], Long)]
+      .rdd
+      .coalesce(ServePartitions, shuffle = false)
+      .mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuilder.make[Long]
+        val tags = scala.collection.mutable.ArrayBuilder.make[Long]
+        val codes = scala.collection.mutable.ArrayBuilder.make[Int]
+        var m = -1
+        while (it.hasNext) {
+          val (id, codeSeq, tag) = it.next()
+          ids += id
+          tags += tag
+          if (m < 0) m = codeSeq.length
+          var i = 0
+          while (i < m) { codes += codeSeq(i); i += 1 }
+        }
+        if (m < 0) Iterator.empty
+        else Iterator.single(CodeBlock(ids.result(), tags.result(), codes.result(), m))
       }
       .cache()
   }

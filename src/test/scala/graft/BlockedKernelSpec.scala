@@ -83,6 +83,44 @@ class BlockedKernelSpec extends AnyFunSuite {
     server.unpersist()
   }
 
+  test("PqServer single-query serving ≡ knnBlocked") {
+    import org.apache.spark.sql.functions.col
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val model = PqIndex.trainDeterministic(corpus, m = 4, ksub = 16, Metric.L2)
+    val codes = PqIndex.encode(corpus, model)
+    val server = new graft.query.PqServer(codes, model).warm()
+    val qRows = queries.limit(3).collect()
+    qRows.foreach { r =>
+      val qid = r.getLong(0)
+      val served = server.search(r.getSeq[Double](1).toArray, 5)
+      val expected = PqIndex
+        .knnBlocked(codes, model, queries.where(col("query_id") === qid), 5)
+        .orderBy("rank").collect()
+        .map(x => (x.getLong(1), x.getDouble(2), x.getInt(3)))
+      assert(served.toSeq == expected.toSeq, s"pq serving mismatch for query $qid")
+    }
+    server.unpersist()
+  }
+
+  test("IvfPqServer single-query serving ≡ searchBlocked") {
+    import org.apache.spark.sql.functions.col
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val model = IvfPqIndex.trainDeterministic(corpus, nlist = 8, m = 4, ksub = 16, Metric.L2)
+    val codes = IvfPqIndex.encode(corpus, model)
+    val server = new graft.query.IvfPqServer(codes, model).warm()
+    val qRows = queries.limit(3).collect()
+    qRows.foreach { r =>
+      val qid = r.getLong(0)
+      val served = server.search(r.getSeq[Double](1).toArray, 5, nprobe = 3)
+      val expected = IvfPqIndex
+        .searchBlocked(codes, model, queries.where(col("query_id") === qid), 5, nprobe = 3)
+        .orderBy("rank").collect()
+        .map(x => (x.getLong(1), x.getDouble(2), x.getInt(3)))
+      assert(served.toSeq == expected.toSeq, s"ivfpq serving mismatch for query $qid")
+    }
+    server.unpersist()
+  }
+
   test("LSH multiprobe: blocked hamming-1 ≡ plan formulation, recall ≥ single-bucket") {
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val planes = 8

@@ -64,6 +64,21 @@ class HnswIndexSpec extends AnyFunSuite {
     assert(hnsw.exceptAll(flat).count() == 0 && flat.exceptAll(hnsw).count() == 0)
   }
 
+  test("exhaustive shard config equals flat search under cosine too") {
+    // The metric threads through every graph comparison (build-side
+    // neighbor selection, descent, ef-search) — the exhaustive-shard
+    // argument is metric-independent, so cosine must also equal brute
+    // force (mirrors the knn_hnsw_exact_cosine driver row).
+    val (corpus, queries) = vecs
+    val shards = math.max(1, (corpus.count() / 8).toInt)
+    val graph = HnswIndex.build(corpus, shards, Metric.Cosine)
+    val hnsw = HnswIndex.knnBlocked(graph, queries, 10, Metric.Cosine, efSearch = 200)
+      .select("query_id", "neighbor_id", "rank")
+    val flat = FlatIndex.knn(corpus, queries, 10, Metric.Cosine)
+      .select("query_id", "neighbor_id", "rank")
+    assert(hnsw.exceptAll(flat).count() == 0 && flat.exceptAll(hnsw).count() == 0)
+  }
+
   test("sharded recall@10 vs flat oracle >= 0.95 at ef=200") {
     val (corpus, queries) = vecs
     val graph = HnswIndex.build(corpus, 4, Metric.L2).cache()
