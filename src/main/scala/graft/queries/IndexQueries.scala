@@ -154,6 +154,18 @@ object IndexQueries extends QueryProvider {
       HnswIndex.knnBlocked(graph, queries, K, Metric.Cosine, efSearch = 200)
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // ... and the third: inner-product. −dot is not a true metric (greedy
+    // descent has no triangle-inequality guarantee) — which is exactly why
+    // the exhaustive configuration matters: it proves the machinery still
+    // degrades to brute force correctly when the "distance" is degenerate.
+    "knn_hnsw_exact_dot" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val shards = math.max(1, (corpus.count() / 8).toInt)
+      val graph = HnswIndex.build(corpus, shards, Metric.Dot)
+      HnswIndex.knnBlocked(graph, queries, K, Metric.Dot, efSearch = 200)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
     })
   )
 
@@ -224,7 +236,8 @@ object IndexQueries extends QueryProvider {
     ("knn_ivfpq_hoist" -> oraclesBase("knn_ivfpq_det")) +
     // exhaustive-configuration HNSW == brute force, by construction
     ("knn_hnsw_exact" -> VectorQueries.oracles("knn_flat_l2")) +
-    ("knn_hnsw_exact_cosine" -> VectorQueries.oracles("knn_flat_cosine"))
+    ("knn_hnsw_exact_cosine" -> VectorQueries.oracles("knn_flat_cosine")) +
+    ("knn_hnsw_exact_dot" -> VectorQueries.oracles("knn_flat_dot"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "ivf_assign_det" ->
