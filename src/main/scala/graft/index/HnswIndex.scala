@@ -22,6 +22,16 @@ import graft.core.Metric
   * executor core's memory, so the design scales horizontally: 100 TB is
   * just more shards, not a bigger graph.
   *
+  * Shard sizing (measured, not asserted — BENCH_LOCAL_r5.json
+  * `hnsw_s{4,8,16}_*` sweep at 100k×128): more, smaller shards build
+  * faster AND merge closer to exact (4 shards: 89 s build / 0.63
+  * recall@10; 8: 45 s / 0.76; 16: 12 s / 0.87; 32: 6.7 s / 0.95 —
+  * each shard contributes its true local top-k, so the union tightens
+  * as shards grow), while batch QPS peaks mid-sweep (s8: 1063) where
+  * per-graph walk depth and fan-out cost balance. Default to ≥ 1 shard
+  * per executor core and shrink shards further when recall matters
+  * more than per-query fan-out.
+  *
   * Determinism (an intentional refinement over the reference, which
   * draws levels from `math/rand` — hnsw.go:283-289): the level of node
   * `id` is the reference's exact formula fed by a splitmix64 hash of the
