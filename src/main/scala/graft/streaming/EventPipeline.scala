@@ -69,6 +69,22 @@ object EventPipeline {
       .start()
   }
 
+  /** Streaming exact dedup — the streaming form of the batch
+    * exact-dedup operator ([[graft.queries.DedupQueries]]): keep the
+    * first occurrence of each content hash, drop repeats arriving
+    * within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * bounds the dedup state by event time (a global `dropDuplicates`
+    * would grow state forever — unusable on an unbounded stream), which
+    * is the 100 TB-stream shape: state ∝ arrival rate × horizon, not
+    * corpus size. Valid on a batch frame too (degenerates to plain
+    * dropDuplicates over the hash). */
+  def streamingDedup(events: DataFrame, hashCol: String,
+      delay: String = "10 minutes"): DataFrame = {
+    val hashed = events.withWatermark("ts", delay)
+    if (hashed.isStreaming) hashed.dropDuplicatesWithinWatermark(hashCol)
+    else hashed.dropDuplicates(hashCol)
+  }
+
   /** Continuous index maintenance: each micro-batch of vectors is
     * assigned to its cluster with the *frozen* trained centroids and
     * appended to the index table — the reference's add-after-train

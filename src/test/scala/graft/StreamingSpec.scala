@@ -55,6 +55,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated hashes within the watermark, keeps state bounded") {
+    // source: every event file duplicated — the streamed dedup must emit
+    // each content hash exactly once
+    val raw = Tables.events(spark, TestSession.Sf0001)
+    val tsCol = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    val events = raw.select(col("event_id"), tsCol.as("ts"),
+      sha2(concat_ws("|", col("user_id"), col("event_type")), 256).as("h"))
+    val staging = java.nio.file.Files.createTempDirectory("graft_dedup_src")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_stream")
+    events.write.mode("overwrite").parquet(staging.toString)
+    java.nio.file.Files.list(staging).forEach { p =>
+      if (p.toString.endsWith(".parquet")) {
+        java.nio.file.Files.copy(p, dir.resolve(p.getFileName))
+        java.nio.file.Files.copy(p, dir.resolve("dup_" + p.getFileName))
+      }
+    }
+    val stream = spark.readStream.schema(events.schema).parquet(dir.toString)
+    val q = EventPipeline.streamingDedup(stream, "h", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT count(*) FROM stream_dedup").first().getLong(0)
+      val distinctHashes = events.select("h").distinct().count()
+      assert(streamed == distinctHashes,
+        s"streamed $streamed rows, expected $distinctHashes distinct hashes")
+    } finally q.stop()
+    // batch degenerate form: plain dropDuplicates over the hash
+    val batchDedup = EventPipeline.streamingDedup(events.unionAll(events), "h")
+    assert(batchDedup.count() == events.select("h").distinct().count())
+  }
+
   test("foreachBatch appends assigned vectors to an IVF index table") {
     val (corpus, queries) = graft.queries.VectorQueries.vecTables(spark, TestSession.Sf0001)
     val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
