@@ -19,6 +19,16 @@ object TextFunctions {
   /** Tokenize on single spaces. */
   def toks(text: Column): Column = split(text, " ")
 
+  /** Adjacent-pair n-grams as space-joined strings: zip_with over two
+    * shifted slices of the token array — pure array expressions, stays
+    * inside whole-stage codegen. A 1-token document yields an empty
+    * array (slice length 0), matching DuckDB's empty range(1, 1). */
+  def bigrams(tokens: Column): Column =
+    zip_with(
+      slice(tokens, lit(1), size(tokens) - 1),
+      slice(tokens, lit(2), size(tokens) - 1),
+      (a, b) => concat(a, lit(" "), b))
+
   /** Rolling polynomial hash of a token: fold (acc*31 + codepoint) % Mod.
     * (Spark's split("") emits a trailing "" that DuckDB's doesn't —
     * filtered out; both then agree, including on empty tokens → 0.) */

@@ -62,6 +62,29 @@ object TextQueries extends QueryProvider {
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"), docFingerprint(col("text")).as("fingerprint"))
     }),
+    // Corpus vocabulary top-k: the canonical wordcount shape. The
+    // groupBy gets map-side partial aggregation for free, so shuffle
+    // volume is ∝ distinct tokens per partition (not corpus size), and
+    // the top-k is a TakeOrdered — no global sort. At 100 TB this is
+    // the vocab-building pass of a tokenizer-training pipeline.
+    "vocab_topk" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.select(explode(toks(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(100)
+    }),
+    // Bigram top-k: sliding-window n-grams via zip_with over two
+    // shifted slices (no UDF, stays in codegen); same wordcount
+    // aggregation shape as vocab_topk afterwards.
+    "bigram_topk" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val grams = graft.functions.TextFunctions.bigrams(toks(lower(col("text"))))
+      d.select(explode(grams).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram"))
+        .limit(100)
+    }),
     // Quality scoring: punctuation/stopword ratios plus a BPE-ish subword
     // count (ceil(len/4) per whitespace token — the chars/4 heuristic).
     // The quality flag is pure integer arithmetic (hits*20 >= n_tokens ⇔
@@ -116,6 +139,20 @@ object TextQueries extends QueryProvider {
          |    (a, b) -> (a * 31 + b) % $Mod) AS fingerprint
          |FROM documents""".stripMargin
     },
+    "vocab_topk" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+        |GROUP BY token
+        |ORDER BY freq DESC, token
+        |LIMIT 100""".stripMargin,
+    "bigram_topk" ->
+      """SELECT bigram, CAST(count(*) AS BIGINT) AS freq
+        |FROM (SELECT unnest(list_transform(range(1, len(t)),
+        |                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |      FROM (SELECT string_split(lower(text), ' ') AS t FROM documents))
+        |GROUP BY bigram
+        |ORDER BY freq DESC, bigram
+        |LIMIT 100""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
