@@ -247,6 +247,20 @@ object Bench {
     ivfRes.unpersist()
     logSection("ivf")
 
+    // -- nprobe sweep evidence: the reference docs claim 90%+ recall at
+    // nprobe=50-100 (docs/benchmarks.md:133-144) but never measured that
+    // configuration (BASELINE.md caveat 2). Measure it: same index, same
+    // queries, nprobe=50 — recall/QPS trade-off the nprobe knob buys. --
+    {
+      val (np50Res, np50Sec) = searchBest2(() =>
+        IvfIndex.searchBlocked(assigned, ivfModel, queries, K, nprobe = 50))
+      results("ivf_np50_search_sec") = np50Sec
+      results("ivf_np50_qps") = benchQ / np50Sec
+      results("ivf_np50_recall") = recallVs(flatRes, np50Res)
+      np50Res.unpersist()
+      logSection("ivf_np50")
+    }
+
     // -- single-query serving latency through the IVF probe path (A6:
     // the reference's per-query benchmarkSearch shape — warmup, timed
     // singles, percentiles). IvfServer keeps the hot path to ONE
