@@ -91,6 +91,14 @@ object DedupQueries extends QueryProvider {
         .where(col("jaccard") >= JaccardThreshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
+    // Batch form of the incremental (streaming) near-dup keeper rule:
+    // kept iff no smaller doc_id shares an LSH band key. Same result as
+    // replaying the corpus through IncrementalNearDup.stream in doc_id
+    // order, any batch split (StreamingSpec asserts the equivalence).
+    "near_dup_keepers" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").where(col("doc_id") < MinhashDocCap)
+      graft.streaming.IncrementalNearDup.keepers(d).select(col("doc_id"))
+    }),
     // SimHash fingerprints
     "simhash_fingerprint" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -175,6 +183,16 @@ object DedupQueries extends QueryProvider {
          |SELECT c.id_a, c.id_b, round(${sqlJaccard("ta.ts", "tb.ts")}, 4) AS jaccard
          |FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
          |WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= $JaccardThreshold""".stripMargin,
+    "near_dup_keepers" ->
+      s"""WITH $tCteCapped,
+         |s AS (SELECT doc_id, ${sqlMinhashSig("ts")} AS sig FROM t),
+         |bands AS (SELECT doc_id, b AS band, ${sqlBandKey("sig", "b")} AS key
+         |          FROM s, range(0, $Bands) AS r(b)),
+         |m AS (SELECT band, key, min(doc_id) AS min_id FROM bands GROUP BY band, key),
+         |dropped AS (SELECT DISTINCT bands.doc_id FROM bands
+         |            JOIN m USING (band, key) WHERE m.min_id < bands.doc_id)
+         |SELECT doc_id FROM t
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
     "simhash_fingerprint" ->
       s"""SELECT doc_id, ${sqlSimhash("string_split(text, ' ')")} AS simhash
          |FROM documents""".stripMargin,

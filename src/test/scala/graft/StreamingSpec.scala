@@ -91,6 +91,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchDedup.count() == events.select("h").distinct().count())
   }
 
+  test("incremental near-dup over a split stream equals the batch keeper rule") {
+    import graft.streaming.IncrementalNearDup
+    val docs = Tables.load(spark, TestSession.Sf0001, "documents")
+      .where(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val expected = IncrementalNearDup.keepers(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < 300,
+      "test corpus should contain at least one near-dup to exercise the drop path")
+
+    // stream the same corpus in doc_id order, split into two files
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ndup_src")
+    val bandDir = java.nio.file.Files.createTempDirectory("graft_ndup_bands").resolve("t")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_ndup_out").resolve("t")
+    docs.where(col("doc_id") < 150).coalesce(1)
+      .write.parquet(srcDir.resolve("a").toString)
+    docs.where(col("doc_id") >= 150).coalesce(1)
+      .write.parquet(srcDir.resolve("b").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1) // force ≥ 2 micro-batches
+      .parquet(srcDir.toString + "/*")
+    val q = IncrementalNearDup.stream(stream, bandDir.toString, outDir.toString)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir.toString)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == expected,
+        s"stream kept ${streamed.size} docs, batch rule kept ${expected.size}; " +
+          s"diff=${(streamed diff expected) ++ (expected diff streamed)}")
+    } finally q.stop()
+  }
+
   test("foreachBatch appends assigned vectors to an IVF index table") {
     val (corpus, queries) = graft.queries.VectorQueries.vecTables(spark, TestSession.Sf0001)
     val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
