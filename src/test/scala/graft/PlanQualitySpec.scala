@@ -36,6 +36,24 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected probe broadcast in:\n$plan")
   }
 
+  test("vocab_topk plans as partial-agg wordcount with TakeOrdered (no global sort)") {
+    val plan = planOf(
+      graft.queries.TextQueries.queries("vocab_topk")(spark, TestSession.Sf0001))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"expected map-side partial aggregation in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered top-k (not a global Sort + Limit) in:\n$plan")
+  }
+
+  test("incremental near-dup dropped-set is equi-join only (never a nested-loop join)") {
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .where(org.apache.spark.sql.functions.col("doc_id") < 200)
+      .select("doc_id", "text")
+    val plan = planOf(graft.streaming.IncrementalNearDup.keepers(docs))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"keeper rule must stay an equi-join:\n$plan")
+  }
+
   test("parquet scan prunes columns: 2-column projection reads 2 columns") {
     val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
       .select("doc_id", "lang")
