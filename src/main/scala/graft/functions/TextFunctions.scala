@@ -60,6 +60,23 @@ object TextFunctions {
       lit(0L),
       (acc, s) => (acc * 31L + s) % Mod)
 
+  /** Rolling n-gram hashes: position i (1-based) folds tokenHash over
+    * tokens [i, i+n) with the fingerprint recurrence. Documents shorter
+    * than n yield an empty array (guarded — Spark's `sequence` would
+    * otherwise generate a DESCENDING [1, 0] ramp for size < n). */
+  def ngramHashes(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(tokens) - (n - 1)), i =>
+        aggregate(slice(tokens, i, lit(n)), lit(0L),
+          (acc, t) => (acc * 31L + tokenHash(t)) % Mod)))
+
+  /** DuckDB mirror of [[ngramHashes]] over a token-list expression `t`. */
+  def sqlNgramHashes(t: String, n: Int): String =
+    s"""list_transform(range(1, greatest(len($t) - ${n - 2}, 1)), i ->
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(list_slice($t, i, i + ${n - 1}), tok -> ${sqlTokenHash("tok")})),
+       |  (a, b) -> (a * 31 + b) % $Mod))""".stripMargin.replaceAll("\n\\s*", " ")
+
   /** 32-bit SimHash over token hashes: bit b is set iff the ±1 majority
     * vote of bit b across token hashes is positive. */
   def simhash(text: Column): Column = {

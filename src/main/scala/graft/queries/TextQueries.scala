@@ -16,7 +16,10 @@ import graft.core.Tables
   */
 object TextQueries extends QueryProvider {
 
-  import graft.functions.TextFunctions.{toks, docFingerprint}
+  import graft.functions.TextFunctions.{toks, docFingerprint, ngramHashes}
+
+  private val EvalCap = 20
+  private val ContamN = 8
 
   private def hits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
@@ -61,6 +64,36 @@ object TextQueries extends QueryProvider {
     "doc_fingerprint" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       d.select(col("doc_id"), docFingerprint(col("text")).as("fingerprint"))
+    }),
+    // Deterministic train/val/test split: content-fingerprint mod 100 —
+    // reproducible across runs/engines (no RNG), and duplicate texts land
+    // in the SAME split (no eval leakage through dup copies). Pure
+    // projection; no shuffle.
+    "doc_split" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val bucket = docFingerprint(col("text")) % 100
+      d.select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+    }),
+    // Benchmark decontamination: corpus documents sharing any rolling
+    // 8-gram with the eval set (doc_id < EvalCap stands in for the
+    // benchmark suite). The eval gram set is tiny by construction →
+    // broadcast equi-join on gram hash; the corpus side is a projection
+    // + explode that never self-joins or shuffles its text. The standard
+    // n-gram-overlap decontamination pass at 100 TB.
+    "contamination_8gram" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def grams(df: DataFrame, idAs: String) = df.select(
+        col("doc_id").as(idAs),
+        explode(array_distinct(ngramHashes(toks(col("text")), ContamN))).as("gram"))
+      val evalGrams = grams(d.where(col("doc_id") < EvalCap), "eval_id")
+      val corpusGrams = grams(d.where(col("doc_id") >= EvalCap), "doc_id")
+      corpusGrams.join(broadcast(evalGrams), Seq("gram"))
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
     }),
     // Corpus vocabulary top-k: the canonical wordcount shape. The
     // groupBy gets map-side partial aggregation for free, so shuffle
@@ -138,6 +171,30 @@ object TextQueries extends QueryProvider {
          |      list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})),
          |    (a, b) -> (a * 31 + b) % $Mod) AS fingerprint
          |FROM documents""".stripMargin
+    },
+    "doc_split" -> {
+      import graft.functions.TextFunctions.{sqlTokenHash, Mod}
+      val fp = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})), " +
+        s"(a, b) -> (a * 31 + b) % $Mod)"
+      s"""SELECT doc_id, fp % 100 AS bucket,
+         |       CASE WHEN fp % 100 < 90 THEN 'train'
+         |            WHEN fp % 100 < 95 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, $fp AS fp FROM documents)""".stripMargin
+    },
+    "contamination_8gram" -> {
+      import graft.functions.TextFunctions.sqlNgramHashes
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |e AS (SELECT doc_id AS eval_id,
+         |             unnest(list_distinct(${sqlNgramHashes("tk", 8)})) AS gram
+         |      FROM t WHERE doc_id < $EvalCap),
+         |c AS (SELECT doc_id,
+         |             unnest(list_distinct(${sqlNgramHashes("tk", 8)})) AS gram
+         |      FROM t WHERE doc_id >= $EvalCap)
+         |SELECT c.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM c JOIN e USING (gram)
+         |GROUP BY c.doc_id, e.eval_id""".stripMargin
     },
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -44,6 +44,45 @@ class TextQueriesSpec extends AnyFunSuite {
     pairs.foreach { case (f, t) => assert(all(t) == f, s"token $t freq $f vs recount ${all(t)}") }
   }
 
+  test("ngramHashes: len-n+1 grams, shorter-than-n doc yields empty (no descending sequence)") {
+    import spark.implicits._
+    val got = Seq("a b c d e", "a b", "one two three")
+      .toDF("text")
+      .select(TextFunctions.ngramHashes(TextFunctions.toks(col("text")), 3).as("g"))
+      .as[Seq[Long]].collect()
+    assert(got(0).length == 3) // 5 tokens, n=3
+    assert(got(1).isEmpty)     // 2 tokens < n
+    assert(got(2).length == 1)
+    // position 1 gram equals the fingerprint of the first 3 tokens
+    val fp = Seq("a b c").toDF("text")
+      .select(TextFunctions.docFingerprint(col("text"))).first().getLong(0)
+    assert(got(0).head == fp)
+  }
+
+  test("doc_split is a deterministic total partition with train/val/test buckets") {
+    val split = graft.queries.TextQueries.queries("doc_split")(spark, TestSession.Sf0001)
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+    assert(split.count() == docs.count())
+    val bySplit = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L),
+      s"expected the 90% bucket to dominate: $bySplit")
+    // deterministic: second evaluation identical
+    val again = graft.queries.TextQueries.queries("doc_split")(spark, TestSession.Sf0001)
+    assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
+  }
+
+  test("contamination_8gram finds the planted near-dup overlaps and nothing self-paired") {
+    val c = graft.queries.TextQueries.queries("contamination_8gram")(spark, TestSession.Sf0001)
+      .collect()
+    assert(c.nonEmpty, "corpus should contain at least one contaminated pair")
+    c.foreach { r =>
+      assert(r.getLong(r.fieldIndex("doc_id")) >= 20 && r.getLong(r.fieldIndex("eval_id")) < 20)
+      assert(r.getLong(r.fieldIndex("n_shared")) >= 1)
+    }
+  }
+
   test("bigram_topk total mass bounded by sum(n_tokens - 1)") {
     val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
     val maxGrams = docs
