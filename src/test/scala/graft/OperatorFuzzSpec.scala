@@ -97,4 +97,83 @@ class OperatorFuzzSpec extends AnyFunSuite {
     }
     runProp(prop)
   }
+
+  // ---- text-pipeline primitives ----
+
+  private val Mod = graft.functions.TextFunctions.Mod
+
+  /** Scala reimplementation of the tokenHash/fingerprint recurrence. */
+  private def refTokenHash(t: String): Long =
+    t.foldLeft(0L)((a, c) => (a * 31L + c.toLong) % Mod)
+
+  private val textGen: Gen[String] =
+    Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "ab", "ba", "abc", "x"))
+        .map(_.mkString(" ")))
+
+  test("ngramHashes ≡ the literal sliding-window fold on random token lists") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val prop = Prop.forAll(Gen.listOfN(6, textGen), Gen.oneOf(2, 3, 5)) { (texts, n) =>
+      val got = texts.toDF("text")
+        .select(graft.functions.TextFunctions
+          .ngramHashes(graft.functions.TextFunctions.toks(col("text")), n).as("g"))
+        .as[Seq[Long]].collect().toList
+      val want = texts.map { txt =>
+        val toks = txt.split(" ", -1).toList
+        toks.sliding(n).filter(_.length == n)
+          .map(_.foldLeft(0L)((a, t) => (a * 31L + refTokenHash(t)) % Mod))
+          .toList
+      }
+      got.map(_.toList) == want
+    }
+    runProp(prop)
+  }
+
+  /** (doc_id, text) corpora from a 6-word vocabulary — band collisions
+    * on purpose so the drop path dominates. */
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.choose(2, 14).flatMap(n =>
+      Gen.listOfN(n, textGen).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) }))
+
+  test("IncrementalNearDup.keepers ≡ 'no smaller doc shares a band' over collected band rows") {
+    import spark.implicits._
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val bands = graft.streaming.IncrementalNearDup.bandRows(df)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val kept = graft.streaming.IncrementalNearDup.keepers(df)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = docs.map(_._1).filter { id =>
+        val mine = bands.filter(_._1 == id).map(b => (b._2, b._3)).toSet
+        !bands.exists(b => b._1 < id && mine((b._2, b._3)))
+      }.toSet
+      kept == want
+    }
+    runProp(prop, tests = 10)
+  }
+
+  test("IncrementalNearDup.step over random batch splits ≡ batch keepers") {
+    import spark.implicits._
+    val gen = for {
+      docs <- corpusGen
+      cut <- Gen.choose(0, docs.length)
+    } yield (docs, cut)
+    val prop = Prop.forAll(gen) { case (docs, cut) =>
+      val df = docs.toDF("doc_id", "text")
+      val expected = graft.streaming.IncrementalNearDup.keepers(df)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val bandDir = java.nio.file.Files
+        .createTempDirectory("fuzz_ndup").resolve("bands").toString
+      val streamed = List(docs.take(cut), docs.drop(cut))
+        .filter(_.nonEmpty)
+        .flatMap { batch =>
+          graft.streaming.IncrementalNearDup
+            .step(spark, batch.toDF("doc_id", "text"), bandDir)
+            .select("doc_id").collect().map(_.getLong(0))
+        }.toSet
+      streamed == expected
+    }
+    runProp(prop, tests = 8)
+  }
 }
