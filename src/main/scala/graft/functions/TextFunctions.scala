@@ -64,11 +64,19 @@ object TextFunctions {
     * tokens [i, i+n) with the fingerprint recurrence. Documents shorter
     * than n yield an empty array (guarded — Spark's `sequence` would
     * otherwise generate a DESCENDING [1, 0] ramp for size < n). */
+  /** Window fold over an ALREADY-hashed token array. Split out so
+    * callers can materialize the hash array as its own projected column
+    * first — HOF lambdas are interpreted (no codegen subexpression
+    * elimination), so hashing inline here would re-hash every token
+    * once per window it appears in. */
+  def ngramWindow(tokenHashes: Column, n: Int): Column =
+    when(size(tokenHashes) < n, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), size(tokenHashes) - (n - 1)), i =>
+        aggregate(slice(tokenHashes, i, lit(n)), lit(0L),
+          (acc, h) => (acc * 31L + h) % Mod)))
+
   def ngramHashes(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(1), size(tokens) - (n - 1)), i =>
-        aggregate(slice(tokens, i, lit(n)), lit(0L),
-          (acc, t) => (acc * 31L + tokenHash(t)) % Mod)))
+    ngramWindow(transform(tokens, t => tokenHash(t)), n)
 
   /** DuckDB mirror of [[ngramHashes]] over a token-list expression `t`. */
   def sqlNgramHashes(t: String, n: Int): String =

@@ -86,9 +86,13 @@ object TextQueries extends QueryProvider {
     // n-gram-overlap decontamination pass at 100 TB.
     "contamination_8gram" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      def grams(df: DataFrame, idAs: String) = df.select(
-        col("doc_id").as(idAs),
-        explode(array_distinct(ngramHashes(toks(col("text")), ContamN))).as("gram"))
+      // token hashes materialized as their own projection so each token
+      // hashes once, not once per window (see TextFunctions.ngramWindow)
+      def grams(df: DataFrame, idAs: String) = df
+        .select(col("doc_id").as(idAs),
+          transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
+        .select(col(idAs),
+          explode(array_distinct(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN))).as("gram"))
       val evalGrams = grams(d.where(col("doc_id") < EvalCap), "eval_id")
       val corpusGrams = grams(d.where(col("doc_id") >= EvalCap), "doc_id")
       corpusGrams.join(broadcast(evalGrams), Seq("gram"))
