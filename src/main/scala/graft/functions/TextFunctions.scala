@@ -46,12 +46,21 @@ object TextFunctions {
   /** MinHash signature (ARRAY<LONG>, length H) over the *distinct* token
     * set: sig[i] = min over tokens of ((2i+1)·h(t) + 7919·i) mod Mod.
     * Order-independent (min), so engine-side set ordering is irrelevant. */
-  def minhashSig(text: Column): Column = {
-    val ts = array_distinct(toks(text))
-    transform(sequence(lit(0), lit(MinhashH - 1)), i =>
-      aggregate(ts, lit(Mod),
-        (acc, t) => least(acc, ((lit(2L) * i + 1L) * tokenHash(t) + lit(7919L) * i) % Mod)))
-  }
+  def minhashSig(text: Column): Column =
+    minhashFromHashes(transform(array_distinct(toks(text)), t => tokenHash(t)))
+
+  /** MinHash signature over an ALREADY-hashed distinct-token array.
+    * Loop order matters under interpreted HOF evaluation (no codegen
+    * subexpression elimination): the naive transform-outside /
+    * aggregate-inside form evaluates its token input once per signature
+    * row (×[[MinhashH]] re-hashes). This folds the token array ONCE,
+    * carrying all [[MinhashH]] running minima as the accumulator — min
+    * is commutative, so the flipped fold is value-identical. */
+  def minhashFromHashes(tokenHashes: Column): Column =
+    aggregate(tokenHashes,
+      array_repeat(lit(Mod), MinhashH),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(MinhashH - 1)),
+        (m, i) => least(m, ((lit(2L) * i + 1L) * h + lit(7919L) * i) % Mod)))
 
   /** LSH band key: ordered fold of the band's signature rows. */
   def bandKey(sig: Column, band: Column): Column =
