@@ -99,11 +99,16 @@ object TextFunctions {
   def simhash(text: Column): Column = {
     val hs = transform(toks(text), t => tokenHash(t))
     val pow2 = (b: Column) => pow(lit(2.0), b).cast("long")
-    aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, b) => {
-      val vote = aggregate(hs, lit(0L), (s, h) =>
-        s + when(h % (pow2(b) * 2L) >= pow2(b), 1L).otherwise(-1L))
-      acc + when(vote > 0, pow2(b)).otherwise(lit(0L))
-    })
+    // fold the token hashes ONCE carrying all 32 vote counters (votes
+    // sum commutatively), then fold the votes to the bit pattern — the
+    // bits-outside/tokens-inside form re-evaluates the token-hash array
+    // once per bit under interpreted HOF evaluation (×32 re-hash)
+    val votes = aggregate(hs, array_repeat(lit(0L), 32),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(31)),
+        (v, b) => v + when(h % (pow2(b) * 2L) >= pow2(b), 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, sequence(lit(0), lit(31)),
+        (v, b) => when(v > 0, pow2(b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Jaccard similarity of two pre-distinct arrays — exact rational from
