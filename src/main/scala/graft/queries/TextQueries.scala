@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -142,6 +143,85 @@ object TextQueries extends QueryProvider {
         round(en.cast("double") / nTok, 4).as("stop_ratio"),
         when(nTok >= 20 && en * 20 >= nTok && punct * 5 <= length(txt), 1)
           .otherwise(0).as("quality_flag"))
+    }),
+    // Repetition signals (the Gopher-style "repetitious document" filters):
+    // top-token fraction = count of the most frequent token / n_tokens,
+    // and duplicate-bigram fraction = 1 − distinct/total bigrams. The max
+    // token frequency is the longest run in the SORTED token array — one
+    // array_sort + one aggregate fold per row, no explode/groupBy, so the
+    // whole operator is a shuffle-free projection (the oracle computes it
+    // the explicit unnest+groupBy way; same result, different plan).
+    "repetition_signals" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = toks(lower(col("text")))
+      val best = aggregate(
+        array_sort(t),
+        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(lit(1))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("best"), run).as("best"))
+        },
+        acc => acc.getField("best"))
+      val bg = graft.functions.TextFunctions.bigrams(t)
+      d.select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        best.as("top_token_count"),
+        round(best.cast("double") / size(t), 4).as("top_token_frac"),
+        when(size(bg) > 0,
+          round(lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg), 4))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+    }),
+    // TF-IDF top-3 terms per document — the keyword-extraction pass of a
+    // data-curation pipeline. tf gets map-side partial agg (shuffle ∝
+    // distinct (doc,token) pairs); df is vocab-sized; the tf⋈df join is an
+    // equi-join AQE can broadcast when the vocab fits; the final top-3 is
+    // a rank-limit window Spark rewrites to WindowGroupLimit (per-partition
+    // partial top-k before the doc_id shuffle). Ranking is on the ROUNDED
+    // score with a token tie-break so both engines rank identically.
+    "tfidf_top3" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val nDocs = d.count() // one metadata-only parquet count job
+      val tf = d.select(col("doc_id"), explode(toks(lower(col("text")))).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))
+      tf.join(df, "token")
+        .withColumn("tfidf", round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("tfidf"), col("rnk"))
+    }),
+    // Deterministic stratified sample: the first 20 docs per language in
+    // content-fingerprint order — a reproducible, RNG-free per-stratum
+    // subsample (same selection on any engine/run, dup texts collide to
+    // adjacent ranks). rank-limit windows become WindowGroupLimit: each
+    // input partition keeps its local top-20 per lang BEFORE the shuffle,
+    // so shuffle volume is ∝ 20·strata·partitions, not corpus size.
+    "sample_stratified" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val w = Window.partitionBy("lang").orderBy(col("fp"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"), docFingerprint(col("text")).as("fp"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 20)
+    }),
+    // Quantile-threshold filter: keep docs at or above the 75th length
+    // percentile WITHIN their language — the "drop the short tail" curation
+    // step, expressed as percent_rank over a unique (n_chars, doc_id) order
+    // so the rank (and thus the kept set) is engine-independent.
+    // percent_rank = (rank−1)/(n−1) is an exact integer ratio in both
+    // engines; the filter runs on the raw value, the output is rounded.
+    "length_percentile" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"), col("n_chars"),
+          percent_rank().over(w).as("pr"))
+        .where(col("pr") >= 0.75)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(col("pr"), 4).as("pct_rank"))
     })
   )
 
@@ -231,6 +311,56 @@ object TextQueries extends QueryProvider {
          |              AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) * 5
          |                  <= length(text)
          |            THEN 1 ELSE 0 END AS quality_flag
-         |FROM (SELECT doc_id, lower(text) AS text FROM documents)""".stripMargin
+         |FROM (SELECT doc_id, lower(text) AS text FROM documents)""".stripMargin,
+    "repetition_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |f AS (SELECT doc_id, max(c) AS best FROM (
+        |        SELECT doc_id, token, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(tk) AS token FROM t)
+        |        GROUP BY doc_id, token)
+        |      GROUP BY doc_id),
+        |b AS (SELECT doc_id,
+        |        len(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS nbg,
+        |        len(list_distinct(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]))) AS ndist
+        |      FROM t)
+        |SELECT t.doc_id,
+        |       CAST(len(t.tk) AS INT) AS n_tokens,
+        |       CAST(f.best AS INT) AS top_token_count,
+        |       round(CAST(f.best AS DOUBLE) / len(t.tk), 4) AS top_token_frac,
+        |       round(CASE WHEN b.nbg > 0 THEN 1.0 - CAST(b.ndist AS DOUBLE) / b.nbg
+        |                  ELSE 0.0 END, 4) AS dup_bigram_frac
+        |FROM t JOIN f USING (doc_id) JOIN b USING (doc_id)""".stripMargin,
+    "tfidf_top3" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |             round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) AS tfidf
+        |      FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                  ORDER BY tfidf DESC, token) AS rnk FROM s)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       tfidf, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
+    "sample_stratified" -> {
+      import graft.functions.TextFunctions.{sqlTokenHash, Mod}
+      val fp = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})), " +
+        s"(a, b) -> (a * 31 + b) % $Mod)"
+      s"""SELECT doc_id, lang, fp, CAST(rn AS INT) AS rn
+         |FROM (SELECT doc_id, lang, fp,
+         |             row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rn
+         |      FROM (SELECT doc_id, lang, $fp AS fp FROM documents))
+         |WHERE rn <= 20""".stripMargin
+    },
+    "length_percentile" ->
+      """SELECT doc_id, lang, n_chars, round(pr, 4) AS pct_rank
+        |FROM (SELECT doc_id, lang, n_chars,
+        |             percent_rank() OVER (PARTITION BY lang
+        |                                  ORDER BY n_chars, doc_id) AS pr
+        |      FROM documents)
+        |WHERE pr >= 0.75""".stripMargin
   )
 }

@@ -141,6 +141,22 @@ object VectorQueries extends QueryProvider {
           round(col("mv")(0), 4).as("proj_sum"),
           round(col("mv")(1), 4).as("proj_alt"))
     }),
+    // Predicate-filtered kNN: restrict the corpus by a metadata predicate
+    // BEFORE the kernel — the "filtered vector search" every vector store
+    // exposes. The filter is a plain scan predicate, so it reaches the
+    // parquet reader (PushedFilters) and the kNN kernel only ever sees the
+    // qualifying rows; at 100 TB the selectivity multiplies straight
+    // through the scan, unlike post-filtering a top-k (which under-fills k).
+    "knn_flat_filtered" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir)
+      val corpus = v.where(col("label") <= 4).select(col("id"), col("vec"))
+      val queries = v.where(col("id") < QueryIds)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      FlatIndex.knn(corpus, queries, K, Metric.Cosine)
+        .select(
+          col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     // J4 + F17: payload join — kNN neighbors back to document records
     "knn_payload_join" -> ((s, dir) => {
       val (corpus, queries) = vecTables(s, dir)
@@ -158,6 +174,21 @@ object VectorQueries extends QueryProvider {
     "knn_flat_l2" -> knnOracleSql(sqlL2),
     "knn_flat_cosine" -> knnOracleSql(sqlCosine),
     "knn_flat_dot" -> knnOracleSql(s"-($sqlDot)"),
+    "knn_flat_filtered" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $QueryIds),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+         |      FROM embeddings WHERE label <= 4),
+         |d AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id, $sqlCosine AS dist
+         |  FROM q CROSS JOIN v),
+         |r AS (
+         |  SELECT query_id, neighbor_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, round(dist, 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $K""".stripMargin,
     "range_search_l2" ->
       s"""WITH $sqlVecCtes,
          |d AS (

@@ -162,4 +162,18 @@ class PlanQualitySpec extends AnyFunSuite {
         s"float32 drift ${math.abs(d64 - d32) / d64} exceeds $eps")
     }
   }
+
+  test("sample_stratified rank-limit becomes WindowGroupLimit (partial top-n before the shuffle)") {
+    val plan = planOf(
+      graft.queries.TextQueries.queries("sample_stratified")(spark, TestSession.Sf0001))
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rn<=20 filter to push a WindowGroupLimit below the lang shuffle:\n$plan")
+  }
+
+  test("knn_flat_filtered pushes the label predicate into the parquet scan") {
+    val plan = planOf(
+      graft.queries.VectorQueries.queries("knn_flat_filtered")(spark, TestSession.Sf0001))
+    assert(plan.contains("LessThanOrEqual(label,4)") || plan.contains("label <= 4"),
+      s"expected the label filter in PushedFilters / scan predicates:\n$plan")
+  }
 }

