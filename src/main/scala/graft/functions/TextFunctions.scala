@@ -29,6 +29,23 @@ object TextFunctions {
       slice(tokens, lit(2), size(tokens) - 1),
       (a, b) => concat(a, lit(" "), b))
 
+  /** Count of the most frequent element = longest run in the SORTED array,
+    * as one array_sort + one fold — no explode/groupBy, so callers stay
+    * shuffle-free per-row projections. (The run counter resets to 1 on
+    * every mismatch, so the `prev = ""` seed is safe even when the first
+    * element IS the empty string: 0+1 and the reset both yield 1.) */
+  def maxRun(tokens: Column): Column =
+    aggregate(
+      array_sort(tokens),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Rolling polynomial hash of a token: fold (acc*31 + codepoint) % Mod.
     * (Spark's split("") emits a trailing "" that DuckDB's doesn't —
     * filtered out; both then agree, including on empty tokens → 0.) */

@@ -30,6 +30,30 @@ object MultimodalQueries extends QueryProvider {
         col("meta")("source").as("source"),
         col("meta")("lang").as("lang"))
     }),
+    // Chunked-decode work plan: each payload split into fixed 64-byte
+    // chunks with (offset, length, content fingerprint) — the unit of
+    // work a distributed blob decoder fans out over (chunk → decode →
+    // reassemble by (media_id, chunk_idx)). Pure projection + explode:
+    // rows ∝ total payload bytes / 64, never a shuffle. The fingerprint
+    // is the stub decode (same plug point as byteHistogram); payloads
+    // here are ASCII text so char offsets ≡ byte offsets on both engines.
+    "media_chunk_plan" -> ((s, dir) => {
+      val Chunk = 64
+      val d = Tables.load(s, dir, "documents").where(length(col("text")) > 0)
+      val nb = length(col("text"))
+      val len = (i: org.apache.spark.sql.Column) => least(lit(Chunk), nb - i * Chunk)
+      val plan = transform(
+        sequence(lit(0), ceil(nb.cast("double") / Chunk).cast("int") - 1),
+        i => struct(
+          i.cast("int").as("chunk_idx"),
+          (i * Chunk).cast("long").as("off"),
+          len(i).cast("long").as("len"),
+          graft.functions.TextFunctions
+            .tokenHash(col("text").substr(i * Chunk + 1, len(i))).as("chunk_fp")))
+      d.select(col("doc_id").as("media_id"), explode(plan).as("c"))
+        .select(col("media_id"), col("c.chunk_idx"), col("c.off"),
+          col("c.len"), col("c.chunk_fp"))
+    }),
     // Frame-sample plan: stride indices for a fake per-doc frame count
     "media_frame_sample" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -59,6 +83,21 @@ object MultimodalQueries extends QueryProvider {
         |       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         |       source, lang
         |FROM documents""".stripMargin,
+    "media_chunk_plan" -> {
+      import graft.functions.TextFunctions.sqlTokenHash
+      val chunk = "substring(text, CAST(i*64+1 AS BIGINT), CAST(least(64, nb - i*64) AS BIGINT))"
+      s"""WITH d AS (SELECT doc_id AS media_id, text, length(text) AS nb
+         |           FROM documents WHERE length(text) > 0),
+         |c AS (SELECT media_id, text, nb,
+         |             unnest(range(0, CAST(ceil(nb / 64.0) AS BIGINT))) AS i
+         |      FROM d)
+         |SELECT media_id,
+         |       CAST(i AS INT) AS chunk_idx,
+         |       CAST(i * 64 AS BIGINT) AS off,
+         |       CAST(least(64, nb - i * 64) AS BIGINT) AS len,
+         |       ${sqlTokenHash(chunk)} AS chunk_fp
+         |FROM c""".stripMargin
+    },
     "media_frame_sample" ->
       """WITH d AS (SELECT doc_id AS media_id, n_chars % 240 + 10 AS n_frames FROM documents)
         |SELECT media_id, n_frames, CAST(j.j AS INT) AS j,

@@ -154,16 +154,7 @@ object TextQueries extends QueryProvider {
     "repetition_signals" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val t = toks(lower(col("text")))
-      val best = aggregate(
-        array_sort(t),
-        struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
-            .otherwise(lit(1))
-          struct(x.as("prev"), run.as("run"),
-            greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
+      val best = graft.functions.TextFunctions.maxRun(t)
       val bg = graft.functions.TextFunctions.bigrams(t)
       d.select(
         col("doc_id"),

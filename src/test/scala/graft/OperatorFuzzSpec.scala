@@ -130,6 +130,23 @@ class OperatorFuzzSpec extends AnyFunSuite {
     runProp(prop)
   }
 
+  test("maxRun ≡ max groupBy-count on random token lists (incl. empty-string tokens)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val tokenListGen: Gen[List[String]] =
+      Gen.choose(0, 15).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "")))
+    val prop = Prop.forAll(Gen.listOfN(8, tokenListGen)) { lists =>
+      val got = lists.toDF("tk")
+        .select(graft.functions.TextFunctions.maxRun(col("tk")).as("m"))
+        .as[Int].collect().toList
+      val want = lists.map(l =>
+        if (l.isEmpty) 0 else l.groupBy(identity).values.map(_.length).max)
+      got == want
+    }
+    runProp(prop)
+  }
+
   /** (doc_id, text) corpora from a 6-word vocabulary — band collisions
     * on purpose so the drop path dominates. */
   private val corpusGen: Gen[List[(Long, String)]] =
