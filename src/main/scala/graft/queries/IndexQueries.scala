@@ -46,6 +46,22 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // Query-time filtered IVF search: the index stays whole (trained and
+    // assigned over the FULL corpus — retraining per predicate would be
+    // absurd at scale); the metadata filter prunes the assigned table
+    // between index scan and kernel, where Catalyst pushes it into the
+    // parquet read. Composability check: probe pruning and predicate
+    // filtering are independent row reductions, so the result is exactly
+    // "IVF search over the qualifying subset" — which the oracle computes
+    // from the same full-corpus centroids.
+    "knn_ivf_filtered" -> ((s, dir) => {
+      val v = graft.core.Tables.vectors(s, dir)
+      val (_, queries, model) = detIvf(s, dir)
+      val assigned = IvfIndex.assign(v, model)
+      IvfIndex.search(assigned.where(col("label") <= 4), model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     // PQ encode (pq.go:245-270) — long format (id, m, code), exact ints
     "pq_encode_det" -> ((s, dir) => {
       val (corpus, _) = vecTables(s, dir)
@@ -248,6 +264,18 @@ object IndexQueries extends QueryProvider {
          |$probeCtes,
          |cand AS (SELECT p.query_id, a.id AS neighbor_id, ${sqlL2SqG("qv", "ev")} AS d2
          |         FROM probes p JOIN assign a ON a.cluster_id = p.bucket),
+         |r AS (SELECT query_id, neighbor_id, d2,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+         |      FROM cand)
+         |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "knn_ivf_filtered" ->
+      s"""WITH $base,
+         |$probeCtes,
+         |flt AS (SELECT a.id, a.ev, a.cluster_id FROM assign a
+         |        JOIN embeddings em ON em.vec_id = a.id WHERE em.label <= 4),
+         |cand AS (SELECT p.query_id, a.id AS neighbor_id, ${sqlL2SqG("qv", "ev")} AS d2
+         |         FROM probes p JOIN flt a ON a.cluster_id = p.bucket),
          |r AS (SELECT query_id, neighbor_id, d2,
          |      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
          |      FROM cand)
