@@ -22,15 +22,16 @@ import graft.core.Metric
   * executor core's memory, so the design scales horizontally: 100 TB is
   * just more shards, not a bigger graph.
   *
-  * Shard sizing (measured, not asserted — BENCH_LOCAL_r5.json
-  * `hnsw_s{4,8,16}_*` sweep at 100k×128): more, smaller shards build
-  * faster AND merge closer to exact (4 shards: 89 s build / 0.63
-  * recall@10; 8: 45 s / 0.76; 16: 12 s / 0.87; 32: 6.7 s / 0.95 —
-  * each shard contributes its true local top-k, so the union tightens
-  * as shards grow), while batch QPS peaks mid-sweep (s8: 1063) where
-  * per-graph walk depth and fan-out cost balance. Default to ≥ 1 shard
-  * per executor core and shrink shards further when recall matters
-  * more than per-query fan-out.
+  * Shard sizing (measured, not asserted — `hnsw_s{4,8,16}_*` sweep at
+  * 100k×128, BENCH_LOCAL_r5 and _r5b runs agree on shape): more,
+  * smaller shards build faster AND merge closer to exact (recall@10
+  * 0.63 → 0.76 → 0.87 → 0.95 across 4/8/16/32 shards — each shard
+  * contributes its true local top-k, so the union tightens as shards
+  * grow), batch QPS peaks mid-sweep at 8 shards in both runs (1063 /
+  * 943) where per-graph walk depth and fan-out cost balance, and
+  * single-query serving holds 13–16 ms p50 at every point. Default to
+  * ≥ 1 shard per executor core and shrink shards further when recall
+  * matters more than per-query fan-out.
   *
   * Determinism (an intentional refinement over the reference, which
   * draws levels from `math/rand` — hnsw.go:283-289): the level of node
