@@ -179,7 +179,8 @@ object Bench {
       "q_events_hourly", "near_dup_minhash", "dedup_exact_groups", "doc_fingerprint",
       "events_sessionize", "knn_ivf_det", "knn_pq_det", "knn_ivfpq_det", "knn_lsh",
       "vocab_topk", "near_dup_keepers", "doc_split", "contamination_8gram",
-      "repetition_signals", "tfidf_top3", "sample_stratified", "knn_flat_filtered")
+      "repetition_signals", "tfidf_top3", "sample_stratified", "knn_flat_filtered",
+      "dedup_components")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

@@ -64,32 +64,22 @@ object DedupQueries extends QueryProvider {
     // band buckets collide for most pairs and the candidate set approaches
     // all-pairs. Real near-dup corpora are sparse; the banding structure is
     // what scales, the cap keeps the worst case bounded here.
-    "near_dup_minhash" -> ((s, dir) => {
-      val d = Tables.load(s, dir, "documents")
-        .where(col("doc_id") < MinhashDocCap)
-        .select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"),
-          minhashSig(col("text")).as("sig"))
-      // the band self-join carries ONLY (doc_id, band, key) — token arrays
-      // ride along AFTER the distinct pair set is known, so the wide rows
-      // never enter the candidate shuffle (VERDICT r2 #10: the wide-row
-      // band join is what breaks at 100 TB)
-      val bands = d
-        .select(col("doc_id"),
-          explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
-        .select(col("doc_id"), col("band"), bandKey(col("sig"), col("band")).as("key"))
-      val cand = bands.alias("a")
-        .join(bands.alias("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      val toksOnly = d.select(col("doc_id"), col("ts"))
-      cand
-        .join(toksOnly.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
-        .join(toksOnly.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
-        .withColumn("jaccard", jaccard(col("ts_a"), col("ts_b")))
-        .where(col("jaccard") >= JaccardThreshold)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    "near_dup_minhash" -> ((s, dir) =>
+      verifiedPairs(s, dir)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+    // Duplicate CLUSTERS from the verified pair set: connected components
+    // by min-label propagation — the step between "these pairs are dups"
+    // and "keep one representative per group" (a pair list alone can't
+    // dedup transitively: A~B, B~C must collapse to ONE keeper). comp =
+    // min doc_id reachable; every capped doc is labeled, singletons keep
+    // their own id. The oracle computes the same labels as a DuckDB
+    // recursive reachability CTE.
+    "dedup_components" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").where(col("doc_id") < MinhashDocCap)
+      graft.operators.ConnectedComponents
+        .label(d.select(col("doc_id").as("id")),
+          verifiedPairs(s, dir).select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("comp"))
     }),
     // Batch form of the incremental (streaming) near-dup keeper rule:
     // kept iff no smaller doc_id shares an LSH band key. Same result as
@@ -153,6 +143,35 @@ object DedupQueries extends QueryProvider {
     })
   )
 
+  /** MinHash+LSH banding → candidate pairs → exact Jaccard verify, with
+    * the raw (unrounded) jaccard column. Shared by `near_dup_minhash` and
+    * `dedup_components`. The band self-join carries ONLY (doc_id, band,
+    * key) — token arrays ride along AFTER the distinct pair set is known,
+    * so the wide rows never enter the candidate shuffle (VERDICT r2 #10:
+    * the wide-row band join is what breaks at 100 TB). */
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < MinhashDocCap)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"),
+        minhashSig(col("text")).as("sig"))
+    val bands = d
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+      .select(col("doc_id"), col("band"), bandKey(col("sig"), col("band")).as("key"))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val toksOnly = d.select(col("doc_id"), col("ts"))
+    cand
+      .join(toksOnly.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
+      .join(toksOnly.select(col("doc_id").as("id_b"), col("ts").as("ts_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("ts_a"), col("ts_b")))
+      .where(col("jaccard") >= JaccardThreshold)
+  }
+
   private val tCte =
     "t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents)"
   private def tCteCapped =
@@ -183,6 +202,25 @@ object DedupQueries extends QueryProvider {
          |SELECT c.id_a, c.id_b, round(${sqlJaccard("ta.ts", "tb.ts")}, 4) AS jaccard
          |FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
          |WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= $JaccardThreshold""".stripMargin,
+    "dedup_components" ->
+      s"""WITH RECURSIVE $tCteCapped,
+         |s AS (SELECT doc_id, ts, ${sqlMinhashSig("ts")} AS sig FROM t),
+         |bands AS (SELECT doc_id, b AS band, ${sqlBandKey("sig", "b")} AS key
+         |          FROM s, range(0, $Bands) AS r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT c.id_a, c.id_b
+         |          FROM cand c JOIN t ta ON ta.doc_id = c.id_a
+         |                      JOIN t tb ON tb.doc_id = c.id_b
+         |          WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= $JaccardThreshold),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT e.a, reach.m FROM e JOIN reach ON reach.n = e.b)
+         |SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n""".stripMargin,
     "near_dup_keepers" ->
       s"""WITH $tCteCapped,
          |s AS (SELECT doc_id, ${sqlMinhashSig("ts")} AS sig FROM t),

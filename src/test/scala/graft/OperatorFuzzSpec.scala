@@ -130,6 +130,34 @@ class OperatorFuzzSpec extends AnyFunSuite {
     runProp(prop)
   }
 
+  test("ConnectedComponents.label ≡ union-find on random graphs (chains, cliques, isolates)") {
+    import spark.implicits._
+    val graphGen: Gen[(Int, List[(Long, Long)])] = for {
+      n <- Gen.choose(1, 30)
+      ne <- Gen.choose(0, 40)
+      edges <- Gen.listOfN(ne, for {
+        a <- Gen.choose(0L, n - 1L)
+        b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield (n, edges.filter(e => e._1 != e._2))
+    val prop = Prop.forAll(graphGen) { case (n, edges) =>
+      val nodes = (0L until n.toLong).toDF("id")
+      val edgesDf = edges.toDF("id_a", "id_b")
+      val got = graft.operators.ConnectedComponents.label(nodes, edgesDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      got == want
+    }
+    runProp(prop, tests = 10)
+  }
+
   test("maxRun ≡ max groupBy-count on random token lists (incl. empty-string tokens)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
