@@ -7,22 +7,33 @@ import org.apache.spark.sql.functions._
   * the clustering step that turns verified near-duplicate PAIRS into
   * duplicate GROUPS (pick one keeper per component, drop the rest).
   *
-  * Each iteration is two equi-joins and a min-aggregation, all keyed on
-  * the node id — no cross products, no driver-side graph. Convergence
-  * takes diameter(G) rounds; near-dup graphs are unions of small dense
-  * clusters (diameter 2–3 in practice), so the loop is short. For
-  * adversarial long-chain graphs the large-star/small-star rewrite
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond")
-  * drops this to O(log n) rounds; plain propagation is kept here because
-  * near-dup components are shallow and the semantics stay expressible as
-  * the DuckDB reachability oracle.
+  * Two paths under one contract (the Centroids.lloydLocal pattern —
+  * bounded driver-local fast path, distributed general path above it):
   *
-  * Per-round frames are materialized via cache()+count() so each
-  * iteration's plan reads the previous labels once instead of replaying
-  * the whole lineage; the previous round is unpersisted as soon as the
-  * next is resident.
+  *  - edge sets under [[LocalEdgeBudget]] collect to the driver and run
+  *    union-find (the NODE table is never collected — only edge-touched
+  *    nodes get a broadcast label map, everything else keeps its own id
+  *    via a left join). Near-dup edge sets are bounded by the candidate
+  *    join's selectivity, so this is the common case even when the
+  *    corpus is not collectable.
+  *  - larger edge sets run iterative min-label propagation: each round
+  *    is two equi-joins and a min-aggregation keyed on node id — no
+  *    cross products, no driver-side graph. Convergence takes
+  *    diameter(G) rounds; near-dup graphs are unions of small dense
+  *    clusters (diameter 2–3). For adversarial long chains the
+  *    large-star/small-star rewrite (Kiveris et al., "Connected
+  *    Components in MapReduce and Beyond") drops this to O(log n)
+  *    rounds; plain propagation is kept because near-dup components are
+  *    shallow and the semantics stay expressible as the DuckDB
+  *    reachability oracle. Per-round frames are materialized via
+  *    cache()+count; convergence is detected by the strictly-decreasing
+  *    label sum (labels only move down), one scalar agg per round
+  *    instead of a change-count join.
   */
 object ConnectedComponents {
+
+  /** Driver-local pairs budget: 2²² edges ≈ 64 MB of longs. */
+  val LocalEdgeBudget: Long = 1L << 22
 
   /** Label every node with the minimum node id reachable from it.
     *
@@ -32,12 +43,58 @@ object ConnectedComponents {
     *              duplicates are irrelevant
     * @return `(id, comp)` with `comp` = min reachable id
     */
-  def label(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def label(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+      localEdgeBudget: Long = LocalEdgeBudget): DataFrame = {
+    val e = edges.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b")).cache()
+    val result =
+      if (e.count() <= localEdgeBudget) labelLocal(nodes, e)
+      else labelDistributed(nodes, e, maxIter)
+    e.unpersist()
+    result
+  }
+
+  /** Driver union-find over the collected edge list; nodes stay
+    * distributed and pick up their label through a broadcast left join
+    * (missing ⇒ isolated ⇒ own id). */
+  private[operators] def labelLocal(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      // path compression
+      var c = x
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val compRows = parent.keySet.asScala.toSeq.map(id => (id, find(id)))
+    val compDf = compRows.toDF("id", "c")
+    nodes.select(col("id"))
+      .join(broadcast(compDf), Seq("id"), "left")
+      .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
+  }
+
+  /** Iterative min-label propagation — the path for edge sets too large
+    * to collect. */
+  private[operators] def labelDistributed(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int): DataFrame = {
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     var labels = nodes.select(col("id"), col("id").as("comp")).cache()
-    labels.count()
+    // label sum decreases strictly while any label can still shrink
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -47,13 +104,11 @@ object ConnectedComponents {
       val next = labels.select(col("id"), col("comp")).union(viaNeighbor)
         .groupBy("id").agg(min("comp").as("comp"))
         .cache()
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .where(col("comp") =!= col("prev"))
-        .count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     adj.unpersist()

@@ -199,6 +199,42 @@ object TextQueries extends QueryProvider {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") <= 20)
     }),
+    // Corpus reporting: per-source document/token/vocabulary counts — the
+    // "what's in this crawl" summary pass. One groupBy(source) with
+    // map-side partials for the sums; the distinct-vocabulary count is a
+    // second agg keyed (source, token), shuffle ∝ per-source vocab.
+    "corpus_stats_by_source" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = toks(lower(col("text")))
+      val base = d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(t)).as("n_tokens"),
+        sum(length(col("text"))).as("n_chars_t"))
+      val vocab = d.select(col("source"), explode(array_distinct(t)).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("df"))
+        .groupBy("source").agg(count(lit(1)).as("n_vocab"))
+      base.join(vocab, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars_t"), col("n_vocab"))
+    }),
+    // Heuristic-eval reporting: confusion matrix of the lang_id argmax
+    // against the labeled lang column — the accuracy readout any
+    // classifier-based curation filter needs. Pure re-aggregation of the
+    // lang_id projection.
+    "lang_confusion" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = toks(lower(col("text")))
+      val en = hits(t, enWords)
+      val de = hits(t, deWords)
+      val fr = hits(t, frWords)
+      d.select(
+          col("lang").as("lang_actual"),
+          when(en >= de && en >= fr, "en")
+            .when(de >= fr, "de")
+            .otherwise("fr").as("lang_pred"))
+        .groupBy("lang_actual", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+    }),
     // Quantile-threshold filter: keep docs at or above the 75th length
     // percentile WITHIN their language — the "drop the short tail" curation
     // step, expressed as percent_rank over a unique (n_chars, doc_id) order
@@ -346,6 +382,29 @@ object TextQueries extends QueryProvider {
          |      FROM (SELECT doc_id, lang, $fp AS fp FROM documents))
          |WHERE rn <= 20""".stripMargin
     },
+    "corpus_stats_by_source" ->
+      """WITH d AS (SELECT doc_id, source, lower(text) AS text,
+        |                  string_split(lower(text), ' ') AS tk FROM documents),
+        |base AS (SELECT source, count(*) AS n_docs,
+        |                CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+        |                CAST(sum(length(text)) AS BIGINT) AS n_chars_t
+        |         FROM d GROUP BY source),
+        |v AS (SELECT source, count(*) AS n_vocab FROM (
+        |        SELECT DISTINCT source, token FROM (
+        |          SELECT source, unnest(list_distinct(tk)) AS token FROM d))
+        |      GROUP BY source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars_t,
+        |       CAST(n_vocab AS BIGINT) AS n_vocab
+        |FROM base JOIN v USING (source)""".stripMargin,
+    "lang_confusion" ->
+      s"""SELECT lang AS lang_actual,
+         |       CASE WHEN ${sqlHits(enWords)} >= ${sqlHits(deWords)}
+         |              AND ${sqlHits(enWords)} >= ${sqlHits(frWords)} THEN 'en'
+         |            WHEN ${sqlHits(deWords)} >= ${sqlHits(frWords)} THEN 'de'
+         |            ELSE 'fr' END AS lang_pred,
+         |       count(*) AS n
+         |FROM (SELECT lower(text) AS text, lang FROM documents)
+         |GROUP BY 1, 2""".stripMargin,
     "length_percentile" ->
       """SELECT doc_id, lang, n_chars, round(pr, 4) AS pct_rank
         |FROM (SELECT doc_id, lang, n_chars,

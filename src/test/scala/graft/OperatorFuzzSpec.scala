@@ -143,8 +143,6 @@ class OperatorFuzzSpec extends AnyFunSuite {
     val prop = Prop.forAll(graphGen) { case (n, edges) =>
       val nodes = (0L until n.toLong).toDF("id")
       val edgesDf = edges.toDF("id_a", "id_b")
-      val got = graft.operators.ConnectedComponents.label(nodes, edgesDf)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // reference union-find
       val parent = Array.tabulate(n)(identity)
       def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
@@ -153,9 +151,16 @@ class OperatorFuzzSpec extends AnyFunSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val want = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
-      got == want
+      // default routing (driver-local union-find under the edge budget)
+      val local = graft.operators.ConnectedComponents.label(nodes, edgesDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // forced distributed propagation (budget 0 ⇒ always the join loop)
+      val dist = graft.operators.ConnectedComponents
+        .label(nodes, edgesDf, localEdgeBudget = -1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      local == want && dist == want
     }
-    runProp(prop, tests = 10)
+    runProp(prop, tests = 8)
   }
 
   test("maxRun ≡ max groupBy-count on random token lists (incl. empty-string tokens)") {
