@@ -81,6 +81,19 @@ object DedupQueries extends QueryProvider {
           verifiedPairs(s, dir).select(col("id_a"), col("id_b")))
         .select(col("id").as("doc_id"), col("comp"))
     }),
+    // The dedup end state: one survivor per duplicate cluster (the
+    // component representative). Transitively correct where a pairwise
+    // keeper rule is not: in a chain A~B, B~C with A≁C, pairwise "drop
+    // the larger of each pair" keeps only A, but B was the only link —
+    // component labeling keeps exactly one doc per CONNECTED group.
+    "dedup_survivors" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").where(col("doc_id") < MinhashDocCap)
+      graft.operators.ConnectedComponents
+        .label(d.select(col("doc_id").as("id")),
+          verifiedPairs(s, dir).select(col("id_a"), col("id_b")))
+        .where(col("id") === col("comp"))
+        .select(col("id").as("doc_id"))
+    }),
     // Batch form of the incremental (streaming) near-dup keeper rule:
     // kept iff no smaller doc_id shares an LSH band key. Same result as
     // replaying the corpus through IncrementalNearDup.stream in doc_id
@@ -221,6 +234,25 @@ object DedupQueries extends QueryProvider {
          |  UNION
          |  SELECT e.a, reach.m FROM e JOIN reach ON reach.n = e.b)
          |SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n""".stripMargin,
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $tCteCapped,
+         |s AS (SELECT doc_id, ts, ${sqlMinhashSig("ts")} AS sig FROM t),
+         |bands AS (SELECT doc_id, b AS band, ${sqlBandKey("sig", "b")} AS key
+         |          FROM s, range(0, $Bands) AS r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT c.id_a, c.id_b
+         |          FROM cand c JOIN t ta ON ta.doc_id = c.id_a
+         |                      JOIN t tb ON tb.doc_id = c.id_b
+         |          WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= $JaccardThreshold),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT e.a, reach.m FROM e JOIN reach ON reach.n = e.b)
+         |SELECT n AS doc_id FROM reach GROUP BY n HAVING n = min(m)""".stripMargin,
     "near_dup_keepers" ->
       s"""WITH $tCteCapped,
          |s AS (SELECT doc_id, ${sqlMinhashSig("ts")} AS sig FROM t),
