@@ -170,6 +170,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected the rn<=20 filter to push a WindowGroupLimit below the lang shuffle:\n$plan")
   }
 
+  test("tfidf_top3: partial tf agg, rank-limit WindowGroupLimit, no cartesian join") {
+    val df = graft.queries.TextQueries.queries("tfidf_top3")(spark, TestSession.Sf0001)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the rnk<=3 filter to push a WindowGroupLimit below the doc shuffle:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"expected hash aggregation for tf/df counts:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"tf⋈df must stay an equi-join:\n$plan")
+  }
+
   test("knn_flat_filtered pushes the label predicate into the parquet scan") {
     val plan = planOf(
       graft.queries.VectorQueries.queries("knn_flat_filtered")(spark, TestSession.Sf0001))
