@@ -25,9 +25,13 @@ import graft.index._
   *  - the one known superlinear row (the MLlib BRP join) runs FIRST among
   *    the vector sections, not last, so its execution-memory spike cannot
   *    perturb anything measured after it;
-  *  - `[bench-section]` stderr lines record heap-used and cumulative GC
-  *    time per section, next to `calib_mflops`, so a reader can attribute
-  *    any residual drift to process health instead of guessing;
+  *  - per-section telemetry rows live IN the results map (`<name>_heap_mb`,
+  *    `<name>_gc_ms`, `<name>_calib` micro-burst) — r5's stderr-only
+  *    `[bench-section]` lines were truncated from the driver artifact, so
+  *    its serving outliers could not be adjudicated; now the evidence
+  *    ships in BENCH JSON itself, and serving sections whose p50 blows
+  *    past 10× the batch-amortized latency re-measure once and emit both
+  *    attempts (`*_retry` rows);
   *  - search sections run once to warm (plan, codegen, broadcast), then
   *    twice timed — the reported time is the min;
   *  - builds are timed single-shot (training is the workload, not noise).
@@ -106,31 +110,84 @@ object Bench {
     total
   }
 
-  /** Per-section process-health telemetry (VERDICT r4 #1): heap used and
-    * cumulative GC time to stderr, so any late-run drift is attributable. */
-  private def logSection(name: String): Unit = {
+  /** Single-thread fused-multiply-add burst → Mflop/s. Shared by the
+    * headline `calib_mflops` row (reps=4096, best of 2 after warm) and the
+    * ~10-25 ms per-section micro-bursts. */
+  private def calibBurst(reps: Int): Double = {
+    val a = Array.tabulate(4096)(i => (i % 97) * 0.5 + 1.0)
+    var acc = 0.0
+    val t0 = System.nanoTime()
+    var rep = 0
+    while (rep < reps) {
+      var i = 0
+      while (i < a.length) { acc += a(i) * 1.0000001 + 0.5; i += 1 }
+      rep += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (acc == Double.MinValue) println(acc) // defeat dead-code elim
+    2.0 * reps * a.length / sec / 1e6
+  }
+
+  private var lastGcMs = 0L
+
+  /** Per-section process-health telemetry, folded INTO the results map
+    * (VERDICT r5 #1: the stderr-only `[bench-section]` lines were truncated
+    * from the driver artifact, so the 523 ms serve_p50 / 12.3 s
+    * searcher_open outliers could not be adjudicated box-contention vs
+    * code regression). Three rows per section: heap used, GC ms spent
+    * *during* the section (delta, not cumulative), and a ~10-25 ms calib
+    * micro-burst sampling box throughput at that exact moment. The stderr
+    * line stays for interactive runs. */
+  private def logSection(results: scala.collection.mutable.LinkedHashMap[String, Double],
+      name: String): Unit = {
     val rt = Runtime.getRuntime
     val usedMb = (rt.totalMemory - rt.freeMemory) >> 20
+    val gc = gcTotalMs
+    results(s"${name}_heap_mb") = usedMb.toDouble
+    results(s"${name}_gc_ms") = (gc - lastGcMs).toDouble
+    results(s"${name}_calib") = calibBurst(2048)
+    lastGcMs = gc
     System.err.println(
-      s"[bench-section] $name heap_used_mb=$usedMb gc_total_ms=$gcTotalMs")
+      s"[bench-section] $name heap_used_mb=$usedMb gc_total_ms=$gc")
   }
 
   /** Serving percentiles: warm twice on the first query, then one timed
-    * call per single → `{prefix}_p{50,95,99}_ms` + `{prefix}_qps` rows. */
+    * call per single → `{prefix}_p{50,95,99}_ms` + `{prefix}_qps` rows.
+    *
+    * Outlier auto-retry (VERDICT r5 #1): when the measured p50 exceeds
+    * max(100 ms, 10× the batch-amortized per-query latency) — healthy
+    * singles sit at Spark's scheduled-job floor, ~15-30 ms — the section
+    * is re-measured ONCE (nothing rebuilt or unpersisted) and BOTH
+    * attempts land in the artifact (`{prefix}_p50_retry_ms` etc.), so a
+    * transient box-contention window is distinguishable from a stable
+    * kernel regression in the driver artifact itself. */
   private def timeSingles(results: scala.collection.mutable.LinkedHashMap[String, Double],
-      prefix: String, singles: Array[Array[Double]])(call: Array[Double] => Unit): Unit = {
-    call(singles.head); call(singles.head) // warmup
-    val times = singles.map { q =>
-      val t0 = System.nanoTime()
-      call(q)
-      (System.nanoTime() - t0) / 1e6
-    }.sorted
-    def pct(p: Double) = times(math.min(times.length - 1, (p * times.length).toInt))
-    results(s"${prefix}_p50_ms") = pct(0.50)
-    results(s"${prefix}_p95_ms") = pct(0.95)
-    results(s"${prefix}_p99_ms") = pct(0.99)
-    results(s"${prefix}_qps") = 1000.0 * times.length / times.sum
-    logSection(prefix)
+      prefix: String, singles: Array[Array[Double]], amortizedMs: Double)(
+      call: Array[Double] => Unit): Unit = {
+    def measure(): Array[Double] = {
+      call(singles.head); call(singles.head) // warmup
+      singles.map { q =>
+        val t0 = System.nanoTime()
+        call(q)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+    }
+    def emit(suffix: String, times: Array[Double]): Double = {
+      def pct(p: Double) = times(math.min(times.length - 1, (p * times.length).toInt))
+      results(s"${prefix}_p50${suffix}_ms") = pct(0.50)
+      results(s"${prefix}_p95${suffix}_ms") = pct(0.95)
+      results(s"${prefix}_p99${suffix}_ms") = pct(0.99)
+      results(s"${prefix}_qps${suffix}") = 1000.0 * times.length / times.sum
+      pct(0.50)
+    }
+    val p50 = emit("", measure())
+    val threshold = math.max(100.0, 10.0 * amortizedMs)
+    if (p50 > threshold) {
+      System.err.println(
+        s"[bench-retry] $prefix p50=${p50}ms > ${threshold}ms — re-measuring once")
+      emit("_retry", measure())
+    }
+    logSection(results, prefix)
   }
 
   def main(args: Array[String]): Unit = {
@@ -156,22 +213,9 @@ object Bench {
     // between identical runs (host-level contention); this row lets a
     // reader normalize timings across rounds instead of guessing. --
     results("calib_mflops") = {
-      def run(): Double = {
-        val a = Array.tabulate(4096)(i => (i % 97) * 0.5 + 1.0)
-        var acc = 0.0
-        val t0 = System.nanoTime()
-        var rep = 0
-        while (rep < 4096) {
-          var i = 0
-          while (i < a.length) { acc += a(i) * 1.0000001 + 0.5; i += 1 }
-          rep += 1
-        }
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (acc == Double.MinValue) println(acc) // defeat dead-code elim
-        2.0 * 4096 * a.length / sec / 1e6
-      }
-      run(); math.max(run(), run()) // warm JIT, report best of 2
+      calibBurst(4096); math.max(calibBurst(4096), calibBurst(4096)) // warm JIT, best of 2
     }
+    lastGcMs = gcTotalMs
 
     // -- headline testdata queries --
     val headline = Seq(
@@ -187,7 +231,7 @@ object Bench {
         results(name) = sec
       }
     }
-    logSection("headline")
+    logSection(results, "headline")
 
     // -- BASELINE-comparable synthetic vector benchmark --
     val vectors = syntheticVectors(spark, benchN, dim, 0L, "id", "vec").cache()
@@ -219,7 +263,7 @@ object Bench {
         .where(col("datasetA.id") < col("datasetB.id")).count()
     }
     results("brp_join_sec") = brpSec
-    logSection("brp_join")
+    logSection(results, "brp_join")
 
     // flat — the exact oracle every recall row compares against
     val (flatRes, flatSec) = searchBest2(() =>
@@ -227,7 +271,7 @@ object Bench {
     results("flat_search_sec") = flatSec
     results("flat_qps") = benchQ / flatSec
     results("flat_recall") = 1.0
-    logSection("flat")
+    logSection(results, "flat")
 
     val nlist = math.max(16, math.sqrt(benchN.toDouble).toInt) // ref: 316 at 100k
     // reference's 5000-row training cap (identical protocol at the 100k
@@ -248,7 +292,7 @@ object Bench {
     results("ivf_qps") = benchQ / ivfSec
     results("ivf_recall") = recallVs(flatRes, ivfRes)
     ivfRes.unpersist()
-    logSection("ivf")
+    logSection(results, "ivf")
 
     // -- nprobe sweep evidence: the reference docs claim 90%+ recall at
     // nprobe=50-100 (docs/benchmarks.md:133-144) but never measured that
@@ -261,7 +305,7 @@ object Bench {
       results("ivf_np50_qps") = benchQ / np50Sec
       results("ivf_np50_recall") = recallVs(flatRes, np50Res)
       np50Res.unpersist()
-      logSection("ivf_np50")
+      logSection(results, "ivf_np50")
     }
 
     // -- single-query serving latency through the IVF probe path (A6:
@@ -271,7 +315,7 @@ object Bench {
     // shuffle — those cost ~1–2 s/call through the DataFrame path. --
     if (serveQ > 0) {
       val server = new graft.query.IvfServer(assigned, ivfModel).warm()
-      timeSingles(results, "serve", singles)(q => server.search(q, K, 10))
+      timeSingles(results, "serve", singles, 1000.0 * ivfSec / benchQ)(q => server.search(q, K, 10))
       server.unpersist()
     }
 
@@ -289,8 +333,18 @@ object Bench {
       val (_, t1) = time(searcher.search(queries).count())
       val (_, t2) = time(searcher.search(queries).count())
       results("searcher_open_search_sec") = math.min(t1, t2)
+      // outlier auto-retry (VERDICT r5 #1): the facade batch should track
+      // the direct IVF kernel within small constants — r5's driver row was
+      // 20× it with no in-artifact evidence. Re-measure once, emit both.
+      if (math.min(t1, t2) > 10.0 * ivfSec) {
+        System.err.println(s"[bench-retry] searcher_open ${math.min(t1, t2)}s > " +
+          s"${10.0 * ivfSec}s — re-measuring once")
+        val (_, r1) = time(searcher.search(queries).count())
+        val (_, r2) = time(searcher.search(queries).count())
+        results("searcher_open_search_retry_sec") = math.min(r1, r2)
+      }
       searcher.close()
-      logSection("searcher_open")
+      logSection(results, "searcher_open")
     }
     assigned.unpersist()
 
@@ -306,10 +360,10 @@ object Bench {
     results("pq_qps") = benchQ / pqSec
     results("pq_recall") = recallVs(flatRes, pqRes)
     pqRes.unpersist()
-    logSection("pq")
+    logSection(results, "pq")
     if (serveQ > 0) {
       val server = new graft.query.PqServer(pqCodes, pqModel).warm()
-      timeSingles(results, "serve_pq", singles)(q => server.search(q, K))
+      timeSingles(results, "serve_pq", singles, 1000.0 * pqSec / benchQ)(q => server.search(q, K))
       server.unpersist()
     }
     pqCodes.unpersist()
@@ -327,10 +381,10 @@ object Bench {
     results("ivfpq_qps") = benchQ / ivfpqSec
     results("ivfpq_recall") = recallVs(flatRes, ivfpqRes)
     ivfpqRes.unpersist()
-    logSection("ivfpq")
+    logSection(results, "ivfpq")
     if (serveQ > 0) {
       val server = new graft.query.IvfPqServer(ivfpqCodes, ivfpqModel).warm()
-      timeSingles(results, "serve_ivfpq", singles)(q => server.search(q, K, 10))
+      timeSingles(results, "serve_ivfpq", singles, 1000.0 * ivfpqSec / benchQ)(q => server.search(q, K, 10))
       server.unpersist()
     }
     ivfpqCodes.unpersist()
@@ -347,7 +401,7 @@ object Bench {
     results("lsh_qps") = benchQ / lshSec
     results("lsh_recall") = recallVs(flatRes, lshRes)
     lshRes.unpersist(); lshIdx.unpersist()
-    logSection("lsh")
+    logSection(results, "lsh")
 
     // Hamming-1 multi-probe LSH: finer buckets (2^planes), 1+planes probed
     // per query — candidate fraction (planes+1)/2^planes ≈ IVF's probe
@@ -363,14 +417,14 @@ object Bench {
     results("lsh_mp_qps") = benchQ / mpSec
     results("lsh_mp_recall") = recallVs(flatRes, mpRes)
     mpRes.unpersist()
-    logSection("lsh_mp")
+    logSection(results, "lsh_mp")
 
     // single-query serving through the LSH bucket mask — IMMEDIATELY after
     // the index it serves (in r4 this section ran ~700 s later, after the
     // HNSW sections, and measured process decay instead of the kernel)
     if (serveQ > 0) {
       val lshServer = new graft.query.LshServer(mpIdx, mpPlanes, Metric.L2).warm()
-      timeSingles(results, "serve_lsh", singles)(q => lshServer.search(q, K))
+      timeSingles(results, "serve_lsh", singles, 1000.0 * mpSec / benchQ)(q => lshServer.search(q, K))
       lshServer.unpersist()
     }
     mpIdx.unpersist()
@@ -399,14 +453,14 @@ object Bench {
         numShards = hnswShards).count())
     results("hnsw_cold_search_sec") = hnswColdSec
     hnswRes.unpersist()
-    logSection("hnsw")
+    logSection(results, "hnsw")
 
     // single-query serving on the HNSW graphs themselves — the
     // reference's actual in-process serving index (search.go:220-228);
     // per query each task walks its resident shard graphs (O(ef·degree)
     // per shard, no corpus scan)
     if (serveQ > 0) {
-      timeSingles(results, "serve_hnsw", singles)(
+      timeSingles(results, "serve_hnsw", singles, 1000.0 * hnswSec / benchQ)(
         q => hnswServer.search(q, K, efSearch = 50))
     }
     hnswServer.unpersist()
@@ -416,7 +470,11 @@ object Bench {
     // fan-out cost against per-graph search depth — the regime where the
     // graph beats the flat scan is rows/shard ≫ bench scale. Recorded so
     // the shard-sizing guidance in HnswIndex's scaladoc is measured.
-    val sweep = sys.env.getOrElse("SPARK_GRAFT_BENCH_HNSW_SWEEP", "4,8,16")
+    // s4 dropped from the default (VERDICT r5 #4): BENCH_r05 measured
+    // hnsw_s4_build 167 s / 181 QPS / recall 0.928 — strictly dominated by
+    // s8 and s16 in build time, QPS and recall across both r5 local runs
+    // and the driver artifact; one sweep point was 20% of bench wall-clock.
+    val sweep = sys.env.getOrElse("SPARK_GRAFT_BENCH_HNSW_SWEEP", "8,16")
     sweep.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).foreach { s =>
       val (g, buildSec) = time {
         val g = HnswIndex.build(vectors, s, Metric.L2).cache(); g.count(); g
@@ -428,10 +486,10 @@ object Bench {
       results(s"hnsw_s${s}_qps") = benchQ / sec
       results(s"hnsw_s${s}_recall") = recallVs(flatRes, res)
       if (serveQ > 0)
-        timeSingles(results, s"serve_hnsw_s$s", singles)(
+        timeSingles(results, s"serve_hnsw_s$s", singles, 1000.0 * sec / benchQ)(
           q => server.search(q, K, efSearch = 50))
       res.unpersist(); server.unpersist(); g.unpersist()
-      logSection(s"hnsw_s$s")
+      logSection(results, s"hnsw_s$s")
     }
 
     flatRes.unpersist(); trainSet.unpersist()

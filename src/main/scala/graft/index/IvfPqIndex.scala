@@ -142,33 +142,41 @@ object IvfPqIndex {
     val bc = spark.sparkContext.broadcast((qids, inv, cbs))
     val partials = codes
       .select(col("id").cast("long"), col("cluster_id"), col("code"))
-      .as[(Long, Int, Seq[Int])]
+      .as[(Long, Int, Array[Int])]
       .mapPartitions { it =>
         val (ids, inverted, cbs) = bc.value
         val heaps = Array.fill(ids.length)(new BoundedTopK(k))
         val ksub = cbs(0).length
         val nClusters = inverted.length
         val seen = new Array[Int](nClusters)
-        // per cluster, per probing query: the M×Ksub ADC table — built
+        // per cluster, per probing query: a FLAT M·Ksub ADC table (entry
+        // mi·ksub + j — one load per subspace, VERDICT r5 #2) — built
         // lazily once this partition has streamed > hoistAt of its rows
-        val tables = new Array[Array[Array[Array[Double]]]](nClusters)
+        val tables = new Array[Array[Array[Double]]](nClusters)
         while (it.hasNext) {
-          val (id, cid, codeSeq) = it.next()
+          val (id, cid, code) = it.next()
           val (qlist, rlist) = inverted(cid)
           if (qlist.length > 0) {
-            val code = codeSeq.toArray
             seen(cid) += 1
             if (tables(cid) == null && seen(cid) > hoistAt) {
               tables(cid) = rlist.map { r =>
-                // entry (mi)(j): same inner fold as the direct form below
-                Array.tabulate(m, ksub) { (mi, j) =>
-                  val row = cbs(mi)(j)
+                // entry mi·ksub + j: same inner fold as the direct form below
+                val out = new Array[Double](m * ksub)
+                var mi = 0
+                while (mi < m) {
                   val off = mi * dsub
-                  var d = 0.0
-                  var i = 0
-                  while (i < dsub) { val x = r(off + i) - row(i); d += x * x; i += 1 }
-                  d
+                  var j = 0
+                  while (j < ksub) {
+                    val row = cbs(mi)(j)
+                    var d = 0.0
+                    var i = 0
+                    while (i < dsub) { val x = r(off + i) - row(i); d += x * x; i += 1 }
+                    out(mi * ksub + j) = d
+                    j += 1
+                  }
+                  mi += 1
                 }
+                out
               }
             }
             val tab = tables(cid)
@@ -182,7 +190,7 @@ object IvfPqIndex {
               var mi = 0
               if (tab != null) {
                 val tt = tab(t)
-                while (mi < m) { acc += tt(mi)(code(mi)); mi += 1 }
+                while (mi < m) { acc += tt(mi * ksub + code(mi)); mi += 1 }
               } else {
                 val r = rlist(t)
                 while (mi < m) {

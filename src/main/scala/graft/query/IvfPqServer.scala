@@ -40,8 +40,10 @@ final class IvfPqServer(codes: DataFrame, model: IvfPqModel) {
   def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
     require(k > 0, s"serving requires k > 0, got $k")
     val np = math.min(math.max(nprobe, 1), model.coarse.nlist)
-    // per-cluster residual ADC table, null = cluster not probed
-    val tables = new Array[Array[Array[Double]]](model.coarse.nlist)
+    // per-cluster FLAT residual ADC table (entry mi·ksub + code), null =
+    // cluster not probed — one load per subspace (VERDICT r5 #2)
+    val tables = new Array[Array[Double]](model.coarse.nlist)
+    val ksub = model.pq.ksub
     IvfIndex.probeSet(q, cents, model.coarse.metric, np).foreach { c =>
       val cent = cents(c)
       val r = new Array[Double](q.length)
@@ -62,7 +64,7 @@ final class IvfPqServer(codes: DataFrame, model: IvfPqModel) {
             val off = r * m
             var d = 0.0
             var mi = 0
-            while (mi < m) { d += tab(mi)(blk.codes(off + mi)); mi += 1 }
+            while (mi < m) { d += tab(mi * ksub + blk.codes(off + mi)); mi += 1 }
             merge.insert(blk.ids(r), d)
           }
           r += 1

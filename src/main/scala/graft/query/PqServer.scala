@@ -32,7 +32,10 @@ final class PqServer(codes: DataFrame, model: PqModel) {
   /** One query → top-k (id, distance, rank), driver-merged. */
   def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
     require(k > 0, s"serving requires k > 0, got $k")
+    // flat table, entry mi·ksub + code — one load per subspace, no row-
+    // object pointer chase in the scan (VERDICT r5 #2)
     val tab = PqIndex.adcTable(q, model)
+    val ksub = model.ksub
     val partials = rdd.mapPartitions { it =>
       val merge = new BoundedTopK(k)
       while (it.hasNext) {
@@ -44,7 +47,7 @@ final class PqServer(codes: DataFrame, model: PqModel) {
           val off = r * m
           var d = 0.0
           var mi = 0
-          while (mi < m) { d += tab(mi)(blk.codes(off + mi)); mi += 1 }
+          while (mi < m) { d += tab(mi * ksub + blk.codes(off + mi)); mi += 1 }
           merge.insert(blk.ids(r), d)
           r += 1
         }
