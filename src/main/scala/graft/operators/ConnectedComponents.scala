@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   *    Components in MapReduce and Beyond") drops this to O(log n)
   *    rounds; plain propagation is kept because near-dup components are
   *    shallow and the semantics stay expressible as the DuckDB
-  *    reachability oracle. Per-round frames are materialized via
-  *    cache()+count; convergence is detected by the strictly-decreasing
-  *    label sum (labels only move down), one scalar agg per round
-  *    instead of a change-count join.
+  *    reachability oracle. Per-round frames are pinned via eager
+  *    localCheckpoint — each round's plan references the previous round
+  *    TWICE (both union branches), so plain cache() doubles the logical
+  *    plan every round (2 GB of plan string by round 12; analysis, not
+  *    execution, becomes the bottleneck). Convergence is detected by the
+  *    strictly-decreasing label sum (labels only move down), one scalar
+  *    agg per round instead of a change-count join.
   */
 object ConnectedComponents {
 
@@ -83,13 +86,48 @@ object ConnectedComponents {
   }
 
   /** Iterative min-label propagation — the path for edge sets too large
-    * to collect. */
+    * to collect.
+    *
+    * Failure mode made loud (ADVICE r5): exiting at `maxIter` before the
+    * label sum converges means some component with diameter > maxIter
+    * holds WRONG comp ids — silently returning them would make
+    * dedup_survivors keep/drop the wrong docs, so this throws instead
+    * (raise `maxIter`, or pre-contract the graph; near-dup graphs are
+    * diameter 2-3 and never get close). Contract parity with
+    * [[labelLocal]] (ADVICE r5): edge endpoints absent from `nodes` still
+    * act as conduits during propagation (transitive reachability through
+    * unknown ids is preserved) but are dropped from the OUTPUT by a final
+    * semi-join, so both paths return exactly one row per node. The
+    * returned frame is `localCheckpoint`ed (constant-size plan, no
+    * lineage into the per-round frames); superseded round checkpoints
+    * are released by the ContextCleaner once unreferenced, so repeated
+    * calls no longer accumulate executor storage (ADVICE r5). */
   private[operators] def labelDistributed(nodes: DataFrame, edges: DataFrame,
       maxIter: Int): DataFrame = {
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = nodes.select(col("id"), col("id").as("comp")).cache()
+    // Each round is localCheckpoint'ed (eager), NOT cache()'d: `next`
+    // references `labels` in BOTH union branches, so under cache() the
+    // LOGICAL plan doubles every round — by round 12 the analyzed-plan
+    // string hits 2 GB and analysis dominates wall-clock (caching
+    // truncates execution, not analysis). The checkpoint pins each
+    // round's frame as a LogicalRDD of constant plan size; superseded
+    // checkpoints are released by Spark's ContextCleaner once the var
+    // moves on. Cost: a checkpointed round cannot recompute if evicted
+    // (MEMORY_AND_DISK makes that loss-of-executor only) — the standard
+    // trade for iterative graph algorithms.
+    // Seed with nodes ∪ every edge endpoint: endpoints absent from
+    // `nodes` act as conduits during propagation, and they must be in
+    // the frame from round 0 — a row that first APPEARS mid-iteration
+    // adds its label to the sum and can exactly cancel a real decrease,
+    // making the sum-based convergence test fire early with propagation
+    // incomplete (caught by the OperatorFuzzSpec conduit test). With a
+    // fixed row set, labels move monotonically down, so sum-unchanged ⇔
+    // fixpoint. The final semi-join drops the conduit rows again.
+    var labels = nodes.select(col("id"))
+      .union(adj.select(col("src").as("id"))).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
     // label sum decreases strictly while any label can still shrink
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
@@ -103,15 +141,25 @@ object ConnectedComponents {
         .select(col("src").as("id"), col("comp"))
       val next = labels.select(col("id"), col("comp")).union(viaNeighbor)
         .groupBy("id").agg(min("comp").as("comp"))
-        .cache()
+        .localCheckpoint(true)
       val nextSum = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
+    if (!converged) {
+      adj.unpersist()
+      throw new IllegalStateException(
+        s"ConnectedComponents.labelDistributed did not converge in $maxIter " +
+          "rounds — some component has diameter > maxIter and its labels " +
+          "would be wrong. Raise maxIter (rounds needed = graph diameter) " +
+          "or reduce the graph (e.g. the large-star/small-star rewrite).")
+    }
+    val out = labels
+      .join(nodes.select(col("id")), Seq("id"), "left_semi")
+      .localCheckpoint(true)
     adj.unpersist()
-    labels
+    out
   }
 }

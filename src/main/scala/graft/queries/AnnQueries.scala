@@ -60,10 +60,46 @@ object AnnQueries extends QueryProvider {
           col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
           round(col("dist"), 4).as("dist"))
         .where(col("id_a") < col("id_b"))
+    }),
+    // Invariant oracle for the BRP row (VERDICT r5 missing #2): the
+    // MLlib RNG decides WHICH pairs surface, but every surfaced pair must
+    // satisfy: a < b ordering, reported distance == true L2 distance
+    // (approxSimilarityJoin verifies candidates exactly), true distance
+    // within the 1.2 radius — and the join must surface SOMETHING at this
+    // config (3 OR-amplified tables over 500 vectors; r5 measured 1,428
+    // pairs). One row of literal zeros/one in the oracle; any breach
+    // hash-mismatches.
+    "ann_brp_invariants" -> ((s, dir) => {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val vecs = Tables.vectors(s, dir).select(col("id"), col("vec"))
+      val v = vecs.select(col("id"), array_to_vector(col("vec")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(0.5).setNumHashTables(3).setSeed(42L)
+        .setInputCol("features").setOutputCol("hashes")
+      val pairs = lsh.fit(v).approxSimilarityJoin(v, v, 1.2, "dist")
+        .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
+          col("dist"))
+        .where(col("id_a") < col("id_b"))
+      pairs
+        .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+        .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+        .withColumn("true_dist", graft.functions.VectorFunctions.l2(col("va"), col("vb")))
+        .agg(
+          sum(when(col("id_a") >= col("id_b"), 1).otherwise(0)).as("n_order_violations"),
+          sum(when(abs(col("dist") - col("true_dist")) > 1e-6, 1).otherwise(0))
+            .as("n_dist_mismatch"),
+          sum(when(col("true_dist") > 1.2 + 1e-9, 1).otherwise(0)).as("n_radius_violations"),
+          (count(lit(1)) > 0).cast("int").as("found_any"))
     })
   )
 
   def oracles: Map[String, String] = oraclesBase +
+    ("ann_brp_invariants" ->
+      """SELECT CAST(0 AS BIGINT) AS n_order_violations,
+        |       CAST(0 AS BIGINT) AS n_dist_mismatch,
+        |       CAST(0 AS BIGINT) AS n_radius_violations,
+        |       CAST(1 AS INT) AS found_any""".stripMargin) +
     ("knn_lsh_blocked" -> oraclesBase("knn_lsh")) +
     ("knn_lsh_multiprobe" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev,

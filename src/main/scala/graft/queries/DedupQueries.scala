@@ -27,6 +27,10 @@ object DedupQueries extends QueryProvider {
   private val PairCap = 100 // id prefix bound for brute-force pair baselines
   private val MinhashDocCap = 1000
   private val NdePlanes = 4 // sign-LSH candidate buckets for near_dup_embedding
+  /** line_dedup: tokens per synthesized line (the corpus has no '\n'), and
+    * the corpus-count above which a line is dropped everywhere. */
+  private val LineTokens = 3
+  private val LineDupThreshold = 1
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groups with a deterministic keeper
@@ -51,6 +55,48 @@ object DedupQueries extends QueryProvider {
         .agg(count(lit(1)).as("pn"), min(col("doc_id")).as("pk"))
         .groupBy(col("text_md5"))
         .agg(sum(col("pn")).as("n_dups"), min(col("pk")).as("keeper"))
+    }),
+    // Line-level dedup (CCNet/RefinedWeb-style): count every LINE across
+    // the whole corpus, drop every occurrence of lines that repeat more
+    // than LineDupThreshold times (boilerplate headers/footers that
+    // doc-level MinHash can't see), rebuild each doc from its surviving
+    // lines in order. This corpus has no newline characters, so line
+    // structure is synthesized deterministically by re-wrapping every
+    // LineTokens tokens into one "line" (on real text the splitter is
+    // split(text, '\n') — the pipeline downstream of the split is
+    // identical). 100 TB shape: the corpus-wide line count is a salted
+    // two-stage agg (a boilerplate line IS the hot key by definition —
+    // same discipline as dedup_exact_salted), the drop is a left-anti
+    // equi-join against the (tiny) over-threshold line set, and the
+    // rebuild is a per-doc agg — no self-joins, nothing driver-side.
+    "line_dedup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = toks(col("text"))
+      val nLines = ceil(size(t).cast("double") / LineTokens).cast("int")
+      val lines = d.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(t, i * LineTokens + 1, lit(LineTokens)), " ")))
+          .as(Seq("line_no", "line")))
+      val SaltBuckets = 16
+      val dupLines = lines
+        .select(col("line"),
+          pmod(xxhash64(col("doc_id"), col("line_no")), lit(SaltBuckets.toLong)).as("salt"))
+        .groupBy(col("line"), col("salt")).agg(count(lit(1)).as("pn"))
+        .groupBy(col("line")).agg(sum(col("pn")).as("c"))
+        .where(col("c") > LineDupThreshold)
+        .select(col("line"))
+      val kept = lines.join(dupLines, Seq("line"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id").agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("line")))),
+            x => x.getField("line")), " ").as("text_dedup"),
+        count(lit(1)).as("n_lines_kept"))
+      d.select(col("doc_id"), nLines.as("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+          col("n_lines"),
+          coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"))
     }),
     // MinHash signatures (long format: doc_id, i, minhash)
     "minhash_signatures" -> ((s, dir) => {
@@ -198,6 +244,21 @@ object DedupQueries extends QueryProvider {
     "dedup_exact_salted" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos FROM t),
+         |lines AS (SELECT doc_id, CAST((pos - 1) // $LineTokens AS INT) AS line_no,
+         |                 string_agg(tok, ' ' ORDER BY pos) AS line
+         |          FROM tok GROUP BY doc_id, line_no),
+         |counts AS (SELECT line, count(*) AS c FROM lines GROUP BY line),
+         |kept AS (SELECT l.doc_id, l.line_no, l.line
+         |         FROM lines l JOIN counts c USING (line) WHERE c.c <= $LineDupThreshold),
+         |reb AS (SELECT doc_id, string_agg(line, ' ' ORDER BY line_no) AS text_dedup,
+         |               count(*) AS n_lines_kept FROM kept GROUP BY doc_id),
+         |nl AS (SELECT doc_id, CAST(ceil(len(tk) / $LineTokens.0) AS INT) AS n_lines FROM t)
+         |SELECT d.doc_id, coalesce(r.text_dedup, '') AS text_dedup, nl.n_lines,
+         |       CAST(coalesce(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+         |FROM documents d JOIN nl USING (doc_id) LEFT JOIN reb r USING (doc_id)""".stripMargin,
     "minhash_signatures" ->
       s"""WITH $tCte,
          |s AS (SELECT doc_id, ${sqlMinhashSig("ts")} AS sig FROM t)

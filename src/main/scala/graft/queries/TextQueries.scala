@@ -249,8 +249,45 @@ object TextQueries extends QueryProvider {
         .where(col("pr") >= 0.75)
         .select(col("doc_id"), col("lang"), col("n_chars"),
           round(col("pr"), 4).as("pct_rank"))
+    }),
+    // PII scrub: the standard curation redaction pass — a regexp_replace
+    // cascade (emails → IPv4 → phones) emitting scrubbed text plus
+    // per-category match counts. Pure per-row projection: trivially
+    // scalable, no shuffle. The synthetic corpus contains no PII (no
+    // digits, no '@'), so each doc gets a deterministic PII suffix
+    // derived from its doc_id FIRST — the oracle then genuinely
+    // exercises both engines' regex behavior on every row (a scrub of
+    // PII-free text would hash-match even with broken patterns). The
+    // patterns are chosen RE2∩Java-compatible ([0-9] classes, \b word
+    // boundaries, no lookarounds) so Spark (Java regex) and DuckDB (RE2)
+    // replace identically; counts are taken on the same progressively-
+    // scrubbed input each replace step consumes.
+    "pii_scrub" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@crawl.example.com or 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"), lit(".25 tel 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad(((col("doc_id") * 31) % 10000).cast("string"), 4, "0"))
+      val s1 = regexp_replace(pii, EmailRe, "[EMAIL]")
+      val s2 = regexp_replace(s1, IpRe, "[IP]")
+      val s3 = regexp_replace(s2, PhoneRe, "[PHONE]")
+      d.select(col("doc_id"), pii.as("pii"), s1.as("s1"), s2.as("s2"), s3.as("s3"))
+        .select(col("doc_id"), col("s3").as("text_scrubbed"),
+          regexp_count(col("pii"), lit(EmailRe)).as("n_emails"),
+          regexp_count(col("s1"), lit(IpRe)).as("n_ips"),
+          regexp_count(col("s2"), lit(PhoneRe)).as("n_phones"))
     })
   )
+
+  /** RE2∩Java-compatible PII patterns (pii_scrub): [0-9] classes, \b word
+    * boundaries, no lookarounds — Spark (Java regex) and DuckDB (RE2)
+    * match identically. Deliberately naive (999.999.999.999 redacts as an
+    * "IPv4"): curation scrubbing prefers false positives over leaks. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
 
   def oracles: Map[String, String] = Map(
     "text_stats" ->
@@ -383,7 +420,7 @@ object TextQueries extends QueryProvider {
          |WHERE rn <= 20""".stripMargin
     },
     "corpus_stats_by_source" ->
-      """WITH d AS (SELECT doc_id, source, lower(text) AS text,
+      """WITH d AS (SELECT doc_id, source, text,
         |                  string_split(lower(text), ' ') AS tk FROM documents),
         |base AS (SELECT source, count(*) AS n_docs,
         |                CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
@@ -411,6 +448,25 @@ object TextQueries extends QueryProvider {
         |             percent_rank() OVER (PARTITION BY lang
         |                                  ORDER BY n_chars, doc_id) AS pr
         |      FROM documents)
-        |WHERE pr >= 0.75""".stripMargin
+        |WHERE pr >= 0.75""".stripMargin,
+    "pii_scrub" -> {
+      // DuckDB string literals don't process backslash escapes, so the
+      // runtime patterns (single backslashes) interpolate verbatim
+      val (email, ip, phone) = (EmailRe, IpRe, PhoneRe)
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || doc_id || '@crawl.example.com or 10.' ||
+         |  (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.25 tel 555-' ||
+         |  lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         |  lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0') AS pii
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, pii, regexp_replace(pii, '$email', '[EMAIL]', 'g') AS t1 FROM p),
+         |s2 AS (SELECT *, regexp_replace(t1, '$ip', '[IP]', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT *, regexp_replace(t2, '$phone', '[PHONE]', 'g') AS t3 FROM s2)
+         |SELECT doc_id, t3 AS text_scrubbed,
+         |       CAST(len(regexp_extract_all(pii, '$email')) AS INT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t1, '$ip')) AS INT) AS n_ips,
+         |       CAST(len(regexp_extract_all(t2, '$phone')) AS INT) AS n_phones
+         |FROM s3""".stripMargin
+    }
   )
 }

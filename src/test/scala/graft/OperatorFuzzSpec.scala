@@ -163,6 +163,41 @@ class OperatorFuzzSpec extends AnyFunSuite {
     runProp(prop, tests = 8)
   }
 
+  test("ConnectedComponents: distributed path throws on non-convergence instead of " +
+      "returning wrong labels (ADVICE r5)") {
+    import spark.implicits._
+    // a 12-node chain has diameter 11 — maxIter=3 cannot converge
+    val nodes = (0L until 12L).toDF("id")
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      graft.operators.ConnectedComponents
+        .label(nodes, chain, maxIter = 3, localEdgeBudget = -1L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same graph labels fine
+    val ok = graft.operators.ConnectedComponents
+      .label(nodes, chain, maxIter = 15, localEdgeBudget = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok == (0L until 12L).map(_ -> 0L).toMap)
+  }
+
+  test("ConnectedComponents: edge endpoints absent from nodes are conduits, not output " +
+      "rows — both paths return exactly the node set (ADVICE r5)") {
+    import spark.implicits._
+    // 99 is not in nodes but links 0—99—5: 0 and 5 must share a component,
+    // and no row for 99 may appear, on BOTH paths
+    val nodes = Seq(0L, 1L, 5L).toDF("id")
+    val edges = Seq((0L, 99L), (99L, 5L)).toDF("id_a", "id_b")
+    for (budget <- Seq(Long.MaxValue, -1L)) {
+      val got = graft.operators.ConnectedComponents
+        .label(nodes, edges, localEdgeBudget = budget)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == Set(0L, 1L, 5L), s"budget=$budget row set")
+      assert(got(0L) == got(5L), s"budget=$budget conduit reachability")
+      assert(got(1L) == 1L, s"budget=$budget isolated node keeps own id")
+    }
+  }
+
   test("maxRun ≡ max groupBy-count on random token lists (incl. empty-string tokens)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -187,4 +187,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("LessThanOrEqual(label,4)") || plan.contains("label <= 4"),
       s"expected the label filter in PushedFilters / scan predicates:\n$plan")
   }
+
+  test("line_dedup: salted two-stage line count (no unsalted hot-key agg), drop is an " +
+      "anti equi-join") {
+    val plan = planOf(
+      graft.queries.DedupQueries.queries("line_dedup")(spark, TestSession.Sf0001))
+    // stage-1 grouping keys must include the salt next to the line
+    assert(plan.contains("salt"),
+      s"expected the line-count aggregation keyed on (line, salt):\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"expected the over-threshold line drop as a left-anti join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"line drop must stay an equi-join:\n$plan")
+  }
+
+  test("pii_scrub stays a pure per-row projection (no shuffle, no join)") {
+    val plan = planOf(
+      graft.queries.TextQueries.queries("pii_scrub")(spark, TestSession.Sf0001))
+    assert(!plan.contains("Exchange"),
+      s"pii_scrub must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"pii_scrub must not join:\n$plan")
+  }
 }

@@ -15,6 +15,68 @@ class TextQueriesSpec extends AnyFunSuite {
 
   lazy val spark = TestSession.spark
 
+  test("line_dedup: rebuild preserves untouched docs exactly; dropped lines repeat " +
+      "corpus-wide; kept text is the in-order concatenation of surviving lines") {
+    val out = graft.queries.DedupQueries.queries("line_dedup")(spark, TestSession.Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getLong(3)))).toMap
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.keySet)
+    var touched = 0
+    out.foreach { case (id, (dedup, nLines, nKept)) =>
+      val toks = docs(id).split(" ", -1)
+      assert(nLines == math.ceil(toks.length / 3.0).toInt, s"doc $id n_lines")
+      if (nKept == nLines) assert(dedup == docs(id), s"doc $id untouched rebuild")
+      else {
+        touched += 1
+        assert(nKept < nLines, s"doc $id kept count")
+        // the surviving text must be exactly the in-order concatenation of
+        // a sub-multiset of the original 3-token lines
+        val origLines = toks.grouped(3).map(_.mkString(" ")).toVector
+        val keptJoined = dedup
+        val isSubseq = {
+          // greedy: walk original lines, optionally consuming from dedup
+          var rest = keptJoined
+          origLines.foreach { ln =>
+            if (rest == ln) rest = ""
+            else if (rest.startsWith(ln + " ")) rest = rest.drop(ln.length + 1)
+          }
+          rest.isEmpty
+        }
+        assert(isSubseq, s"doc $id: '$keptJoined' not an in-order line subsequence")
+      }
+    }
+    assert(touched > 0, "expected at least one doc with dropped boilerplate lines")
+  }
+
+  test("pii_scrub: every doc's injected PII is redacted, one match per category; " +
+      "pattern edge cases behave identically to the documented semantics") {
+    import spark.implicits._
+    val out = graft.queries.TextQueries.queries("pii_scrub")(spark, TestSession.Sf0001)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getString(1).endsWith(" contact [EMAIL] or [IP] tel [PHONE]"),
+        s"doc ${r.getLong(0)}: ${r.getString(1).takeRight(60)}")
+      assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 1)
+    }
+    // edge cases on the raw patterns (naive-by-design: 999.999.999.999 is
+    // still redacted; a TLD-less a@b is not an email; 4-3-4 digits is not
+    // the phone shape)
+    val got = Seq("ping 999.999.999.999 write a@b or c@d.io dial 5555-123-4567")
+      .toDF("text")
+      .select(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), graft.queries.TextQueries.EmailRe, "[EMAIL]"),
+            graft.queries.TextQueries.IpRe, "[IP]"),
+          graft.queries.TextQueries.PhoneRe, "[PHONE]").as("t"))
+      .as[String].first()
+    assert(got == "ping [IP] write a@b or [EMAIL] dial 5555-123-4567", got)
+  }
+
   test("bigrams: adjacent pairs, 1-token doc yields empty array") {
     import spark.implicits._
     val got = Seq("a b c d", "solo", "x y")
@@ -115,6 +177,23 @@ class TextQueriesSpec extends AnyFunSuite {
     val q = row.select(
       TextFunctions.bigrams(TextFunctions.toks(col("text"))).as("bg"))
     assert(q.as[Seq[String]].first() == Seq("a a", "a a", "a b"))
+    // same projection the repetition_signals query computes (ADVICE r5:
+    // the fractions this test names were previously unasserted here)
+    val t = TextFunctions.toks(lower(col("text")))
+    val best = TextFunctions.maxRun(t)
+    val bg = TextFunctions.bigrams(t)
+    val sig = row.select(
+      size(t).as("n_tokens"),
+      best.as("top_token_count"),
+      round(best.cast("double") / size(t), 4).as("top_token_frac"),
+      when(size(bg) > 0,
+        round(lit(1.0) - size(array_distinct(bg)).cast("double") / size(bg), 4))
+        .otherwise(lit(0.0)).as("dup_bigram_frac")).first()
+    assert(sig.getInt(0) == 4)
+    assert(sig.getInt(1) == 3)
+    assert(sig.getDouble(2) == 0.75)
+    assert(sig.getDouble(3) == BigDecimal(1.0 / 3.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("tfidf_top3: ranks 1..3 per doc, tf matches recount, corpus-wide tokens get low scores") {
