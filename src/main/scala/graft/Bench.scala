@@ -162,7 +162,8 @@ object Bench {
     * transient box-contention window is distinguishable from a stable
     * kernel regression in the driver artifact itself. */
   private def timeSingles(results: scala.collection.mutable.LinkedHashMap[String, Double],
-      prefix: String, singles: Array[Array[Double]], amortizedMs: Double)(
+      prefix: String, singles: Array[Array[Double]], amortizedMs: Double,
+      floor: Option[() => Unit] = None)(
       call: Array[Double] => Unit): Unit = {
     def measure(): Array[Double] = {
       call(singles.head); call(singles.head) // warmup
@@ -185,6 +186,17 @@ object Bench {
     if (p50 > threshold) {
       System.err.println(
         s"[bench-retry] $prefix p50=${p50}ms > ${threshold}ms — re-measuring once")
+      // dispatch-floor probe: a no-op job on the same serving RDD; if it
+      // tracks the bad p50 the regression is scheduler/dispatch, if it
+      // stays at a few ms the scan itself is slow (page placement /
+      // bandwidth) — the distinction the r5 dispute could not make
+      floor.foreach { f =>
+        f(); f() // warm
+        val ts = Array.fill(20) {
+          val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e6
+        }.sorted
+        results(s"${prefix}_floor_ms") = ts(ts.length / 2)
+      }
       emit("_retry", measure())
     }
     logSection(results, prefix)
@@ -315,7 +327,8 @@ object Bench {
     // shuffle — those cost ~1–2 s/call through the DataFrame path. --
     if (serveQ > 0) {
       val server = new graft.query.IvfServer(assigned, ivfModel).warm()
-      timeSingles(results, "serve", singles, 1000.0 * ivfSec / benchQ)(q => server.search(q, K, 10))
+      timeSingles(results, "serve", singles, 1000.0 * ivfSec / benchQ,
+        floor = Some(() => server.floorProbe()))(q => server.search(q, K, 10))
       server.unpersist()
     }
 

@@ -57,6 +57,24 @@ object Profile {
     val ivfm = t("ivf train")(IvfIndex.train(train, 316, Metric.L2))
     val asg = t("ivf assign+cache")({ val a = IvfIndex.assign(vecs, ivfm).cache(); a.count(); a })
     t("ivf search")(IvfIndex.search(asg, ivfm, qsc, 10, 10).count())
+
+    // IVF serving latency breakdown (r6: the serve section read 168 ms p50
+    // locally vs 25 ms in r5 — separate job floor from scan cost)
+    val singles = qsc.limit(100).collect().map(_.getSeq[Double](1).toArray)
+    val server = new graft.query.IvfServer(asg, ivfm).warm()
+    def pct(ts: Array[Double], p: Double) =
+      ts.sorted.apply(math.min(ts.length - 1, (p * ts.length).toInt))
+    def run(name: String)(body: Array[Double] => Unit): Unit = {
+      body(singles.head); body(singles.head)
+      val ts = singles.map { q =>
+        val t0 = System.nanoTime(); body(q); (System.nanoTime() - t0) / 1e6
+      }
+      println(f"[profile] $name%-30s p50=${pct(ts, 0.5)}%8.2f ms  p95=${pct(ts, 0.95)}%8.2f ms  min=${ts.min}%8.2f ms")
+    }
+    run("serve ivf single")(q => server.search(q, 10, 10))
+    run("probeSet only (driver)")(q =>
+      IvfIndex.probeSet(q, ivfm.centroids.map(_.toArray).toArray, Metric.L2, 10))
+    run("serve ivf single again")(q => server.search(q, 10, 10))
     spark.stop()
   }
 }

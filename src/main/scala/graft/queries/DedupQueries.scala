@@ -140,6 +140,22 @@ object DedupQueries extends QueryProvider {
         .where(col("id") === col("comp"))
         .select(col("id").as("doc_id"))
     }),
+    // Batch degenerate form of the STREAMING incremental components
+    // operator: one micro-batch step over the capped corpus, labels from
+    // the driver union-find. Must equal dedup_components exactly (same
+    // banding, same Jaccard verify, comp = min reachable id) — driver-
+    // verified against the SAME recursive-CTE oracle; the ≥2-batch
+    // stream ≡ batch property is StreamingSpec's assert.
+    "dedup_components_inc" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").where(col("doc_id") < MinhashDocCap)
+        .select(col("doc_id"), col("text"))
+      val inc = new graft.streaming.IncrementalComponents(JaccardThreshold)
+      val bp = java.nio.file.Files.createTempDirectory("graft_cci_b").resolve("t").toString
+      val tp = java.nio.file.Files.createTempDirectory("graft_cci_t").resolve("t").toString
+      inc.step(s, d, bp, tp)
+      inc.labels(d.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("comp"))
+    }),
     // Batch form of the incremental (streaming) near-dup keeper rule:
     // kept iff no smaller doc_id shares an LSH band key. Same result as
     // replaying the corpus through IncrementalNearDup.stream in doc_id
@@ -236,7 +252,12 @@ object DedupQueries extends QueryProvider {
   private def tCteCapped =
     s"t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents WHERE doc_id < $MinhashDocCap)"
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = oraclesBase +
+    // the incremental operator's single-batch form must equal the batch
+    // clustering bit-for-bit — same oracle
+    ("dedup_components_inc" -> oraclesBase("dedup_components"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "dedup_exact_groups" ->
       """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -123,6 +123,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental connected components over a split stream equals batch labeling " +
+      "(stream ≡ batch for any micro-batch split)") {
+    import graft.streaming.{IncrementalComponents, IncrementalNearDup}
+    val docs = Tables.load(spark, TestSession.Sf0001, "documents")
+      .where(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    // batch ground truth: same candidate/verify rule as the streaming
+    // operator, labeled by the batch ConnectedComponents operator
+    val bands = IncrementalNearDup.bandRows(docs)
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val toksD = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.array_distinct(
+        graft.functions.TextFunctions.toks(col("text"))).as("ts"))
+    val pairs = cand
+      .join(toksD.select(col("doc_id").as("id_a"), col("ts").as("ta")), Seq("id_a"))
+      .join(toksD.select(col("doc_id").as("id_b"), col("ts").as("tb")), Seq("id_b"))
+      .where(graft.functions.TextFunctions.jaccard(col("ta"), col("tb")) >= 0.6)
+      .select("id_a", "id_b")
+    val expected = graft.operators.ConnectedComponents
+      .label(docs.select(col("doc_id").as("id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(expected.values.toSet.size < expected.size,
+      "test corpus should contain at least one multi-doc component")
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_cc_src")
+    val bandDir = java.nio.file.Files.createTempDirectory("graft_cc_bands").resolve("t")
+    val tokDir = java.nio.file.Files.createTempDirectory("graft_cc_toks").resolve("t")
+    docs.where(col("doc_id") < 100).coalesce(1)
+      .write.parquet(srcDir.resolve("a").toString)
+    docs.where(col("doc_id") >= 100 && col("doc_id") < 200).coalesce(1)
+      .write.parquet(srcDir.resolve("b").toString)
+    docs.where(col("doc_id") >= 200).coalesce(1)
+      .write.parquet(srcDir.resolve("c").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1) // force ≥ 3 micro-batches
+      .parquet(srcDir.toString + "/*")
+    val inc = new IncrementalComponents()
+    val q = inc.stream(stream, bandDir.toString, tokDir.toString)
+    try {
+      q.processAllAvailable()
+      val streamed = inc.labels(docs.select(col("doc_id").as("id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == expected,
+        s"stream labels diverge on ${streamed.toSet diff expected.toSet}")
+    } finally q.stop()
+  }
+
   test("foreachBatch appends assigned vectors to an IVF index table") {
     val (corpus, queries) = graft.queries.VectorQueries.vecTables(spark, TestSession.Sf0001)
     val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
