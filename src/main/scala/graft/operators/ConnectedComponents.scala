@@ -3,9 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by iterative min-label propagation —
-  * the clustering step that turns verified near-duplicate PAIRS into
-  * duplicate GROUPS (pick one keeper per component, drop the rest).
+/** Distributed connected components — the clustering step that turns
+  * verified near-duplicate PAIRS into duplicate GROUPS (pick one keeper
+  * per component, drop the rest).
   *
   * Two paths under one contract (the Centroids.lloydLocal pattern —
   * bounded driver-local fast path, distributed general path above it):
@@ -16,22 +16,14 @@ import org.apache.spark.sql.functions._
   *    via a left join). Near-dup edge sets are bounded by the candidate
   *    join's selectivity, so this is the common case even when the
   *    corpus is not collectable.
-  *  - larger edge sets run iterative min-label propagation: each round
-  *    is two equi-joins and a min-aggregation keyed on node id — no
-  *    cross products, no driver-side graph. Convergence takes
-  *    diameter(G) rounds; near-dup graphs are unions of small dense
-  *    clusters (diameter 2–3). For adversarial long chains the
-  *    large-star/small-star rewrite (Kiveris et al., "Connected
-  *    Components in MapReduce and Beyond") drops this to O(log n)
-  *    rounds; plain propagation is kept because near-dup components are
-  *    shallow and the semantics stay expressible as the DuckDB
-  *    reachability oracle. Per-round frames are pinned via eager
-  *    localCheckpoint — each round's plan references the previous round
-  *    TWICE (both union branches), so plain cache() doubles the logical
-  *    plan every round (2 GB of plan string by round 12; analysis, not
-  *    execution, becomes the bottleneck). Convergence is detected by the
-  *    strictly-decreasing label sum (labels only move down), one scalar
-  *    agg per round instead of a change-count join.
+  *  - larger edge sets run the two-phase large-star/small-star edge
+  *    rewrite (Kiveris et al., "Connected Components in MapReduce and
+  *    Beyond") — O(log n) rounds on ANY graph shape, each round grouped
+  *    min-aggregations and equi-joins only. (r5 shipped min-label
+  *    propagation here; its diameter(G)-round convergence tripped the
+  *    maxIter guard on an adversarial 2000-node chain that the star
+  *    alternation closes in ~12 rounds — OperatorFuzzSpec holds both
+  *    the union-find equivalence fuzz and the deep-chain case.)
   */
 object ConnectedComponents {
 
@@ -85,81 +77,96 @@ object ConnectedComponents {
       .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
   }
 
-  /** Iterative min-label propagation — the path for edge sets too large
-    * to collect.
+  /** Two-phase large-star/small-star alternation (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014) — the path
+    * for edge sets too large to collect. Replaces r5's min-label
+    * propagation: propagation needs diameter(G) rounds, which made an
+    * adversarial chain hit the maxIter guard; the star alternation
+    * converges in O(log n) rounds on ANY graph shape, each round two
+    * grouped min-aggregations and two equi-joins over the (rewritten)
+    * edge set — no cross products, no driver-side graph.
     *
-    * Failure mode made loud (ADVICE r5): exiting at `maxIter` before the
-    * label sum converges means some component with diameter > maxIter
-    * holds WRONG comp ids — silently returning them would make
-    * dedup_survivors keep/drop the wrong docs, so this throws instead
-    * (raise `maxIter`, or pre-contract the graph; near-dup graphs are
-    * diameter 2-3 and never get close). Contract parity with
-    * [[labelLocal]] (ADVICE r5): edge endpoints absent from `nodes` still
-    * act as conduits during propagation (transitive reachability through
-    * unknown ids is preserved) but are dropped from the OUTPUT by a final
-    * semi-join, so both paths return exactly one row per node. The
-    * returned frame is `localCheckpoint`ed (constant-size plan, no
-    * lineage into the per-round frames); superseded round checkpoints
-    * are released by the ContextCleaner once unreferenced, so repeated
-    * calls no longer accumulate executor storage (ADVICE r5). */
+    *  - large-star: per node u over ALL neighbors N(u),
+    *    m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u.
+    *  - small-star: per node u over smaller neighbors N⁻(u),
+    *    m = min(N⁻(u) ∪ {u}); emit (v, m) for v ∈ N⁻(u) ∪ {u}, v ≠ m.
+    *
+    * Both phases preserve connectivity; the fixpoint is a star forest
+    * whose centers are the component minima, so the final label of a
+    * node is min(itself, its min neighbor). Every emitted edge already
+    * has its smaller endpoint first, so the canonical (a < b) distinct
+    * edge set doubles as the fixpoint detector (count + edge-hash sum —
+    * one scalar agg per round). Rounds are localCheckpoint'ed eagerly:
+    * the rewritten set feeds the next round's two self-referencing
+    * plans, and plain cache() would double the LOGICAL plan per round
+    * (analysis hit 2 GB of plan string by round 12 under r5's
+    * propagation loop; checkpoints pin each round as a constant-size
+    * LogicalRDD, superseded ones released by the ContextCleaner).
+    *
+    * Contract parity with [[labelLocal]] (ADVICE r5): edge endpoints
+    * absent from `nodes` act as conduits (they participate in the
+    * rewrite) but are dropped from the OUTPUT by the final semi-join —
+    * both paths return exactly one row per node. Exiting at `maxIter`
+    * without a fixpoint throws instead of returning wrong labels
+    * (ADVICE r5) — at O(log n) rounds the default guard covers any
+    * physically storable graph. */
   private[operators] def labelDistributed(nodes: DataFrame, edges: DataFrame,
       maxIter: Int): DataFrame = {
-    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
-    // Each round is localCheckpoint'ed (eager), NOT cache()'d: `next`
-    // references `labels` in BOTH union branches, so under cache() the
-    // LOGICAL plan doubles every round — by round 12 the analyzed-plan
-    // string hits 2 GB and analysis dominates wall-clock (caching
-    // truncates execution, not analysis). The checkpoint pins each
-    // round's frame as a LogicalRDD of constant plan size; superseded
-    // checkpoints are released by Spark's ContextCleaner once the var
-    // moves on. Cost: a checkpointed round cannot recompute if evicted
-    // (MEMORY_AND_DISK makes that loss-of-executor only) — the standard
-    // trade for iterative graph algorithms.
-    // Seed with nodes ∪ every edge endpoint: endpoints absent from
-    // `nodes` act as conduits during propagation, and they must be in
-    // the frame from round 0 — a row that first APPEARS mid-iteration
-    // adds its label to the sum and can exactly cancel a real decrease,
-    // making the sum-based convergence test fire early with propagation
-    // incomplete (caught by the OperatorFuzzSpec conduit test). With a
-    // fixed row set, labels move monotonically down, so sum-unchanged ⇔
-    // fixpoint. The final semi-join drops the conduit rows again.
-    var labels = nodes.select(col("id"))
-      .union(adj.select(col("src").as("id"))).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
-    // label sum decreases strictly while any label can still shrink
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = labelSum(labels)
+    // canonical undirected edge set: (a < b), distinct, no self-loops
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    var e = canon(edges.select(col("id_a").as("x"), col("id_b").as("y")))
+      .localCheckpoint(true)
+    // fixpoint signature: (row count, sum of a collision-resistant edge
+    // hash) — equal signatures on canonical distinct sets ⇔ equal sets
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var prevSig = signature(e)
     var iter = 0
-    var converged = false
+    var converged = prevSig._1 == 0L // no edges ⇒ already a (trivial) fixpoint
     while (!converged && iter < maxIter) {
-      val viaNeighbor = adj
-        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .select(col("src").as("id"), col("comp"))
-      val next = labels.select(col("id"), col("comp")).union(viaNeighbor)
-        .groupBy("id").agg(min("comp").as("comp"))
+      // large-star over all neighbors
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMins = adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = canon(adj.join(lsMins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("x"), col("m").as("y")))
         .localCheckpoint(true)
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      // small-star over smaller neighbors (orientation big → small)
+      val o = ls.select(col("b").as("u"), col("a").as("v"))
+      val ssMins = o.groupBy("u").agg(min("v").as("m"))
+      val ss = o.join(ssMins, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("x"), col("m").as("y"))
+        .union(ssMins.select(col("u").as("x"), col("m").as("y")))
+      val next = canon(ss).localCheckpoint(true)
+      val nextSig = signature(next)
+      e = next
+      converged = nextSig == prevSig
+      prevSig = nextSig
       iter += 1
     }
-    if (!converged) {
-      adj.unpersist()
+    if (!converged)
       throw new IllegalStateException(
         s"ConnectedComponents.labelDistributed did not converge in $maxIter " +
-          "rounds — some component has diameter > maxIter and its labels " +
-          "would be wrong. Raise maxIter (rounds needed = graph diameter) " +
-          "or reduce the graph (e.g. the large-star/small-star rewrite).")
-    }
-    val out = labels
-      .join(nodes.select(col("id")), Seq("id"), "left_semi")
+          "large-star/small-star rounds — labels would be wrong. The " +
+          "alternation needs O(log n) rounds, so raise maxIter only for " +
+          "astronomically large graphs; otherwise suspect the edge input.")
+    // star forest ⇒ label = min(self, min neighbor); isolated ⇒ self
+    val adj = e.select(col("a").as("id"), col("b").as("v"))
+      .union(e.select(col("b").as("id"), col("a").as("v")))
+    val lbl = adj.groupBy("id").agg(min("v").as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
+    nodes.select(col("id"))
+      .join(lbl, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
       .localCheckpoint(true)
-    adj.unpersist()
-    out
   }
 }

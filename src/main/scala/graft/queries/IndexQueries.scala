@@ -204,6 +204,32 @@ object IndexQueries extends QueryProvider {
           (count(lit(1)) - countDistinct(col("neighbor_id"))).as("n_dup_neighbors"),
           sum(when(col("known").isNull, 1).otherwise(0)).as("n_unknown_ids"))
     }),
+    // Same invariant discipline for the approximate HNSW row (its three
+    // *_exact siblings hash-verify the machinery; this bounds the
+    // DEFAULT-config row the driver could previously only count): HNSW
+    // distances are exact L2 over visited candidates, so the rank-wise
+    // flat lower bound AND the true-distance recompute both apply.
+    "knn_hnsw_invariants" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val graph = HnswIndex.build(corpus, 8, Metric.L2)
+      val approx = HnswIndex.knnBlocked(graph, queries, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      val flat = FlatIndex.knn(corpus, queries, K, Metric.L2)
+        .select(col("query_id").as("fq"), col("rank").as("frank"),
+          col("distance").as("flat_distance"))
+      approx
+        .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+          Seq("neighbor_id"))
+        .join(queries, Seq("query_id"))
+        .withColumn("true_dist", graft.functions.VectorFunctions.l2(col("qvec"), col("nvec")))
+        .join(flat, col("query_id") === col("fq") && col("rank") === col("frank"))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("distance") < col("flat_distance") - 1e-9, 1).otherwise(0))
+            .as("n_rank_violations"),
+          sum(when(abs(col("distance") - col("true_dist")) > 1e-6, 1).otherwise(0))
+            .as("n_dist_mismatch"))
+    }),
     // Sharded HNSW (hnsw.go re-expressed; reference default index).
     // Deterministic (hash levels, id tie-breaks) but graph traversal
     // isn't SQL-expressible → rows-only driver check; exhaustive-
@@ -346,6 +372,11 @@ object IndexQueries extends QueryProvider {
          |       CAST(0 AS BIGINT) AS n_nonmonotone,
          |       CAST(0 AS BIGINT) AS n_dup_neighbors,
          |       CAST(0 AS BIGINT) AS n_unknown_ids
+         |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
+    ("knn_hnsw_invariants" ->
+      s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_rank_violations,
+         |       CAST(0 AS BIGINT) AS n_dist_mismatch
          |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
     ("knn_ivf_blocked" -> oraclesBase("knn_ivf_det")) +
     ("knn_ivfpq_blocked" -> oraclesBase("knn_ivfpq_det")) +

@@ -21,6 +21,9 @@ object TextQueries extends QueryProvider {
 
   private val EvalCap = 20
   private val ContamN = 8
+  /** unigram_logprob vocabulary cap — the whole vocab here; the cap is
+    * the scale knob (top-k vocab + OOV floor at open vocabulary). */
+  private val UnigramVocabCap = 10000
 
   private def hits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
@@ -99,6 +102,62 @@ object TextQueries extends QueryProvider {
       corpusGrams.join(broadcast(evalGrams), Seq("gram"))
         .groupBy("doc_id", "eval_id")
         .agg(count(lit(1)).as("n_shared"))
+    }),
+    // Per-doc contamination FRACTION — the operational form of the
+    // boolean 8-gram overlap: for every corpus doc, what share of its
+    // distinct 8-grams appears anywhere in the eval set. The eval gram
+    // set broadcasts (it is small by construction); the corpus side is
+    // one per-doc projection + one semi-join — corpus never self-joins.
+    // Docs shorter than 8 tokens have no grams and report 0.0.
+    "contamination_doc_frac" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def grams(df: DataFrame, idAs: String) = df
+        .select(col("doc_id").as(idAs),
+          transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
+        .select(col(idAs),
+          explode(array_distinct(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN))).as("gram"))
+      val evalSet = grams(d.where(col("doc_id") < EvalCap), "eval_id")
+        .select("gram").distinct()
+      val corpusGrams = grams(d.where(col("doc_id") >= EvalCap), "doc_id")
+      val totals = corpusGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val contaminated = corpusGrams.join(broadcast(evalSet), Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      d.where(col("doc_id") >= EvalCap).select(col("doc_id"))
+        .join(totals, Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"), 4))
+            .otherwise(lit(0.0)).as("frac"))
+    }),
+    // Unigram language-model scoring — the CCNet-shape quality filter:
+    // score each doc by the mean negative log-probability of its tokens
+    // under the corpus's own unigram distribution (high nll = unusual
+    // token mix). The model is the vocabulary count table — collected to
+    // the driver and shipped as a map literal (the centroid/codebook
+    // discipline: small model artifact broadcasts, corpus streams); at
+    // open-vocabulary scale the map becomes a capped top-k table with an
+    // OOV floor (the coalesce below — unreachable here, where the model
+    // is trained on the scored corpus itself). The per-doc fold runs
+    // left-to-right over the token array, matching DuckDB's
+    // list_reduce(list(l ORDER BY pos)) addition order exactly.
+    "unigram_logprob" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val vocab = d.select(explode(toks(lower(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(UnigramVocabCap)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val n = vocab.map(_._2).sum
+      val cntMap = map(vocab.flatMap { case (t, c) =>
+        Seq(lit(t), lit(c)) }.toIndexedSeq: _*)
+      val t = toks(lower(col("text")))
+      val logs = transform(t, tok =>
+        log(coalesce(element_at(cntMap, tok), lit(1L)).cast("double") / n.toDouble))
+      d.select(col("doc_id"),
+        size(t).as("n_tokens"),
+        round(-aggregate(logs, lit(0.0), (a, x) => a + x) / size(t), 4).as("nll"))
     }),
     // Corpus vocabulary top-k: the canonical wordcount shape. The
     // groupBy gets map-side partial aggregation for free, so shuffle
@@ -344,6 +403,38 @@ object TextQueries extends QueryProvider {
          |FROM c JOIN e USING (gram)
          |GROUP BY c.doc_id, e.eval_id""".stripMargin
     },
+    "contamination_doc_frac" -> {
+      import graft.functions.TextFunctions.sqlNgramHashes
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |e AS (SELECT DISTINCT unnest(list_distinct(${sqlNgramHashes("tk", 8)})) AS gram
+         |      FROM t WHERE doc_id < $EvalCap),
+         |c AS (SELECT doc_id, unnest(list_distinct(${sqlNgramHashes("tk", 8)})) AS gram
+         |      FROM t WHERE doc_id >= $EvalCap),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM c GROUP BY doc_id),
+         |sh AS (SELECT c.doc_id, count(*) AS n_shared FROM c JOIN e USING (gram)
+         |       GROUP BY c.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+         |       CASE WHEN coalesce(tot.n_grams, 0) > 0
+         |            THEN round(coalesce(sh.n_shared, 0) / CAST(tot.n_grams AS DOUBLE), 4)
+         |            ELSE 0.0 END AS frac
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= $EvalCap) d
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN sh USING (doc_id)""".stripMargin
+    },
+    "unigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+         |             FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+         |                   FROM documents)),
+         |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),
+         |lp AS (SELECT t.doc_id, t.pos, ln(v.cnt / (SELECT n FROM tot)) AS l
+         |       FROM tok t JOIN v USING (tok)),
+         |f AS (SELECT doc_id,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l ORDER BY pos)),
+         |                         (a, b) -> a + b) AS s,
+         |             count(*) AS m
+         |      FROM lp GROUP BY doc_id)
+         |SELECT doc_id, CAST(m AS INT) AS n_tokens, round(-s / m, 4) AS nll FROM f""".stripMargin,
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)

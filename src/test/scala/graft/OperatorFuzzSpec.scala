@@ -181,6 +181,19 @@ class OperatorFuzzSpec extends AnyFunSuite {
     assert(ok == (0L until 12L).map(_ -> 0L).toMap)
   }
 
+  test("ConnectedComponents: 2000-node chain (diameter 1999) converges inside the " +
+      "default 25-round guard — the O(log n) star property, impossible under " +
+      "min-label propagation") {
+    import spark.implicits._
+    val n = 2000L
+    val nodes = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.operators.ConnectedComponents
+      .label(nodes, chain, localEdgeBudget = -1L) // force the distributed path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n && got.values.forall(_ == 0L))
+  }
+
   test("ConnectedComponents: edge endpoints absent from nodes are conduits, not output " +
       "rows — both paths return exactly the node set (ADVICE r5)") {
     import spark.implicits._

@@ -77,6 +77,47 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(got == "ping [IP] write a@b or [EMAIL] dial 5555-123-4567", got)
   }
 
+  test("unigram_logprob: nll equals a driver-side recount from the vocab counts") {
+    val out = TextQueries.queries("unigram_logprob")(spark, TestSession.Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.keySet)
+    val allToks = docs.values.flatMap(_.toLowerCase.split(" ", -1)).toSeq
+    val cnt = allToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = allToks.size.toDouble
+    docs.foreach { case (id, text) =>
+      val tk = text.toLowerCase.split(" ", -1)
+      var s = 0.0
+      tk.foreach(t => s += math.log(cnt(t) / n)) // same left-to-right fold
+      val want = BigDecimal(-s / tk.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(id)._1 == tk.length, s"doc $id n_tokens")
+      assert(math.abs(out(id)._2 - want) < 2e-4, s"doc $id nll ${out(id)._2} vs $want")
+      assert(out(id)._2 > 0.0)
+    }
+  }
+
+  test("contamination_doc_frac: fraction recomputes from counts; contaminated docs " +
+      "from the boolean query show frac > 0") {
+    val frac = TextQueries.queries("contamination_doc_frac")(spark, TestSession.Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    frac.foreach { case (id, (nGrams, nShared, f)) =>
+      assert(nShared <= nGrams, s"doc $id shared > total")
+      val want = if (nGrams > 0)
+        BigDecimal(nShared.toDouble / nGrams)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(f == want, s"doc $id frac $f vs $want")
+    }
+    val contaminated = TextQueries.queries("contamination_8gram")(spark, TestSession.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    contaminated.foreach { id =>
+      assert(frac(id)._3 > 0.0, s"doc $id flagged by the boolean query but frac 0")
+    }
+  }
+
   test("bigrams: adjacent pairs, 1-token doc yields empty array") {
     import spark.implicits._
     val got = Seq("a b c d", "solo", "x y")
