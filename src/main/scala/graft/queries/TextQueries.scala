@@ -24,6 +24,8 @@ object TextQueries extends QueryProvider {
   /** unigram_logprob vocabulary cap — the whole vocab here; the cap is
     * the scale knob (top-k vocab + OOV floor at open vocabulary). */
   private val UnigramVocabCap = 10000
+  /** pack_sequences training-sequence length. */
+  private val SeqLen = 32
 
   private def hits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
@@ -158,6 +160,58 @@ object TextQueries extends QueryProvider {
       d.select(col("doc_id"),
         size(t).as("n_tokens"),
         round(-aggregate(logs, lit(0.0), (a, x) => a + x) / size(t), 4).as("nll"))
+    }),
+    // Sequence packing — the terminal op of a training-data pipeline:
+    // concatenate the corpus token stream in doc_id order and cut it
+    // into fixed SeqLen-token training sequences, keeping per-token doc
+    // provenance (span tracking for attribution/decontamination). The
+    // only coordination is the per-DOC token-count prefix sum (a
+    // narrow (doc_id, n) relation, ≪ corpus — expressed as an ordered
+    // window here; at extreme doc counts it becomes the standard
+    // two-phase per-partition-offset prefix sum). Everything else is a
+    // stateless per-row explode: gpos = doc offset + position,
+    // seq_id = gpos / SeqLen.
+    "pack_sequences" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = toks(lower(col("text")))
+      val counts = d.select(col("doc_id"), size(t).as("n"))
+      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts.select(col("doc_id"),
+        coalesce(sum(col("n")).over(w), lit(0L)).as("off"))
+      d.select(col("doc_id"), posexplode(t).as(Seq("p", "token")))
+        .join(offsets, Seq("doc_id"))
+        .select(col("doc_id"), col("token"), (col("off") + col("p")).as("gpos"))
+        .select(
+          floor(col("gpos") / SeqLen).cast("bigint").as("seq_id"),
+          pmod(col("gpos"), lit(SeqLen)).cast("int").as("pos"),
+          col("doc_id"), col("token"))
+    }),
+    // The composed curation pass — every stage is an operator verified
+    // on its own elsewhere; this row proves they COMPOSE into the
+    // "which docs survive curation" decision with per-stage
+    // attribution. Predicates are integer-exact on both engines (no
+    // float thresholds): repetition 2·top_token_count ≤ n_tokens,
+    // length 4·(rank−1) ≥ (n_lang−1) (≥ 25th percentile within
+    // language), exact-dedup keeper = min doc_id of the md5 group.
+    "curation_pipeline" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = toks(lower(col("text")))
+      val wLen = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      val wLang = Window.partitionBy("lang")
+      val wHash = Window.partitionBy("text_md5")
+      d.select(col("doc_id"), col("lang"), col("n_chars"),
+          size(t).as("n_tokens"),
+          graft.functions.TextFunctions.maxRun(t).as("top_cnt"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .withColumn("rnk", row_number().over(wLen))
+        .withColumn("n_lang", count(lit(1)).over(wLang))
+        .withColumn("keeper", min(col("doc_id")).over(wHash))
+        .select(col("doc_id"),
+          (col("top_cnt") * 2 <= col("n_tokens")).as("pass_repetition"),
+          ((col("rnk") - 1) * 4 >= col("n_lang") - 1).as("pass_length"),
+          (col("doc_id") === col("keeper")).as("pass_exact_dedup"))
+        .withColumn("kept",
+          col("pass_repetition") && col("pass_length") && col("pass_exact_dedup"))
     }),
     // Corpus vocabulary top-k: the canonical wordcount shape. The
     // groupBy gets map-side partial aggregation for free, so shuffle
@@ -435,6 +489,40 @@ object TextQueries extends QueryProvider {
          |             count(*) AS m
          |      FROM lp GROUP BY doc_id)
          |SELECT doc_id, CAST(m AS INT) AS n_tokens, round(-s / m, 4) AS nll FROM f""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+         |n AS (SELECT doc_id, len(tk) AS n FROM t),
+         |off AS (SELECT doc_id,
+         |               CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |        FROM n),
+         |tok AS (SELECT t.doc_id, off.off + generate_subscripts(tk, 1) - 1 AS gpos,
+         |               unnest(tk) AS token
+         |        FROM t JOIN off ON t.doc_id = off.doc_id)
+         |SELECT CAST(gpos // $SeqLen AS BIGINT) AS seq_id,
+         |       CAST(gpos % $SeqLen AS INT) AS pos, doc_id, token
+         |FROM tok""".stripMargin,
+    "curation_pipeline" ->
+      """WITH b AS (SELECT doc_id, lang, n_chars,
+        |                  len(string_split(lower(text), ' ')) AS n_tokens,
+        |                  list_max(list_transform(
+        |                    list_distinct(string_split(lower(text), ' ')),
+        |                    x -> len(list_filter(string_split(lower(text), ' '),
+        |                             y -> y = x)))) AS top_cnt,
+        |                  md5(text) AS text_md5
+        |           FROM documents),
+        |r AS (SELECT *,
+        |             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rnk,
+        |             count(*) OVER (PARTITION BY lang) AS n_lang,
+        |             min(doc_id) OVER (PARTITION BY text_md5) AS keeper
+        |      FROM b)
+        |SELECT doc_id,
+        |       (top_cnt * 2 <= n_tokens) AS pass_repetition,
+        |       ((rnk - 1) * 4 >= n_lang - 1) AS pass_length,
+        |       (doc_id = keeper) AS pass_exact_dedup,
+        |       ((top_cnt * 2 <= n_tokens) AND ((rnk - 1) * 4 >= n_lang - 1)
+        |         AND (doc_id = keeper)) AS kept
+        |FROM r""".stripMargin,
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)

@@ -118,6 +118,49 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_sequences: (seq_id, pos) is dense and unique, and the packed stream " +
+      "equals the doc_id-ordered token concatenation") {
+    val rows = TextQueries.queries("pack_sequences")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val stream = rows.sortBy(r => (r._1, r._2))
+    // dense global positions 0..N-1 in (seq_id, pos) order
+    stream.zipWithIndex.foreach { case ((seq, pos, _, _), i) =>
+      assert(seq == i / 32 && pos == i % 32, s"hole at global position $i")
+    }
+    // provenance + content: the stream is exactly the docs concatenated in id order
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .sortBy(_.getLong(0))
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1).map(t => (r.getLong(0), t)))
+    assert(stream.length == docs.length)
+    stream.zip(docs).foreach { case ((_, _, gotDoc, gotTok), (wantDoc, wantTok)) =>
+      assert(gotDoc == wantDoc && gotTok == wantTok)
+    }
+  }
+
+  test("curation_pipeline: kept == AND of stage flags; pass_length keeps exactly the " +
+      "top three quartiles per language") {
+    val rows = TextQueries.queries("curation_pipeline")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    rows.foreach { case (id, rep, len, ded, kept) =>
+      assert(kept == (rep && len && ded), s"doc $id kept flag")
+    }
+    val byLang = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2)
+    val lenPass = rows.map(r => r._1 -> r._3).toMap
+    byLang.foreach { case (lang, ds) =>
+      val ordered = ds.sortBy(d => (d._3, d._1)).map(_._1)
+      val n = ordered.length
+      ordered.zipWithIndex.foreach { case (id, i) =>
+        val want = i * 4 >= n - 1 // (rank-1)*4 >= n-1
+        assert(lenPass(id) == want, s"$lang doc $id rank ${i + 1} of $n")
+      }
+    }
+  }
+
   test("bigrams: adjacent pairs, 1-token doc yields empty array") {
     import spark.implicits._
     val got = Seq("a b c d", "solo", "x y")
