@@ -173,6 +173,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e6
       }.sorted
     }
+    // Controlled full GC before measuring (r6 floor-probe evidence: the
+    // serving outliers are driver dispatch stalls that track accumulated
+    // garbage from the preceding build sections — BENCH_LOCAL_r6_1m:
+    // p50 486 ms with a 291 ms no-op floor, retry healthy at 38 ms.
+    // Collecting HERE costs a bounded pause outside the timed window
+    // instead of stalls inside it.)
+    System.gc()
     def emit(suffix: String, times: Array[Double]): Double = {
       def pct(p: Double) = times(math.min(times.length - 1, (p * times.length).toInt))
       results(s"${prefix}_p50${suffix}_ms") = pct(0.50)
@@ -342,6 +349,7 @@ object Bench {
       val idxPath = java.nio.file.Files.createTempDirectory("graft_bench_idx").toString
       graft.io.IndexIO.saveIvf(spark, idxPath, ivfModel, assigned)
       val searcher = graft.query.Searcher.open(spark, idxPath).withK(K).withNprobe(10)
+      System.gc() // controlled collection outside the timed window (see timeSingles)
       searcher.search(queries).count() // warm: cache fill, plan, codegen
       val (_, t1) = time(searcher.search(queries).count())
       val (_, t2) = time(searcher.search(queries).count())

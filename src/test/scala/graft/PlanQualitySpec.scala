@@ -208,4 +208,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"pii_scrub must not shuffle:\n$plan")
     assert(!plan.contains("Join"), s"pii_scrub must not join:\n$plan")
   }
+
+  test("unigram_logprob scores as a pure projection once the vocab model is built") {
+    val df = graft.queries.TextQueries.queries("unigram_logprob")(spark, TestSession.Sf0001)
+    val plan = planOf(df)
+    // the count map ships as a literal — scoring itself never joins or shuffles
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("pack_sequences: prefix sum runs over the narrow counts relation; token explode " +
+      "joins back by equi-join only") {
+    val plan = planOf(
+      graft.queries.TextQueries.queries("pack_sequences")(spark, TestSession.Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"offset join must stay an equi-join:\n$plan")
+    assert(plan.contains("Window"), s"expected the prefix-sum window:\n$plan")
+  }
+
+  test("curation_pipeline: every window is partitioned (no all-to-one-partition " +
+      "exchange in the plan)") {
+    val plan = planOf(
+      graft.queries.TextQueries.queries("curation_pipeline")(spark, TestSession.Sf0001))
+    // all three windows key on lang or text_md5 — an unpartitioned window
+    // would plan an Exchange SinglePartition and serialize the corpus
+    assert(!plan.contains("SinglePartition"),
+      s"unpartitioned window moves the corpus to one partition:\n$plan")
+  }
 }
