@@ -243,7 +243,11 @@ object Bench {
       "events_sessionize", "knn_ivf_det", "knn_pq_det", "knn_ivfpq_det", "knn_lsh",
       "vocab_topk", "near_dup_keepers", "doc_split", "contamination_8gram",
       "repetition_signals", "tfidf_top3", "sample_stratified", "knn_flat_filtered",
-      "dedup_components")
+      "dedup_components",
+      // round-6 pipeline operators — measured so the driver artifact
+      // carries their sf0.1 cost, not just their sf0.01 correctness
+      "line_dedup", "pii_scrub", "unigram_logprob", "pack_sequences",
+      "curation_pipeline", "contamination_doc_frac")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())
@@ -384,7 +388,8 @@ object Bench {
     logSection(results, "pq")
     if (serveQ > 0) {
       val server = new graft.query.PqServer(pqCodes, pqModel).warm()
-      timeSingles(results, "serve_pq", singles, 1000.0 * pqSec / benchQ)(q => server.search(q, K))
+      timeSingles(results, "serve_pq", singles, 1000.0 * pqSec / benchQ,
+        floor = Some(() => server.floorProbe()))(q => server.search(q, K))
       server.unpersist()
     }
     pqCodes.unpersist()
@@ -405,7 +410,8 @@ object Bench {
     logSection(results, "ivfpq")
     if (serveQ > 0) {
       val server = new graft.query.IvfPqServer(ivfpqCodes, ivfpqModel).warm()
-      timeSingles(results, "serve_ivfpq", singles, 1000.0 * ivfpqSec / benchQ)(q => server.search(q, K, 10))
+      timeSingles(results, "serve_ivfpq", singles, 1000.0 * ivfpqSec / benchQ,
+        floor = Some(() => server.floorProbe()))(q => server.search(q, K, 10))
       server.unpersist()
     }
     ivfpqCodes.unpersist()
@@ -445,7 +451,8 @@ object Bench {
     // HNSW sections, and measured process decay instead of the kernel)
     if (serveQ > 0) {
       val lshServer = new graft.query.LshServer(mpIdx, mpPlanes, Metric.L2).warm()
-      timeSingles(results, "serve_lsh", singles, 1000.0 * mpSec / benchQ)(q => lshServer.search(q, K))
+      timeSingles(results, "serve_lsh", singles, 1000.0 * mpSec / benchQ,
+        floor = Some(() => lshServer.floorProbe()))(q => lshServer.search(q, K))
       lshServer.unpersist()
     }
     mpIdx.unpersist()
@@ -481,7 +488,8 @@ object Bench {
     // per query each task walks its resident shard graphs (O(ef·degree)
     // per shard, no corpus scan)
     if (serveQ > 0) {
-      timeSingles(results, "serve_hnsw", singles, 1000.0 * hnswSec / benchQ)(
+      timeSingles(results, "serve_hnsw", singles, 1000.0 * hnswSec / benchQ,
+        floor = Some(() => hnswServer.floorProbe()))(
         q => hnswServer.search(q, K, efSearch = 50))
     }
     hnswServer.unpersist()

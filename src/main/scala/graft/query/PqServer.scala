@@ -60,5 +60,14 @@ final class PqServer(codes: DataFrame, model: PqModel) {
     top.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
   }
 
+  /** Diagnostic no-op job over the serving blocks — same scheduler path
+    * as search but touching no block data; lets a bench outlier report
+    * whether the regression is job dispatch or the scan (see
+    * [[IvfServer.floorProbe]]). */
+  def floorProbe(): Unit = {
+    rdd.mapPartitions(_ => Iterator.single(1)).collect()
+    ()
+  }
+
   def unpersist(): Unit = rdd.unpersist()
 }
