@@ -91,8 +91,31 @@ object Metric {
     def rankKeyScalar(q: Array[Double], data: Array[Double], off: Int, dim: Int): Double =
       -dotOff(q, data, off, dim)
   }
+  /** Manhattan/L1 — the first metric extension on the reference roadmap
+    * (docs/roadmap.md:89, never shipped there); it drops into the ADT
+    * exactly as metric.go:19-22's interface intends. The roadmap's other
+    * two (Hamming, Jaccard) are set/bit-domain measures and already
+    * exist where they belong — Hamming over SimHash fingerprints
+    * (simhash_near_pairs) and token-set Jaccard in the near-dup verify
+    * (TextFunctions.jaccard) — not over float vectors. */
+  case object Manhattan extends Metric {
+    val name = "manhattan"
+    def distance(a: Column, b: Column): Column = l1(a, b)
+    def rankKeyScalar(a: Array[Double], b: Array[Double]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += math.abs(a(i) - b(i)); i += 1 }
+      acc
+    }
+    def rankKeyScalar(q: Array[Double], data: Array[Double], off: Int, dim: Int): Double = {
+      val n = math.min(q.length, dim)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += math.abs(q(i) - data(off + i)); i += 1 }
+      acc
+    }
+  }
 
-  val all: Seq[Metric] = Seq(L2, Cosine, Dot)
+  val all: Seq[Metric] = Seq(L2, Cosine, Dot, Manhattan)
 
   /** Factory semantics of metric.go:25-36 — unknown names error. */
   def apply(name: String): Metric =

@@ -37,6 +37,9 @@ object VectorFunctions {
   /** √Σ(aᵢ−bᵢ)² (distance.go:8-15). */
   def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
 
+  /** Manhattan/L1 distance — native fused |aᵢ−bᵢ| fold. */
+  def l1(a: Column, b: Column): Column = org.apache.spark.sql.graftx.DistanceExpressions.l1Fast(a, b)
+
   /** Squared L2 norm (distance.go:46-52). */
   def normSq(v: Column): Column = dot(v, v)
 

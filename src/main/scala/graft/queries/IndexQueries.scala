@@ -282,6 +282,17 @@ object IndexQueries extends QueryProvider {
       HnswIndex.knnBlocked(graph, queries, K, Metric.Dot, efSearch = 200)
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // ... and the round-6 roadmap metric: the graph machinery must accept
+    // a metric the reference never shipped (docs/roadmap.md:89) with zero
+    // index-side changes — the whole point of the Metric-ADT slot.
+    "knn_hnsw_exact_manhattan" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val shards = math.max(1, (corpus.count() / 8).toInt)
+      val graph = HnswIndex.build(corpus, shards, Metric.Manhattan)
+      HnswIndex.knnBlocked(graph, queries, K, Metric.Manhattan, efSearch = 200)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
     })
   )
 
@@ -384,7 +395,8 @@ object IndexQueries extends QueryProvider {
     // exhaustive-configuration HNSW == brute force, by construction
     ("knn_hnsw_exact" -> VectorQueries.oracles("knn_flat_l2")) +
     ("knn_hnsw_exact_cosine" -> VectorQueries.oracles("knn_flat_cosine")) +
-    ("knn_hnsw_exact_dot" -> VectorQueries.oracles("knn_flat_dot"))
+    ("knn_hnsw_exact_dot" -> VectorQueries.oracles("knn_flat_dot")) +
+    ("knn_hnsw_exact_manhattan" -> VectorQueries.oracles("knn_flat_manhattan"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "ivf_assign_det" ->

@@ -54,6 +54,8 @@ object VectorQueries extends QueryProvider {
   val sqlL2Sq =
     "list_reduce(list_transform(range(1, len(qv)+1), i -> (qv[i]-ev[i])*(qv[i]-ev[i])), (a,b) -> a+b)"
   val sqlL2 = s"sqrt($sqlL2Sq)"
+  val sqlL1 =
+    "list_reduce(list_transform(range(1, len(qv)+1), i -> abs(qv[i]-ev[i])), (a,b) -> a+b)"
   val sqlNormQ =
     "sqrt(list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]), (a,b) -> a+b))"
   val sqlNormE =
@@ -87,6 +89,8 @@ object VectorQueries extends QueryProvider {
     "knn_flat_l2" -> knnQuery(Metric.L2),
     "knn_flat_cosine" -> knnQuery(Metric.Cosine),
     "knn_flat_dot" -> knnQuery(Metric.Dot),
+    // the roadmap metric (docs/roadmap.md:89) the reference never shipped
+    "knn_flat_manhattan" -> knnQuery(Metric.Manhattan),
     // P3: range search as exact filter (search.go:165-189)
     "range_search_l2" -> ((s, dir) => {
       val (corpus, queries) = vecTables(s, dir)
@@ -174,6 +178,7 @@ object VectorQueries extends QueryProvider {
     "knn_flat_l2" -> knnOracleSql(sqlL2),
     "knn_flat_cosine" -> knnOracleSql(sqlCosine),
     "knn_flat_dot" -> knnOracleSql(s"-($sqlDot)"),
+    "knn_flat_manhattan" -> knnOracleSql(sqlL1),
     "knn_flat_filtered" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -69,6 +69,19 @@ case class L2SqExpr(left: Expression, right: Expression) extends BinaryVectorFol
     copy(left = l, right = r)
 }
 
+/** Σ |aᵢ−bᵢ| — fused Manhattan/L1 (the reference roadmap's first listed
+  * metric extension, docs/roadmap.md:89; the Metric ADT slot it lands in
+  * is metric.go:19-22's interface). */
+case class L1Expr(left: Expression, right: Expression) extends BinaryVectorFold {
+  override def prettyName: String = "graft_l1"
+  protected def combine(acc: Double, x: Double, y: Double): Double =
+    acc + math.abs(x - y)
+  protected def combineCode(acc: String, x: String, y: String): String =
+    s"$acc + java.lang.Math.abs($x - $y)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Σ aᵢ·bᵢ — fused dot product (distance.go:28-34). */
 case class DotExpr(left: Expression, right: Expression) extends BinaryVectorFold {
   override def prettyName: String = "graft_dot"
@@ -174,13 +187,16 @@ case class LshBucketExpr(child: Expression, planes: Int)
 object DistanceExpressions {
   /** Column wrappers over the native expressions. */
   def l2SqFast(a: Column, b: Column): Column = column(L2SqExpr(expression(a), expression(b)))
+  def l1Fast(a: Column, b: Column): Column = column(L1Expr(expression(a), expression(b)))
   def dotFast(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
   def lshBucket(v: Column, planes: Int): Column = column(LshBucketExpr(expression(v), planes))
 
-  /** SQL registration (graft_l2sq / graft_dot), for spark.sql users. */
+  /** SQL registration (graft_l2sq / graft_l1 / graft_dot), for spark.sql users. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_l2sq", exprs => L2SqExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l1", exprs => L1Expr(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotExpr(exprs(0), exprs(1)), "built-in")
   }

@@ -20,14 +20,15 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   */
 
 /** argmin over matrix rows by the metric's rank key → INT cluster id.
-  * `mode` ∈ {"l2", "dot", "cosine"} — the reference assigns/probes with
+  * `mode` ∈ {"l2", "dot", "cosine", "manhattan"} — the reference assigns/probes with
   * the *configured* metric (ivf.go:133-135, 240-252), so assignment must
   * be metric-aware too. Ties break toward the lower row index (strict
   * `<`), matching `Metric.rankKeyScalar` bit-for-bit. */
 case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]],
     mode: String = "l2")
     extends UnaryExpression with ExpectsInputTypes {
-  require(Set("l2", "dot", "cosine")(mode), s"unknown nearest-centroid mode '$mode'")
+  require(Set("l2", "dot", "cosine", "manhattan")(mode),
+    s"unknown nearest-centroid mode '$mode'")
   // centroid norms, used by the cosine mode only
   private lazy val rowNorms: Array[Double] =
     matrix.map(r => math.sqrt(r.map(x => x * x).sum))
@@ -54,6 +55,8 @@ case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]],
       mode match {
         case "l2" =>
           while (i < n) { val t = vec.getDouble(i) - row(i); d += t * t; i += 1 }
+        case "manhattan" =>
+          while (i < n) { d += math.abs(vec.getDouble(i) - row(i)); i += 1 }
         case "dot" =>
           while (i < n) { d -= vec.getDouble(i) * row(i); i += 1 }
         case "cosine" =>
@@ -90,6 +93,13 @@ case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]],
              |  for (int $i = 0; $i < $n; $i++) {
              |    double $t = $v.getDouble($i) - $row[$i];
              |    $d += $t * $t;
+             |  }
+             |""".stripMargin
+        case "manhattan" =>
+          s"""
+             |  double $d = 0.0;
+             |  for (int $i = 0; $i < $n; $i++) {
+             |    $d += java.lang.Math.abs($v.getDouble($i) - $row[$i]);
              |  }
              |""".stripMargin
         case "dot" =>

@@ -33,6 +33,17 @@ class DistanceSpec extends AnyFunSuite {
   test("L2: negatives → √56") {
     assert(math.abs(eval(Seq(1, -2, 3), Seq(-1, 2, -3), l2) - math.sqrt(56.0)) < 1e-5)
   }
+  test("manhattan: hand values; column, scalar and rankKeyScalar agree") {
+    assert(math.abs(eval(Seq(1, 2, 3), Seq(1, 2, 3), l1)) < 1e-12)
+    assert(math.abs(eval(Seq(0, 0), Seq(3, 4), l1) - 7.0) < 1e-12)
+    assert(math.abs(eval(Seq(1, -2, 3), Seq(-1, 2, -3), l1) - 12.0) < 1e-12)
+    val (a, b) = (Array(0.25, -1.5, 2.0), Array(1.0, 0.5, -0.75))
+    val viaCol = eval(a.toSeq, b.toSeq, l1)
+    assert(Metric.Manhattan.rankKeyScalar(a, b) == viaCol)
+    assert(Metric.Manhattan.rankKeyScalar(a, b ++ Array(9.9), 0, 3) == viaCol)
+    assert(Metric("manhattan") == Metric.Manhattan)
+  }
+
   test("dot: orthogonal → 0") {
     assert(math.abs(eval(Seq(1, 0), Seq(0, 1), dot)) < 1e-6)
   }
@@ -64,7 +75,9 @@ class DistanceSpec extends AnyFunSuite {
     assert(math.abs(direct - tricked) < 1e-9)
   }
   test("unknown metric name errors (metric.go:25-36)") {
-    intercept[IllegalArgumentException](Metric("manhattan"))
+    // "manhattan" graduated from this test's unknown example to a real
+    // metric in round 6 — the roadmap extension landed in the ADT slot
+    intercept[IllegalArgumentException](Metric("chebyshev"))
     assert(Metric("L2") == Metric.L2) // case-insensitive
   }
 

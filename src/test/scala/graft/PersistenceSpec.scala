@@ -33,6 +33,18 @@ class PersistenceSpec extends AnyFunSuite {
     assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
   }
 
+  test("manhattan metric round-trips through save → Searcher.open (roadmap slot)") {
+    val (corpus, queries) = vecs
+    val path = tmp()
+    IndexIO.saveFlat(spark, path, corpus, Metric.Manhattan)
+    val s = Searcher.open(spark, path).withK(10)
+    val direct = FlatIndex.knnBlocked(corpus, queries, 10, Metric.Manhattan)
+    val viaFacade = s.search(queries)
+    assert(viaFacade.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(viaFacade).count() == 0)
+    s.close()
+  }
+
   test("ivf index round-trip: centroids, codes, and search results survive") {
     val (corpus, queries) = vecs
     val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
