@@ -27,6 +27,33 @@ object TextQueries extends QueryProvider {
   /** pack_sequences training-sequence length. */
   private val SeqLen = 32
 
+  /** mixture_sample's token-budget fraction of the whole corpus. */
+  private val MixBudgetFrac = 0.4
+
+  /** Per-source sampling plan: target weight w = 1 + (source number % 4)
+    * (a stand-in for a configured weight table — swapping in real weights
+    * is a literal-map change), source token mass, and the integer accept
+    * threshold min(1e6, round(min(1, w·frac·total / (Σw·tokens)) · 1e6)).
+    * The threshold is computed once per source (≤ sources rows), so the
+    * double arithmetic happens on a broadcast-sized frame and the per-doc
+    * accept test is pure integer compare — engine-parity by the same
+    * round-HALF_UP rule the curation filters rely on. */
+  private def mixturePlan(d: DataFrame): DataFrame = {
+    val perSrc = d
+      .groupBy("source")
+      .agg(sum(size(toks(col("text")))).as("src_tokens"))
+      .withColumn("w", lit(1) + substring(col("source"), 4, 10).cast("int") % 4)
+    val totals = perSrc.agg(
+      sum(col("src_tokens")).as("total_toks"), sum(col("w")).as("wsum"))
+    perSrc.crossJoin(broadcast(totals)).select(
+      col("source"), col("w"), col("src_tokens"),
+      least(lit(1000000L),
+        round(least(lit(1.0),
+            col("w") * lit(MixBudgetFrac) * col("total_toks")
+              / (col("wsum") * col("src_tokens"))) * 1000000.0, 0)
+          .cast("long")).as("thresh"))
+  }
+
   private def hits(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => t.isin(words.map(lit(_)): _*)))
 
@@ -83,6 +110,25 @@ object TextQueries extends QueryProvider {
         bucket.as("bucket"),
         when(bucket < 90, "train").when(bucket < 95, "val")
           .otherwise("test").as("split"))
+    }),
+    // Deterministic domain-mixture sampler ("data mixing"): distribute a
+    // corpus-wide token budget (MixBudgetFrac of total) across sources by
+    // target weight, then accept each doc iff its content fingerprint
+    // falls under the source's acceptance threshold. RNG-free on purpose:
+    // at 100 TB a task retry must not change the sample, and duplicate
+    // texts within a source get the same verdict. Two tiny aggregations
+    // (≤ one row per source, map-side partial) produce the plan; the
+    // corpus side is one projection + one broadcast equi-join — the big
+    // table is never shuffled.
+    "mixture_plan" -> ((s, dir) => mixturePlan(Tables.load(s, dir, "documents"))),
+    "mixture_sample" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val plan = mixturePlan(d).select("source", "thresh")
+      d.select(col("doc_id"), col("source"),
+          docFingerprint(col("text")).as("fp"))
+        .join(broadcast(plan), Seq("source"))
+        .where(col("fp") % lit(1000000L) < col("thresh"))
+        .select(col("doc_id"), col("source"))
     }),
     // Benchmark decontamination: corpus documents sharing any rolling
     // 8-gram with the eval set (doc_id < EvalCap stands in for the
@@ -402,7 +448,39 @@ object TextQueries extends QueryProvider {
   val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
   val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
 
+  /** Shared CTE for the mixture oracles — the same weight/threshold
+    * arithmetic as [[mixturePlan]], term-for-term (multiplication order
+    * matters for bit parity of the double intermediate). */
+  private val sqlMixPlan =
+    s"""md AS (SELECT source, len(string_split(text, ' ')) AS n_toks FROM documents),
+       |ms AS (SELECT source,
+       |              CAST(1 + (CAST(substr(source, 4) AS INT) % 4) AS INT) AS w,
+       |              CAST(sum(n_toks) AS BIGINT) AS src_tokens
+       |       FROM md GROUP BY source),
+       |mt AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_toks,
+       |              CAST(sum(w) AS BIGINT) AS wsum FROM ms),
+       |mplan AS (SELECT source, w, src_tokens,
+       |       LEAST(CAST(1000000 AS BIGINT),
+       |             CAST(round(LEAST(1.0, (w * $MixBudgetFrac * total_toks)
+       |                                   / (wsum * src_tokens)) * 1000000.0, 0)
+       |                  AS BIGINT)) AS thresh
+       |       FROM ms, mt)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "mixture_plan" ->
+      s"""WITH $sqlMixPlan
+         |SELECT source, w, src_tokens, thresh FROM mplan""".stripMargin,
+    "mixture_sample" -> {
+      import graft.functions.TextFunctions.{sqlTokenHash, Mod}
+      val fp = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})), " +
+        s"(a, b) -> (a * 31 + b) % $Mod)"
+      s"""WITH $sqlMixPlan
+         |SELECT doc_id, d.source
+         |FROM (SELECT doc_id, source, $fp AS fp FROM documents) d
+         |JOIN mplan ON d.source = mplan.source
+         |WHERE fp % 1000000 < thresh""".stripMargin
+    },
     "text_stats" ->
       """SELECT doc_id,
         |       CAST(length(text) AS INT) AS n_chars_m,

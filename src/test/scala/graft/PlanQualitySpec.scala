@@ -201,6 +201,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"line drop must stay an equi-join:\n$plan")
   }
 
+  test("mixture_sample: corpus joins the per-source plan by broadcast — the big side " +
+      "is never sort-merge-joined or shuffled for the accept test") {
+    val plan = planOf(graft.queries.TextQueries.queries("mixture_sample")(
+      spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast plan join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"mixture sample must not shuffle-join the corpus:\n$plan")
+  }
+
   test("pii_scrub stays a pure per-row projection (no shuffle, no join)") {
     val plan = planOf(
       graft.queries.TextQueries.queries("pii_scrub")(spark, TestSession.Sf0001))

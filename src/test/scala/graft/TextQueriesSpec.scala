@@ -301,6 +301,36 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture_sample: accept set recomputes exactly from the plan thresholds; " +
+      "plan weights follow the source-number formula and budget math") {
+    val dir = TestSession.Sf0001
+    val plan = TextQueries.queries("mixture_plan")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    // weights follow 1 + (source number % 4); thresholds recompute from
+    // the collected plan's own token masses (same double arithmetic)
+    val totalToks = plan.values.map(_._2).sum
+    val wsum = plan.values.map(_._1.toLong).sum
+    plan.foreach { case (src, (w, toks, thresh)) =>
+      assert(w == 1 + (src.drop(3).toInt % 4), s"$src weight")
+      val rate = math.min(1.0, w * 0.4 * totalToks / (wsum * toks).toDouble)
+      val expect = math.min(1000000L, BigDecimal(rate * 1000000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(thresh == expect, s"$src thresh")
+    }
+    // the sample is exactly the fingerprint-gated subset — RNG-free, so
+    // a recomputation (fresh plan, fresh fingerprints) reproduces it
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextFunctions.docFingerprint(col("text")).as("fp")).collect()
+    val expected = docs.filter { r =>
+      r.getLong(2) % 1000000L < plan(r.getString(1))._3
+    }.map(_.getLong(0)).toSet
+    val sampled = TextQueries.queries("mixture_sample")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(sampled == expected)
+    assert(sampled.nonEmpty && sampled.size < docs.length)
+  }
+
   test("sample_stratified: ≤20 per lang, deterministic across evaluations") {
     val s1 = TextQueries.queries("sample_stratified")(spark, TestSession.Sf0001)
     val perLang = s1.groupBy("lang").count().collect()
