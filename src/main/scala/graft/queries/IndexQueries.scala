@@ -47,6 +47,18 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // The round-6 roadmap metric through the IVF family: assignment,
+    // probe selection, AND candidate ranking all run on L1 (the
+    // reference assigns/probes with the configured metric,
+    // ivf.go:133-135, 240-252) — hash-verified against an L1-everywhere
+    // DuckDB replica of the same pipeline.
+    "knn_ivf_manhattan" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = IvfIndex.trainDeterministic(corpus, Nlist, Metric.Manhattan)
+      IvfIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     // Query-time filtered IVF search: the index stays whole (trained and
     // assigned over the FULL corpus — retraining per predicate would be
     // absurd at scale); the metadata filter prunes the assigned table
@@ -299,8 +311,10 @@ object IndexQueries extends QueryProvider {
   // ---- DuckDB oracles for the deterministic variants ----
 
   /** Shared CTE prefix: corpus v, query batch q, bucket-mean centroids
-    * cent, argmin assignment. */
-  private val base =
+    * cent, argmin assignment under the given rank-key SQL (squared L2
+    * for the l2 family; the metric's own distance otherwise — same rank
+    * order, matching `Metric.rankKeyScalar`). */
+  private def baseWith(dist: (String, String) => String) =
     s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
        |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
@@ -309,19 +323,21 @@ object IndexQueries extends QueryProvider {
        |cent AS (SELECT bucket, list(mm ORDER BY pos) AS cv
        |         FROM (SELECT bucket, pos, avg(x) AS mm FROM centl GROUP BY bucket, pos)
        |         GROUP BY bucket),
-       |ad AS (SELECT v.id, v.ev, c.bucket, ${sqlL2SqG("ev", "cv")} AS d2
+       |ad AS (SELECT v.id, v.ev, c.bucket, ${dist("ev", "cv")} AS d2
        |       FROM v CROSS JOIN cent c),
        |assign AS (SELECT id, ev, bucket AS cluster_id FROM (
        |  SELECT id, ev, bucket, row_number() OVER (PARTITION BY id ORDER BY d2, bucket) AS rn
        |  FROM ad) WHERE rn = 1)""".stripMargin
+  private val base = baseWith(sqlL2SqG)
 
   /** Probe CTEs: per-query top-nprobe buckets (with centroid in scope). */
-  private val probeCtes =
-    s"""cd AS (SELECT q.query_id, q.qv, c.bucket, c.cv, ${sqlL2SqG("qv", "cv")} AS cd2
+  private def probeCtesWith(dist: (String, String) => String) =
+    s"""cd AS (SELECT q.query_id, q.qv, c.bucket, c.cv, ${dist("qv", "cv")} AS cd2
        |       FROM q CROSS JOIN cent c),
        |probes AS (SELECT query_id, qv, bucket, cv FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cd2, bucket) AS rn
        |  FROM cd) WHERE rn <= $Nprobe)""".stripMargin
+  private val probeCtes = probeCtesWith(sqlL2SqG)
 
   /** PQ codebook + encode CTEs over a (id[, cluster_id], xv) relation
     * named `src`; bucket j = id % ksub per subspace. */
@@ -412,6 +428,18 @@ object IndexQueries extends QueryProvider {
          |      FROM cand)
          |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= $K""".stripMargin,
+    "knn_ivf_manhattan" -> {
+      val l1 = VectorQueries.sqlL1G _
+      s"""WITH ${baseWith(l1)},
+         |${probeCtesWith(l1)},
+         |cand AS (SELECT p.query_id, a.id AS neighbor_id, ${l1("qv", "ev")} AS d1
+         |         FROM probes p JOIN assign a ON a.cluster_id = p.bucket),
+         |r AS (SELECT query_id, neighbor_id, d1,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d1, neighbor_id) AS rank
+         |      FROM cand)
+         |SELECT query_id, neighbor_id, round(d1, 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $K""".stripMargin
+    },
     "knn_ivf_filtered" ->
       s"""WITH $base,
          |$probeCtes,

@@ -40,6 +40,10 @@ object VectorQueries extends QueryProvider {
   def sqlL2SqG(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])), (x,y) -> x+y)"
 
+  /** Generic Manhattan/L1 between two list columns named `a` and `b`. */
+  def sqlL1G(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), i -> abs($a[i]-$b[i])), (x,y) -> x+y)"
+
   /** Generic dot / norm / cosine-similarity fragments over list columns. */
   def sqlDotG(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]), (x,y) -> x+y)"
