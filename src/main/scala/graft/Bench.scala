@@ -247,7 +247,7 @@ object Bench {
       // round-6 pipeline operators — measured so the driver artifact
       // carries their sf0.1 cost, not just their sf0.01 correctness
       "line_dedup", "pii_scrub", "unigram_logprob", "pack_sequences",
-      "curation_pipeline", "contamination_doc_frac")
+      "curation_pipeline", "contamination_doc_frac", "mixture_sample")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())
