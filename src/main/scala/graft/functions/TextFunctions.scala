@@ -144,6 +144,16 @@ object TextFunctions {
        |  list_transform(string_split($t, ''), c -> CAST(ascii(c) AS BIGINT))),
        |  (a, b) -> (a * 31 + b) % $Mod)""".stripMargin.replaceAll("\n\\s*", " ")
 
+  /** Document fingerprint over the column `text` — the DuckDB twin of
+    * [[docFingerprint]]. ONE definition for every oracle that gates on
+    * content fingerprints (doc_fingerprint, doc_split, sample_stratified,
+    * mixture_sample): a change to the recurrence lands everywhere or
+    * nowhere. */
+  def sqlDocFingerprint: String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})), " +
+      s"(a, b) -> (a * 31 + b) % $Mod)"
+
   /** MinHash signature over a distinct token-list expression `ts`. */
   def sqlMinhashSig(ts: String): String =
     s"""list_transform(range(0, $MinhashH), i ->

@@ -262,51 +262,31 @@ object IndexQueries extends QueryProvider {
     // hash-verify the graph machinery end-to-end (build → persistable
     // rows → fromTuples → descent → searchLayer → merge) — the one
     // configuration where graph search has an exact SQL oracle.
-    "knn_hnsw_exact" -> ((s, dir) => {
-      val (corpus, queries) = vecTables(s, dir)
-      val shards = math.max(1, (corpus.count() / 8).toInt)
-      val graph = HnswIndex.build(corpus, shards, Metric.L2)
-      HnswIndex.knnBlocked(graph, queries, K, Metric.L2, efSearch = 200)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("distance"), 4).as("distance"), col("rank"))
-    }),
-    // Same exhaustive-shard construction under the SECOND metric: the
-    // graph's every distance comparison (levels aside — those are
-    // metric-free) now runs through the cosine rank key, and the result
-    // must still equal brute force — hash-verifying the graph machinery
-    // isn't silently L2-specific (VERDICT r4 missing #3).
-    "knn_hnsw_exact_cosine" -> ((s, dir) => {
-      val (corpus, queries) = vecTables(s, dir)
-      val shards = math.max(1, (corpus.count() / 8).toInt)
-      val graph = HnswIndex.build(corpus, shards, Metric.Cosine)
-      HnswIndex.knnBlocked(graph, queries, K, Metric.Cosine, efSearch = 200)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("distance"), 4).as("distance"), col("rank"))
-    }),
-    // ... and the third: inner-product. −dot is not a true metric (greedy
-    // descent has no triangle-inequality guarantee) — which is exactly why
-    // the exhaustive configuration matters: it proves the machinery still
-    // degrades to brute force correctly when the "distance" is degenerate.
-    "knn_hnsw_exact_dot" -> ((s, dir) => {
-      val (corpus, queries) = vecTables(s, dir)
-      val shards = math.max(1, (corpus.count() / 8).toInt)
-      val graph = HnswIndex.build(corpus, shards, Metric.Dot)
-      HnswIndex.knnBlocked(graph, queries, K, Metric.Dot, efSearch = 200)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("distance"), 4).as("distance"), col("rank"))
-    }),
-    // ... and the round-6 roadmap metric: the graph machinery must accept
-    // a metric the reference never shipped (docs/roadmap.md:89) with zero
-    // index-side changes — the whole point of the Metric-ADT slot.
-    "knn_hnsw_exact_manhattan" -> ((s, dir) => {
-      val (corpus, queries) = vecTables(s, dir)
-      val shards = math.max(1, (corpus.count() / 8).toInt)
-      val graph = HnswIndex.build(corpus, shards, Metric.Manhattan)
-      HnswIndex.knnBlocked(graph, queries, K, Metric.Manhattan, efSearch = 200)
-        .select(col("query_id"), col("neighbor_id"),
-          round(col("distance"), 4).as("distance"), col("rank"))
-    })
+    // Swept across all four metrics: cosine proves the machinery isn't
+    // silently L2-specific (VERDICT r4 missing #3); −dot is not a true
+    // metric (greedy descent has no triangle-inequality guarantee), so it
+    // proves the machinery still degrades to brute force correctly when
+    // the "distance" is degenerate; manhattan (round 6) is the roadmap
+    // metric the reference never shipped, accepted with zero index-side
+    // changes — the whole point of the Metric-ADT slot.
+    "knn_hnsw_exact" -> hnswExact(Metric.L2),
+    "knn_hnsw_exact_cosine" -> hnswExact(Metric.Cosine),
+    "knn_hnsw_exact_dot" -> hnswExact(Metric.Dot),
+    "knn_hnsw_exact_manhattan" -> hnswExact(Metric.Manhattan)
   )
+
+  /** The provably-exhaustive HNSW recipe behind the four knn_hnsw_exact_*
+    * entries — ONE definition so the exhaustiveness argument (n/8 shards,
+    * ef ≥ shard size) can't silently de-synchronize across metrics. */
+  private def hnswExact(metric: Metric): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val shards = math.max(1, (corpus.count() / 8).toInt)
+      val graph = HnswIndex.build(corpus, shards, metric)
+      HnswIndex.knnBlocked(graph, queries, K, metric, efSearch = 200)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }
 
   // ---- DuckDB oracles for the deterministic variants ----
 

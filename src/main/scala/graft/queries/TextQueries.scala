@@ -34,24 +34,31 @@ object TextQueries extends QueryProvider {
     * (a stand-in for a configured weight table — swapping in real weights
     * is a literal-map change), source token mass, and the integer accept
     * threshold min(1e6, round(min(1, w·frac·total / (Σw·tokens)) · 1e6)).
-    * The threshold is computed once per source (≤ sources rows), so the
-    * double arithmetic happens on a broadcast-sized frame and the per-doc
-    * accept test is pure integer compare — engine-parity by the same
-    * round-HALF_UP rule the curation filters rely on. */
+    * The corpus is aggregated ONCE (map-side partial, ≤ one row per
+    * source); the collected rows finish the double arithmetic on the
+    * driver — the centroid/codebook discipline — so mixture_sample's
+    * broadcast side is a literal frame, not a second tokenize+aggregate
+    * subtree over the corpus. Threshold parity with the DuckDB oracle is
+    * the same round-HALF_UP rule the curation filters rely on; the weight
+    * parse reads the FULL numeric suffix and fails loudly on a
+    * non-`src<N>` source, exactly like the oracle's CAST. */
   private def mixturePlan(d: DataFrame): DataFrame = {
-    val perSrc = d
-      .groupBy("source")
+    val spark = d.sparkSession
+    import spark.implicits._
+    val perSrc = d.groupBy("source")
       .agg(sum(size(toks(col("text")))).as("src_tokens"))
-      .withColumn("w", lit(1) + substring(col("source"), 4, 10).cast("int") % 4)
-    val totals = perSrc.agg(
-      sum(col("src_tokens")).as("total_toks"), sum(col("w")).as("wsum"))
-    perSrc.crossJoin(broadcast(totals)).select(
-      col("source"), col("w"), col("src_tokens"),
-      least(lit(1000000L),
-        round(least(lit(1.0),
-            col("w") * lit(MixBudgetFrac) * col("total_toks")
-              / (col("wsum") * col("src_tokens"))) * 1000000.0, 0)
-          .cast("long")).as("thresh"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val ws = perSrc.map { case (src, _) => 1 + src.drop(3).toInt % 4 }
+    val totalToks = perSrc.map(_._2).sum
+    val wsum = ws.map(_.toLong).sum
+    perSrc.zip(ws).toSeq.map { case ((src, tokCount), w) =>
+      val rate = math.min(1.0,
+        w * MixBudgetFrac * totalToks / (wsum * tokCount).toDouble)
+      val thresh = math.min(1000000L,
+        java.math.BigDecimal.valueOf(rate * 1000000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+      (src, w, tokCount, thresh)
+    }.toDF("source", "w", "src_tokens", "thresh")
   }
 
   private def hits(tokens: Column, words: Seq[String]): Column =
@@ -116,10 +123,11 @@ object TextQueries extends QueryProvider {
     // target weight, then accept each doc iff its content fingerprint
     // falls under the source's acceptance threshold. RNG-free on purpose:
     // at 100 TB a task retry must not change the sample, and duplicate
-    // texts within a source get the same verdict. Two tiny aggregations
-    // (≤ one row per source, map-side partial) produce the plan; the
-    // corpus side is one projection + one broadcast equi-join — the big
-    // table is never shuffled.
+    // texts within a source get the same verdict. One corpus aggregation
+    // (map-side partial, ≤ one row per source) produces the plan as a
+    // driver literal; the corpus side is one projection + one broadcast
+    // equi-join against that literal — the big table is scanned once per
+    // pass and never shuffled.
     "mixture_plan" -> ((s, dir) => mixturePlan(Tables.load(s, dir, "documents"))),
     "mixture_sample" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -449,8 +457,11 @@ object TextQueries extends QueryProvider {
   val PhoneRe = "\\b555-[0-9]{3}-[0-9]{4}\\b"
 
   /** Shared CTE for the mixture oracles — the same weight/threshold
-    * arithmetic as [[mixturePlan]], term-for-term (multiplication order
-    * matters for bit parity of the double intermediate). */
+    * arithmetic as [[mixturePlan]], term-for-term. The budget fraction is
+    * CAST to DOUBLE up front: a bare `0.4` literal is DuckDB DECIMAL, and
+    * decimal-exact multiplication folds with ONE fewer rounding than the
+    * JVM's double chain — a 1-ulp divergence that flips `round(·, 0)`
+    * whenever rate·1e6 lands on an x.5 boundary. */
   private val sqlMixPlan =
     s"""md AS (SELECT source, len(string_split(text, ' ')) AS n_toks FROM documents),
        |ms AS (SELECT source,
@@ -461,7 +472,8 @@ object TextQueries extends QueryProvider {
        |              CAST(sum(w) AS BIGINT) AS wsum FROM ms),
        |mplan AS (SELECT source, w, src_tokens,
        |       LEAST(CAST(1000000 AS BIGINT),
-       |             CAST(round(LEAST(1.0, (w * $MixBudgetFrac * total_toks)
+       |             CAST(round(LEAST(1.0,
+       |                    (w * CAST($MixBudgetFrac AS DOUBLE) * total_toks)
        |                                   / (wsum * src_tokens)) * 1000000.0, 0)
        |                  AS BIGINT)) AS thresh
        |       FROM ms, mt)""".stripMargin
@@ -471,10 +483,7 @@ object TextQueries extends QueryProvider {
       s"""WITH $sqlMixPlan
          |SELECT source, w, src_tokens, thresh FROM mplan""".stripMargin,
     "mixture_sample" -> {
-      import graft.functions.TextFunctions.{sqlTokenHash, Mod}
-      val fp = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})), " +
-        s"(a, b) -> (a * 31 + b) % $Mod)"
+      val fp = graft.functions.TextFunctions.sqlDocFingerprint
       s"""WITH $sqlMixPlan
          |SELECT doc_id, d.source
          |FROM (SELECT doc_id, source, $fp AS fp FROM documents) d
@@ -502,20 +511,12 @@ object TextQueries extends QueryProvider {
          |            ELSE 'fr' END AS lang_pred,
          |       lang AS lang_actual
          |FROM (SELECT doc_id, lower(text) AS text, lang FROM documents)""".stripMargin,
-    "doc_fingerprint" -> {
-      import graft.functions.TextFunctions.{sqlTokenHash, Mod}
+    "doc_fingerprint" ->
       s"""SELECT doc_id,
-         |  list_reduce(
-         |    list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})),
-         |    (a, b) -> (a * 31 + b) % $Mod) AS fingerprint
-         |FROM documents""".stripMargin
-    },
+         |  ${graft.functions.TextFunctions.sqlDocFingerprint} AS fingerprint
+         |FROM documents""".stripMargin,
     "doc_split" -> {
-      import graft.functions.TextFunctions.{sqlTokenHash, Mod}
-      val fp = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})), " +
-        s"(a, b) -> (a * 31 + b) % $Mod)"
+      val fp = graft.functions.TextFunctions.sqlDocFingerprint
       s"""SELECT doc_id, fp % 100 AS bucket,
          |       CASE WHEN fp % 100 < 90 THEN 'train'
          |            WHEN fp % 100 < 95 THEN 'val'
@@ -666,10 +667,7 @@ object TextQueries extends QueryProvider {
         |       tfidf, CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 3""".stripMargin,
     "sample_stratified" -> {
-      import graft.functions.TextFunctions.{sqlTokenHash, Mod}
-      val fp = s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-        s"list_transform(string_split(text, ' '), t -> ${sqlTokenHash("t")})), " +
-        s"(a, b) -> (a * 31 + b) % $Mod)"
+      val fp = graft.functions.TextFunctions.sqlDocFingerprint
       s"""SELECT doc_id, lang, fp, CAST(rn AS INT) AS rn
          |FROM (SELECT doc_id, lang, fp,
          |             row_number() OVER (PARTITION BY lang ORDER BY fp, doc_id) AS rn
