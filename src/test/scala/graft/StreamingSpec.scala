@@ -175,6 +175,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming mixture sampling under a static plan equals the batch sample " +
+      "(stateless stream-static join, any micro-batch split)") {
+    import graft.streaming.StreamingMixture
+    val dir = TestSession.Sf0001
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "source", "text")
+    val plan = graft.queries.TextQueries.queries("mixture_plan")(spark, dir)
+    val expected = graft.queries.TextQueries.queries("mixture_sample")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "plan should accept some docs")
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_mix_src")
+    docs.where(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(srcDir.resolve("a").toString)
+    docs.where(col("doc_id") % 2 === 1).coalesce(1)
+      .write.parquet(srcDir.resolve("b").toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1) // force ≥ 2 micro-batches
+      .parquet(srcDir.toString + "/*")
+    val q = StreamingMixture.sample(stream, plan)
+      .writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("mix_stream")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed == expected,
+        s"stream kept ${streamed.size}, batch kept ${expected.size}; " +
+          s"diff=${(streamed diff expected) ++ (expected diff streamed)}")
+    } finally q.stop()
+  }
+
   test("foreachBatch appends assigned vectors to an IVF index table") {
     val (corpus, queries) = graft.queries.VectorQueries.vecTables(spark, TestSession.Sf0001)
     val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
