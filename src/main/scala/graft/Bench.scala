@@ -527,7 +527,12 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = results.filter(_._1.endsWith("sec")).values.sum +
+    // retry rows are diagnostic re-measurements of a section already
+    // counted by its primary row — summing both would inflate exactly
+    // the runs the retry exists to de-noise
+    val total = results
+      .filter { case (k, _) => k.endsWith("sec") && !k.contains("_retry") }
+      .values.sum +
       headline.flatMap(results.get).sum
     val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_n":$benchN,"bench_q":$benchQ}"""
     println(line)

@@ -72,8 +72,11 @@ object Profile {
       println(f"[profile] $name%-30s p50=${pct(ts, 0.5)}%8.2f ms  p95=${pct(ts, 0.95)}%8.2f ms  min=${ts.min}%8.2f ms")
     }
     run("serve ivf single")(q => server.search(q, 10, 10))
+    // centroid conversion hoisted OUT of the timed lambda (IvfServer does
+    // the same once at construction) — the row must isolate probeSet cost
+    val centArrays = ivfm.centroids.map(_.toArray).toArray
     run("probeSet only (driver)")(q =>
-      IvfIndex.probeSet(q, ivfm.centroids.map(_.toArray).toArray, Metric.L2, 10))
+      IvfIndex.probeSet(q, centArrays, Metric.L2, 10))
     run("serve ivf single again")(q => server.search(q, 10, 10))
     spark.stop()
   }

@@ -25,6 +25,37 @@ import org.apache.spark.sql.functions._
   *    alternation closes in ~12 rounds — OperatorFuzzSpec holds both
   *    the union-find equivalence fuzz and the deep-chain case.)
   */
+/** Min-rooted path-compressing union-find over Long ids — the driver-
+  * local core shared by [[ConnectedComponents.labelLocal]] and the
+  * streaming [[graft.streaming.IncrementalComponents]]: comp(x) = the
+  * minimum id reachable from x, which is the cross-checked contract
+  * between the batch and incremental dedup-clustering paths. NOT
+  * thread-safe — a caller that mutates from one thread while reading
+  * from another must synchronize externally. */
+private[graft] final class MinUnionFind {
+  private val parent = new java.util.HashMap[Long, Long]()
+
+  def find(x: Long): Long = {
+    var r = x
+    while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+    // path compression
+    var c = x
+    while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+    r
+  }
+
+  def union(a: Long, b: Long): Unit = {
+    val (ra, rb) = (find(a), find(b))
+    if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+  }
+
+  /** (id, root) for every edge-touched id — the broadcast label map. */
+  def snapshot: Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    parent.keySet.asScala.toSeq.map(id => (id, find(id)))
+  }
+}
+
 object ConnectedComponents {
 
   /** Driver-local pairs budget: 2²² edges ≈ 64 MB of longs. */
@@ -53,25 +84,11 @@ object ConnectedComponents {
     * distributed and pick up their label through a broadcast left join
     * (missing ⇒ isolated ⇒ own id). */
   private[operators] def labelLocal(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-      // path compression
-      var c = x
-      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
-      r
-    }
-    edges.collect().foreach { row =>
-      val (a, b) = (row.getLong(0), row.getLong(1))
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-    }
+    val uf = new MinUnionFind
+    edges.collect().foreach(row => uf.union(row.getLong(0), row.getLong(1)))
     val spark = nodes.sparkSession
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
-    val compRows = parent.keySet.asScala.toSeq.map(id => (id, find(id)))
-    val compDf = compRows.toDF("id", "c")
+    val compDf = uf.snapshot.toDF("id", "c")
     nodes.select(col("id"))
       .join(broadcast(compDf), Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
@@ -148,8 +165,16 @@ object ConnectedComponents {
         .union(ssMins.select(col("u").as("x"), col("m").as("y")))
       val next = canon(ss).localCheckpoint(true)
       val nextSig = signature(next)
+      val prev = e
       e = next
-      converged = nextSig == prevSig
+      // signature equality is a fast heuristic; confirm with an EXACT
+      // set check before ending the loop (runs once at the candidate
+      // fixpoint, not per round) — a hash-sum collision across two
+      // different successive edge sets must not end the alternation
+      // early with silently wrong labels. Counts are equal here, and
+      // both frames are canonical distinct sets, so one-sided exceptAll
+      // emptiness ⇔ set equality.
+      converged = nextSig == prevSig && next.exceptAll(prev).isEmpty
       prevSig = nextSig
       iter += 1
     }

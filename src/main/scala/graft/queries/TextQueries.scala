@@ -554,14 +554,23 @@ object TextQueries extends QueryProvider {
          |FROM (SELECT doc_id FROM documents WHERE doc_id >= $EvalCap) d
          |LEFT JOIN tot USING (doc_id) LEFT JOIN sh USING (doc_id)""".stripMargin
     },
+    // The vocab cap + OOV floor mirror the Spark model EXACTLY (top
+    // UnigramVocabCap tokens by (count desc, token), normalizer = capped
+    // mass, unseen token → count 1): the cap is inert at gate scale
+    // (vocab < cap ⇒ LEFT JOIN ≡ JOIN, no OOV) but the two engines must
+    // share the formula so the first corpus past 10k distinct tokens
+    // doesn't silently break parity.
     "unigram_logprob" ->
       s"""WITH tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
          |             FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
          |                   FROM documents)),
-         |v AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |v AS (SELECT tok, cnt FROM (
+         |        SELECT tok, count(*) AS cnt,
+         |               row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+         |        FROM tok GROUP BY tok) WHERE rn <= $UnigramVocabCap),
          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),
-         |lp AS (SELECT t.doc_id, t.pos, ln(v.cnt / (SELECT n FROM tot)) AS l
-         |       FROM tok t JOIN v USING (tok)),
+         |lp AS (SELECT t.doc_id, t.pos, ln(coalesce(v.cnt, 1) / (SELECT n FROM tot)) AS l
+         |       FROM tok t LEFT JOIN v USING (tok)),
          |f AS (SELECT doc_id,
          |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l ORDER BY pos)),
          |                         (a, b) -> a + b) AS s,

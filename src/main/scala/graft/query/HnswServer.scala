@@ -24,7 +24,8 @@ import graft.index.{BoundedTopK, HnswIndex, LocalHnsw}
   * ascending (rank_key, id).
   */
 // deliberately NOT Serializable — per-query closures capture only locals
-final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1) {
+final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
+    extends ServingRdd {
 
   private val m = metric
 
@@ -101,14 +102,5 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1) {
     top.ranked.map { case (id, d, r) => (id, m.finishRankScalar(d), r) }
   }
 
-  /** Diagnostic no-op job over the serving blocks — same scheduler path
-    * as search but touching no block data; lets a bench outlier report
-    * whether the regression is job dispatch or the scan (see
-    * [[IvfServer.floorProbe]]). */
-  def floorProbe(): Unit = {
-    rdd.mapPartitions(_ => Iterator.single(1)).collect()
-    ()
-  }
-
-  def unpersist(): Unit = rdd.unpersist()
+  protected def servingRdd: org.apache.spark.rdd.RDD[_] = rdd
 }

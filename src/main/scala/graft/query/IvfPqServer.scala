@@ -27,7 +27,7 @@ import graft.index.{BoundedTopK, IvfIndex, IvfPqModel, PqIndex}
   * note in searchBlocked).
   */
 // deliberately NOT Serializable — per-query closures capture only locals
-final class IvfPqServer(codes: DataFrame, model: IvfPqModel) {
+final class IvfPqServer(codes: DataFrame, model: IvfPqModel) extends ServingRdd {
 
   private val cents = model.coarse.centroids.map(_.toArray).toArray
 
@@ -78,14 +78,5 @@ final class IvfPqServer(codes: DataFrame, model: IvfPqModel) {
     top.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
   }
 
-  /** Diagnostic no-op job over the serving blocks — same scheduler path
-    * as search but touching no block data; lets a bench outlier report
-    * whether the regression is job dispatch or the scan (see
-    * [[IvfServer.floorProbe]]). */
-  def floorProbe(): Unit = {
-    rdd.mapPartitions(_ => Iterator.single(1)).collect()
-    ()
-  }
-
-  def unpersist(): Unit = rdd.unpersist()
+  protected def servingRdd: org.apache.spark.rdd.RDD[_] = rdd
 }

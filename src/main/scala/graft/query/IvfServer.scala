@@ -28,7 +28,7 @@ import graft.index.{BoundedTopK, IvfIndex, IvfModel}
   */
 // deliberately NOT Serializable: the per-query closure must capture only
 // locals (mask, metric, q, k) — capturing `this` would drag the DataFrame in
-final class IvfServer(assigned: DataFrame, model: IvfModel) {
+final class IvfServer(assigned: DataFrame, model: IvfModel) extends ServingRdd {
 
   private val metric = model.metric
   private val cents = model.centroids.map(_.toArray).toArray
@@ -65,16 +65,5 @@ final class IvfServer(assigned: DataFrame, model: IvfModel) {
     top.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
   }
 
-  /** Diagnostic no-op job over the serving blocks — same scheduler path
-    * as [[search]] but touches no block data. When a bench run's serving
-    * p50 collapses (r5 driver: 523 ms; r6 local repro: 168 ms — healthy
-    * runs: ~25 ms), the floor tells the artifact whether the regression
-    * is job dispatch (floor tracks the bad p50) or the scan itself
-    * (floor stays at a few ms). */
-  def floorProbe(): Unit = {
-    rdd.mapPartitions(_ => Iterator.single(1)).collect()
-    ()
-  }
-
-  def unpersist(): Unit = rdd.unpersist()
+  protected def servingRdd: org.apache.spark.rdd.RDD[_] = rdd
 }

@@ -21,7 +21,8 @@ import graft.index.{BoundedTopK, LshIndex}
   * ascending (rank_key, id).
   */
 // deliberately NOT Serializable — per-query closures capture only locals
-final class LshServer(indexed: DataFrame, planes: Int, metric: Metric) {
+final class LshServer(indexed: DataFrame, planes: Int, metric: Metric)
+    extends ServingRdd {
 
   private val m = metric
   private val rdd: RDD[ServeBlock] = ServeBlocks.pack(indexed, "bucket")
@@ -60,14 +61,5 @@ final class LshServer(indexed: DataFrame, planes: Int, metric: Metric) {
     top.ranked.map { case (id, d, r) => (id, m.finishRankScalar(d), r) }
   }
 
-  /** Diagnostic no-op job over the serving blocks — same scheduler path
-    * as search but touching no block data; lets a bench outlier report
-    * whether the regression is job dispatch or the scan (see
-    * [[IvfServer.floorProbe]]). */
-  def floorProbe(): Unit = {
-    rdd.mapPartitions(_ => Iterator.single(1)).collect()
-    ()
-  }
-
-  def unpersist(): Unit = rdd.unpersist()
+  protected def servingRdd: org.apache.spark.rdd.RDD[_] = rdd
 }

@@ -22,7 +22,7 @@ import graft.index.{BoundedTopK, PqIndex, PqModel}
   * fold in [[PqIndex.adcTable]]).
   */
 // deliberately NOT Serializable — per-query closures capture only locals
-final class PqServer(codes: DataFrame, model: PqModel) {
+final class PqServer(codes: DataFrame, model: PqModel) extends ServingRdd {
 
   private val rdd: RDD[CodeBlock] = ServeBlocks.packCodes(codes, None)
 
@@ -60,14 +60,5 @@ final class PqServer(codes: DataFrame, model: PqModel) {
     top.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
   }
 
-  /** Diagnostic no-op job over the serving blocks — same scheduler path
-    * as search but touching no block data; lets a bench outlier report
-    * whether the regression is job dispatch or the scan (see
-    * [[IvfServer.floorProbe]]). */
-  def floorProbe(): Unit = {
-    rdd.mapPartitions(_ => Iterator.single(1)).collect()
-    ()
-  }
-
-  def unpersist(): Unit = rdd.unpersist()
+  protected def servingRdd: org.apache.spark.rdd.RDD[_] = rdd
 }

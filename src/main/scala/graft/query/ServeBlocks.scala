@@ -95,3 +95,23 @@ private[query] object ServeBlocks {
       .cache()
   }
 }
+
+/** Shared serving-RDD plumbing for the five single-query servers — the
+  * dispatch-floor diagnostic and release, defined ONCE over the cached
+  * block RDD each server already holds. */
+private[query] trait ServingRdd {
+  protected def servingRdd: org.apache.spark.rdd.RDD[_]
+
+  /** Diagnostic no-op job over the serving blocks — same scheduler path
+    * as a search but touching no block data. When a bench run's serving
+    * p50 collapses (r5 driver: 523 ms; r6 local repro: 168 ms — healthy
+    * runs: ~25 ms), the floor tells the artifact whether the regression
+    * is job dispatch (floor tracks the bad p50) or the scan itself
+    * (floor stays at a few ms). */
+  final def floorProbe(): Unit = {
+    servingRdd.mapPartitions(_ => Iterator.single(1)).collect()
+    ()
+  }
+
+  final def unpersist(): Unit = servingRdd.unpersist()
+}

@@ -42,21 +42,13 @@ final class IncrementalComponents(
     jaccardThreshold: Double = 0.6,
     edgeBudget: Long = graft.operators.ConnectedComponents.LocalEdgeBudget) {
 
-  private val parent = new java.util.HashMap[Long, Long]()
+  // shared min-rooted union-find core (same class labelLocal uses, so the
+  // batch and incremental comp contracts cannot drift); uf is mutated by
+  // the streaming thread in step() and snapshotted by labels() from any
+  // thread — all access goes through this lock
+  private val uf = new graft.operators.MinUnionFind
+  private val ufLock = new Object
   private var edgeCount = 0L
-
-  private def find(x: Long): Long = {
-    var r = x
-    while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-    var c = x
-    while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
-    r
-  }
-
-  private def union(a: Long, b: Long): Unit = {
-    val (ra, rb) = (find(a), find(b))
-    if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-  }
 
   private val tokSchema = StructType(Seq(
     StructField("doc_id", LongType),
@@ -65,10 +57,16 @@ final class IncrementalComponents(
     StructField("doc_id", LongType), StructField("band", IntegerType),
     StructField("key", LongType)))
 
-  private def prior(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.schema(schema).parquet(path)
+  // existence via the path's own Hadoop FileSystem, NOT java.io.File — an
+  // hdfs://, s3a://, or file: URI path must read prior state, not silently
+  // start empty while appends keep landing remotely
+  private def prior(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** One micro-batch step: discovers and verifies the batch's new dup
     * pairs, folds them into the union-find, appends the batch's band and
@@ -97,13 +95,15 @@ final class IncrementalComponents(
         .where(jaccard(col("ta"), col("tb")) >= jaccardThreshold)
         .select(col("id_a"), col("id_b"))
         .collect()
-      edgeCount += edges.length
-      if (edgeCount > edgeBudget)
-        throw new IllegalStateException(
-          s"IncrementalComponents exceeded the $edgeBudget-edge driver budget; " +
-            "switch to periodic batch ConnectedComponents.label over the " +
-            "accumulated edge log at this scale")
-      edges.foreach(r => union(r.getLong(1), r.getLong(0)))
+      ufLock.synchronized {
+        edgeCount += edges.length
+        if (edgeCount > edgeBudget)
+          throw new IllegalStateException(
+            s"IncrementalComponents exceeded the $edgeBudget-edge driver budget; " +
+              "switch to periodic batch ConnectedComponents.label over the " +
+              "accumulated edge log at this scale")
+        edges.foreach(r => uf.union(r.getLong(1), r.getLong(0)))
+      }
       bands.select("doc_id", "band", "key").write.mode("append").parquet(bandPath)
       toksB.write.mode("append").parquet(tokPath)
     } finally { bands.unpersist(); toksB.unpersist() }
@@ -116,20 +116,35 @@ final class IncrementalComponents(
   def labels(nodes: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    import scala.jdk.CollectionConverters._
-    val compRows = parent.keySet.asScala.toSeq.map(id => (id, find(id)))
+    val compRows = ufLock.synchronized(uf.snapshot)
     val compDf = compRows.toDF("id", "c")
     nodes.select(col("id"))
       .join(broadcast(compDf), Seq("id"), "left")
       .select(col("id"), coalesce(col("c"), col("id")).as("comp"))
   }
 
+  private var lastBatch = -1L
+
   /** Streaming driver: foreachBatch [[step]]. Label queries run on the
-    * driver state at any time via [[labels]]. */
+    * driver state at any time via [[labels]] (snapshot under the lock).
+    *
+    * Replay semantics: foreachBatch is at-least-once, so a batch that
+    * fails mid-commit can re-fire with the same batchId — the guard
+    * below skips it, keeping the band/token appends and the edge-budget
+    * count exactly-once WITHIN a driver's lifetime. The union-find is
+    * in-memory and the band/token tables are on disk: they live and die
+    * together, so after a driver RESTART start from fresh side-table
+    * paths and a fresh checkpoint (or rebuild via a batch
+    * `ConnectedComponents.label` over re-derived pairs) — resuming the
+    * checkpoint against surviving side tables with an empty union-find
+    * would under-merge silently. */
   def stream(docs: DataFrame, bandPath: String, tokPath: String): StreamingQuery =
     docs.writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        step(b.sparkSession, b, bandPath, tokPath)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (id > lastBatch) {
+          step(b.sparkSession, b, bandPath, tokPath)
+          lastBatch = id
+        }
       }
       .start()
 }

@@ -57,10 +57,15 @@ object IncrementalNearDup {
     StructField("doc_id", LongType), StructField("band", IntegerType),
     StructField("key", LongType)))
 
-  private def priorBands(spark: SparkSession, bandPath: String): DataFrame =
-    if (new java.io.File(bandPath).exists())
+  // existence via the path's own Hadoop FileSystem, NOT java.io.File, so
+  // hdfs://, s3a://, and file: URI paths read prior state correctly
+  private def priorBands(spark: SparkSession, bandPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(bandPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
       spark.read.schema(bandSchema).parquet(bandPath)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bandSchema)
+  }
 
   /** One micro-batch step: returns the batch's kept documents and
     * appends ALL the batch's band rows to the accumulating table. */
