@@ -188,6 +188,40 @@ object TextQueries extends QueryProvider {
             round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"), 4))
             .otherwise(lit(0.0)).as("frac"))
     }),
+    // Intra-corpus repeated-span statistics — the span-coverage form of
+    // exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better"): for every doc, the share of
+    // its rolling 8-gram windows that also occur in at least one OTHER
+    // document. Window positions are NOT deduped (coverage counts
+    // windows, not gram identities), and a gram repeated only inside its
+    // own doc doesn't count — the signal is cross-document boilerplate
+    // that doc-level MinHash and line-level dedup both miss. Shapes for
+    // 100 TB: one explode projection, one (gram) agg with map-side
+    // partial count-distinct, one equi-join back on gram — the dup-gram
+    // table is corpus-sized so it shuffle-joins (never broadcast), and
+    // rolling-hash gram keys are uniform so no salting is needed.
+    "dup_span_stats" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val grams = d.select(col("doc_id"),
+          transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN)).as("gram"))
+      val dupGrams = grams.groupBy("gram")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") > 1).select("gram")
+      val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val dups = grams.join(dupGrams, Seq("gram"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      d.select(col("doc_id"))
+        .join(totals, Seq("doc_id"), "left")
+        .join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          when(coalesce(col("n_grams"), lit(0L)) > 0,
+            round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 4))
+            .otherwise(lit(0.0)).as("dup_frac"))
+    }),
     // Unigram language-model scoring — the CCNet-shape quality filter:
     // score each doc by the mean negative log-probability of its tokens
     // under the corpus's own unigram distribution (high nll = unusual
@@ -553,6 +587,25 @@ object TextQueries extends QueryProvider {
          |            ELSE 0.0 END AS frac
          |FROM (SELECT doc_id FROM documents WHERE doc_id >= $EvalCap) d
          |LEFT JOIN tot USING (doc_id) LEFT JOIN sh USING (doc_id)""".stripMargin
+    },
+    // dg's grams are distinct (GROUP BY gram), so the inner join below is
+    // an exact semi-join — no row multiplication.
+    "dup_span_stats" -> {
+      import graft.functions.TextFunctions.sqlNgramHashes
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(${sqlNgramHashes("tk", 8)}) AS gram FROM t),
+         |dg AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+         |                         FROM g GROUP BY gram) WHERE nd > 1),
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+         |du AS (SELECT g.doc_id, count(*) AS n_dup FROM g JOIN dg USING (gram)
+         |       GROUP BY g.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+         |       CAST(coalesce(du.n_dup, 0) AS BIGINT) AS n_dup,
+         |       CASE WHEN coalesce(tot.n_grams, 0) > 0
+         |            THEN round(coalesce(du.n_dup, 0) / CAST(tot.n_grams AS DOUBLE), 4)
+         |            ELSE 0.0 END AS dup_frac
+         |FROM (SELECT doc_id FROM documents) d
+         |LEFT JOIN tot USING (doc_id) LEFT JOIN du USING (doc_id)""".stripMargin
     },
     // The vocab cap + OOV floor mirror the Spark model EXACTLY (top
     // UnigramVocabCap tokens by (count desc, token), normalizer = capped

@@ -54,6 +54,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"keeper rule must stay an equi-join:\n$plan")
   }
 
+  test("dup_span_stats joins back on gram by shuffle, never nested-loop — the " +
+      "dup-gram table is corpus-sized and must not broadcast") {
+    val plan = planOf(
+      graft.queries.TextQueries.queries("dup_span_stats")(spark, TestSession.Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"dup-span join must stay an equi-join:\n$plan")
+  }
+
   test("parquet scan prunes columns: 2-column projection reads 2 columns") {
     val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
       .select("doc_id", "lang")

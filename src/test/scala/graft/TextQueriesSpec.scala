@@ -118,6 +118,37 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("dup_span_stats: counts recompute from a per-doc gram dump; " +
+      "internal-only repeats don't count") {
+    val out = TextQueries.queries("dup_span_stats")(spark, TestSession.Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // independent recount: dump each doc's positional gram list once, then
+    // replay the duplicated-across-docs logic in plain Scala
+    val gramRows = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select(col("doc_id"),
+        TextFunctions.ngramHashes(TextFunctions.toks(col("text")), 8).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector)
+    val dupGrams = gramRows
+      .flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+      .groupBy(_._1).collect { case (g, xs) if xs.map(_._2).distinct.size > 1 => g }
+      .toSet
+    assert(out.keySet == gramRows.map(_._1).toSet)
+    gramRows.foreach { case (id, gs) =>
+      val (nG, nD, f) = out(id)
+      assert(nG == gs.length, s"doc $id n_grams")
+      assert(nD == gs.count(dupGrams), s"doc $id n_dup")
+      val want = if (gs.nonEmpty)
+        BigDecimal(nD.toDouble / gs.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(f == want, s"doc $id frac $f vs $want")
+    }
+    // the corpus's planted near-dups guarantee cross-doc spans exist, and
+    // most docs are original text with none
+    assert(out.values.exists(_._2 > 0) && out.values.exists(_._2 == 0))
+  }
+
   test("pack_sequences: (seq_id, pos) is dense and unique, and the packed stream " +
       "equals the doc_id-ordered token concatenation") {
     val rows = TextQueries.queries("pack_sequences")(spark, TestSession.Sf0001)
