@@ -24,6 +24,10 @@ object TextQueries extends QueryProvider {
   /** unigram_logprob vocabulary cap — the whole vocab here; the cap is
     * the scale knob (top-k vocab + OOV floor at open vocabulary). */
   private val UnigramVocabCap = 10000
+  /** Bigram-model cap — deliberately SMALLER than this corpus's ~930
+    * distinct bigrams so the capped-model / unseen-bigram backoff path
+    * is live in the oracle gate, not just documented. */
+  private[graft] val BigramVocabCap = 500
   /** pack_sequences training-sequence length. */
   private val SeqLen = 32
 
@@ -248,6 +252,47 @@ object TextQueries extends QueryProvider {
       d.select(col("doc_id"),
         size(t).as("n_tokens"),
         round(-aggregate(logs, lit(0.0), (a, x) => a + x) / size(t), 4).as("nll"))
+    }),
+    // Interpolated bigram language-model scoring — one rung up the
+    // CCNet/KenLM ladder from unigram_logprob: per-token probability is
+    // 0.5·p(cur|prev) + 0.5·p(cur), with the bigram table capped at
+    // BigramVocabCap by (count desc, key) so unseen bigrams back off to
+    // the unigram term (cap ACTIVE on this corpus — the backoff is
+    // exercised, not theoretical). Both models are driver-collected
+    // count tables shipped as map literals (the codebook discipline);
+    // scoring is a pure per-row projection. First token scores under
+    // the unigram model alone; the per-doc fold is left-to-right
+    // starting from that first-token term, matching the oracle's
+    // list_reduce over (l ORDER BY pos) exactly.
+    "bigram_logprob" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = toks(lower(col("text")))
+      val vocab = d.select(explode(t).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token")).limit(UnigramVocabCap)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val n = vocab.map(_._2).sum
+      val uniMap = map(vocab.flatMap { case (tk, c) =>
+        Seq(lit(tk), lit(c)) }.toIndexedSeq: _*)
+      val bi = d.select(explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("key"))
+        .groupBy("key").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("key")).limit(BigramVocabCap)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val biMap = map(bi.flatMap { case (k, c) =>
+        Seq(lit(k), lit(c)) }.toIndexedSeq: _*)
+      def cu(tok: Column): Column =
+        coalesce(element_at(uniMap, tok), lit(1L)).cast("double")
+      val l1 = log(cu(element_at(t, 1)) / n.toDouble)
+      val rest = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (p, c) => log(
+          lit(0.5) * coalesce(element_at(biMap, concat(p, lit(" "), c)), lit(0L))
+            .cast("double") / cu(p)
+            + lit(0.5) * cu(c) / n.toDouble))
+      d.select(col("doc_id"),
+        size(t).as("n_tokens"),
+        round(-aggregate(rest, l1, (a, x) => a + x) / size(t), 4).as("nll"))
     }),
     // Sequence packing — the terminal op of a training-data pipeline:
     // concatenate the corpus token stream in doc_id order and cut it
@@ -624,6 +669,43 @@ object TextQueries extends QueryProvider {
          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),
          |lp AS (SELECT t.doc_id, t.pos, ln(coalesce(v.cnt, 1) / (SELECT n FROM tot)) AS l
          |       FROM tok t LEFT JOIN v USING (tok)),
+         |f AS (SELECT doc_id,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l ORDER BY pos)),
+         |                         (a, b) -> a + b) AS s,
+         |             count(*) AS m
+         |      FROM lp GROUP BY doc_id)
+         |SELECT doc_id, CAST(m AS INT) AS n_tokens, round(-s / m, 4) AS nll FROM f""".stripMargin,
+    // Mirrors the Spark model exactly: both capped count tables (top-k by
+    // (count desc, key)), unigram OOV floor 1, unseen bigram → 0 so the
+    // 0.5-interpolation backs off to the unigram term. pos=1 scores under
+    // the unigram model; the summation order is (l ORDER BY pos) with a
+    // 0.0 head, identical to Spark's aggregate fold seeded by the
+    // first-token term.
+    "bigram_logprob" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+         |             FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+         |                   FROM documents)),
+         |v AS (SELECT tok, cnt FROM (
+         |        SELECT tok, count(*) AS cnt,
+         |               row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+         |        FROM tok GROUP BY tok) WHERE rn <= $UnigramVocabCap),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),
+         |bg AS (SELECT p.doc_id, c.pos, p.tok AS ptok, c.tok AS ctok
+         |       FROM tok p JOIN tok c ON p.doc_id = c.doc_id AND c.pos = p.pos + 1),
+         |vb AS (SELECT key, cnt FROM (
+         |        SELECT ptok || ' ' || ctok AS key, count(*) AS cnt,
+         |               row_number() OVER (ORDER BY count(*) DESC, ptok || ' ' || ctok) AS rn
+         |        FROM bg GROUP BY ptok || ' ' || ctok) WHERE rn <= $BigramVocabCap),
+         |lp AS (SELECT t.doc_id, t.pos, ln(coalesce(v.cnt, 1) / (SELECT n FROM tot)) AS l
+         |       FROM tok t LEFT JOIN v USING (tok) WHERE t.pos = 1
+         |       UNION ALL
+         |       SELECT bg.doc_id, bg.pos,
+         |              ln(0.5 * coalesce(vb.cnt, 0) / coalesce(vp.cnt, 1)
+         |                 + 0.5 * coalesce(vc.cnt, 1) / (SELECT n FROM tot)) AS l
+         |       FROM bg
+         |       LEFT JOIN vb ON vb.key = bg.ptok || ' ' || bg.ctok
+         |       LEFT JOIN v vp ON vp.tok = bg.ptok
+         |       LEFT JOIN v vc ON vc.tok = bg.ctok),
          |f AS (SELECT doc_id,
          |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l ORDER BY pos)),
          |                         (a, b) -> a + b) AS s,

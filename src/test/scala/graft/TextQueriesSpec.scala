@@ -98,6 +98,38 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram_logprob: nll equals a driver-side recount under the capped " +
+      "interpolated model") {
+    val out = TextQueries.queries("bigram_logprob")(spark, TestSession.Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == docs.keySet)
+    val tokDocs = docs.view.mapValues(_.toLowerCase.split(" ", -1).toVector).toMap
+    val uni = tokDocs.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = uni.values.sum.toDouble
+    val biCap = tokDocs.values
+      .flatMap(tk => tk.sliding(2).filter(_.size == 2).map(p => p(0) + " " + p(1)))
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (k, c) => (-c, k) }
+      .take(graft.queries.TextQueries.BigramVocabCap).toMap
+    tokDocs.foreach { case (id, tk) =>
+      // same fold: first token under the unigram model, then interpolated
+      // bigram terms left-to-right (unseen bigram → 0 → unigram backoff)
+      var s = math.log(uni(tk.head) / n)
+      tk.sliding(2).filter(_.size == 2).foreach { p =>
+        val cb = biCap.getOrElse(p(0) + " " + p(1), 0L).toDouble
+        s += math.log(0.5 * cb / uni(p(0)) + 0.5 * uni(p(1)) / n)
+      }
+      val want = BigDecimal(-s / tk.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(out(id)._1 == tk.length, s"doc $id n_tokens")
+      assert(math.abs(out(id)._2 - want) < 2e-4, s"doc $id nll ${out(id)._2} vs $want")
+      assert(out(id)._2 > 0.0)
+    }
+  }
+
   test("contamination_doc_frac: fraction recomputes from counts; contaminated docs " +
       "from the boolean query show frac > 0") {
     val frac = TextQueries.queries("contamination_doc_frac")(spark, TestSession.Sf0001)
