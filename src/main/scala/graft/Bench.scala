@@ -247,7 +247,8 @@ object Bench {
       // round-6 pipeline operators — measured so the driver artifact
       // carries their sf0.1 cost, not just their sf0.01 correctness
       "line_dedup", "pii_scrub", "unigram_logprob", "pack_sequences",
-      "curation_pipeline", "contamination_doc_frac", "mixture_sample")
+      "curation_pipeline", "contamination_doc_frac", "mixture_sample",
+      "dup_span_stats", "bigram_logprob")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

@@ -264,35 +264,57 @@ object TextQueries extends QueryProvider {
     // the unigram model alone; the per-doc fold is left-to-right
     // starting from that first-token term, matching the oracle's
     // list_reduce over (l ORDER BY pos) exactly.
+    // Model lookups are broadcast hash joins, NOT map literals: a map
+    // literal is an O(|model|) linear scan per lookup (the 500-entry
+    // bigram map cost 14.7 s at sf0.1 vs 0.8 s for the 31-entry unigram
+    // map), while a broadcast join is O(1) per row and is the shape that
+    // survives a 100 TB corpus and a million-entry model. The per-doc
+    // fold is order-preserved by sorting the collected (pos, l) structs
+    // — 0.0 + l_1 + l_2 + … left-to-right, identical to the oracle's
+    // list_prepend(0.0, list(l ORDER BY pos)) reduction.
     "bigram_logprob" -> ((s, dir) => {
+      import s.implicits._
       val d = Tables.load(s, dir, "documents")
       val t = toks(lower(col("text")))
       val vocab = d.select(explode(t).as("token"))
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token")).limit(UnigramVocabCap)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val n = vocab.map(_._2).sum
-      val uniMap = map(vocab.flatMap { case (tk, c) =>
-        Seq(lit(tk), lit(c)) }.toIndexedSeq: _*)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val n = vocab.map(_._2).sum.toDouble
+      val uni = vocab.toSeq.toDF("token", "ucnt")
       val bi = d.select(explode(zip_with(
           slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("key"))
-        .groupBy("key").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("key")).limit(BigramVocabCap)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val biMap = map(bi.flatMap { case (k, c) =>
-        Seq(lit(k), lit(c)) }.toIndexedSeq: _*)
-      def cu(tok: Column): Column =
-        coalesce(element_at(uniMap, tok), lit(1L)).cast("double")
-      val l1 = log(cu(element_at(t, 1)) / n.toDouble)
-      val rest = zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-        (p, c) => log(
-          lit(0.5) * coalesce(element_at(biMap, concat(p, lit(" "), c)), lit(0L))
-            .cast("double") / cu(p)
-            + lit(0.5) * cu(c) / n.toDouble))
-      d.select(col("doc_id"),
-        size(t).as("n_tokens"),
-        round(-aggregate(rest, l1, (a, x) => a + x) / size(t), 4).as("nll"))
+          (a, b) => concat(a, lit(" "), b))).as("bkey"))
+        .groupBy("bkey").agg(count(lit(1)).as("bcnt"))
+        .orderBy(col("bcnt").desc, col("bkey")).limit(BigramVocabCap)
+      // one scored row per token position: p=0 is the first token under
+      // the unigram model alone; p>=1 is the pair (t_p, t_{p+1})
+      val pairs = d.select(col("doc_id"), posexplode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("ptok"), b.as("ctok")))).as(Seq("p0", "pr")))
+        .select(col("doc_id"), (col("p0") + 1).as("p"),
+          col("pr.ptok").as("ptok"), col("pr.ctok").as("ctok"))
+      val firsts = d.select(col("doc_id"), lit(0).as("p"),
+        lit(null).cast("string").as("ptok"), element_at(t, 1).as("ctok"))
+      val scored = firsts.unionByName(pairs)
+        .join(broadcast(bi),
+          concat(col("ptok"), lit(" "), col("ctok")) === col("bkey"), "left")
+        .join(broadcast(uni.select(col("token").as("pj"), col("ucnt").as("pcnt"))),
+          col("ptok") === col("pj"), "left")
+        .join(broadcast(uni.select(col("token").as("cj"), col("ucnt").as("ccnt"))),
+          col("ctok") === col("cj"), "left")
+        .select(col("doc_id"), col("p"),
+          when(col("p") === 0,
+            log(coalesce(col("ccnt"), lit(1L)).cast("double") / n))
+          .otherwise(log(
+            lit(0.5) * coalesce(col("bcnt"), lit(0L)).cast("double")
+              / coalesce(col("pcnt"), lit(1L)).cast("double")
+            + lit(0.5) * coalesce(col("ccnt"), lit(1L)).cast("double") / n))
+          .as("l"))
+      scored.groupBy("doc_id").agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        round(-aggregate(array_sort(collect_list(struct(col("p"), col("l")))),
+          lit(0.0), (a, x) => a + x.getField("l")) / count(lit(1)), 4).as("nll"))
     }),
     // Sequence packing — the terminal op of a training-data pipeline:
     // concatenate the corpus token stream in doc_id order and cut it
@@ -700,8 +722,8 @@ object TextQueries extends QueryProvider {
          |       FROM tok t LEFT JOIN v USING (tok) WHERE t.pos = 1
          |       UNION ALL
          |       SELECT bg.doc_id, bg.pos,
-         |              ln(0.5 * coalesce(vb.cnt, 0) / coalesce(vp.cnt, 1)
-         |                 + 0.5 * coalesce(vc.cnt, 1) / (SELECT n FROM tot)) AS l
+         |              ln(CAST(0.5 AS DOUBLE) * coalesce(vb.cnt, 0) / coalesce(vp.cnt, 1)
+         |                 + CAST(0.5 AS DOUBLE) * coalesce(vc.cnt, 1) / (SELECT n FROM tot)) AS l
          |       FROM bg
          |       LEFT JOIN vb ON vb.key = bg.ptok || ' ' || bg.ctok
          |       LEFT JOIN v vp ON vp.tok = bg.ptok
