@@ -275,6 +275,13 @@ object Bench {
     // not MLlib (VERDICT r4 #3). Up front its memory spike also can't
     // perturb the serving sections.
     val brpN = math.min(benchN, 1000L)
+    // Controlled full GC before the timed block — the headline section
+    // leaves multi-GB of uncollected garbage (r6 artifact: 15 GB heap,
+    // gc_ms 0, healthy calib → brp read 354 s vs 2.7 s from an 807 MB
+    // heap; same run-to-run swing r6g showed at 5.7 GB/39.9 s). Same
+    // rationale as the serving-section collections: pay a bounded pause
+    // outside the timed window instead of allocation stalls inside it.
+    System.gc()
     val (_, brpSec) = time {
       import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
       import org.apache.spark.ml.functions.array_to_vector

@@ -23,7 +23,7 @@ object TextQueries extends QueryProvider {
   private val ContamN = 8
   /** unigram_logprob vocabulary cap — the whole vocab here; the cap is
     * the scale knob (top-k vocab + OOV floor at open vocabulary). */
-  private val UnigramVocabCap = 10000
+  private[graft] val UnigramVocabCap = 10000
   /** Bigram-model cap — deliberately SMALLER than this corpus's ~930
     * distinct bigrams so the capped-model / unseen-bigram backoff path
     * is live in the oracle gate, not just documented. */
@@ -200,25 +200,30 @@ object TextQueries extends QueryProvider {
     // windows, not gram identities), and a gram repeated only inside its
     // own doc doesn't count — the signal is cross-document boilerplate
     // that doc-level MinHash and line-level dedup both miss. Shapes for
-    // 100 TB: one explode projection, one (gram) agg with map-side
-    // partial count-distinct, one equi-join back on gram — the dup-gram
-    // table is corpus-sized so it shuffle-joins (never broadcast), and
-    // rolling-hash gram keys are uniform so no salting is needed.
+    // 100 TB: ONE tokenize+explode pass, a (doc, gram) partial agg, a
+    // count window over gram (uniform rolling-hash keys — no skew, no
+    // salting), and a per-doc re-agg; the corpus text is never scanned
+    // twice and the corpus-sized gram table is never joined or
+    // broadcast.
     "dup_span_stats" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val grams = d.select(col("doc_id"),
+      // single tokenize+hash+window pass: collapse to one row per
+      // (doc, gram) carrying its window count, mark grams seen in >1 doc
+      // with a count-over-gram window (each (doc,gram) row is one doc's
+      // vote, so the partition count IS the distinct-doc count), then
+      // re-aggregate per doc — no second corpus scan, no gram join
+      val perDocGram = d.select(col("doc_id"),
           transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN)).as("gram"))
-      val dupGrams = grams.groupBy("gram")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .where(col("nd") > 1).select("gram")
-      val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      val dups = grams.join(dupGrams, Seq("gram"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      val nd = count(lit(1)).over(Window.partitionBy("gram"))
+      val stats = perDocGram.withColumn("nd", nd)
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_grams"),
+          sum(when(col("nd") > 1, col("c")).otherwise(lit(0L))).as("n_dup"))
       d.select(col("doc_id"))
-        .join(totals, Seq("doc_id"), "left")
-        .join(dups, Seq("doc_id"), "left")
+        .join(stats, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_grams"), lit(0L)).as("n_grams"),
           coalesce(col("n_dup"), lit(0L)).as("n_dup"),
@@ -287,16 +292,14 @@ object TextQueries extends QueryProvider {
           (a, b) => concat(a, lit(" "), b))).as("bkey"))
         .groupBy("bkey").agg(count(lit(1)).as("bcnt"))
         .orderBy(col("bcnt").desc, col("bkey")).limit(BigramVocabCap)
-      // one scored row per token position: p=0 is the first token under
-      // the unigram model alone; p>=1 is the pair (t_p, t_{p+1})
-      val pairs = d.select(col("doc_id"), posexplode(zip_with(
-          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (a, b) => struct(a.as("ptok"), b.as("ctok")))).as(Seq("p0", "pr")))
-        .select(col("doc_id"), (col("p0") + 1).as("p"),
-          col("pr.ptok").as("ptok"), col("pr.ctok").as("ctok"))
-      val firsts = d.select(col("doc_id"), lit(0).as("p"),
-        lit(null).cast("string").as("ptok"), element_at(t, 1).as("ctok"))
-      val scored = firsts.unionByName(pairs)
+      // one scored row per token position from a SINGLE tokenize+explode
+      // pass: lag gives the previous token (null at p=0, which scores
+      // under the unigram model alone). The lag window hash-partitions
+      // by doc_id; the broadcast joins preserve that partitioning, so
+      // the final per-doc fold re-uses it — one shuffle end to end.
+      val scored = d.select(col("doc_id"), posexplode(t).as(Seq("p", "ctok")))
+        .withColumn("ptok",
+          lag(col("ctok"), 1).over(Window.partitionBy("doc_id").orderBy("p")))
         .join(broadcast(bi),
           concat(col("ptok"), lit(" "), col("ctok")) === col("bkey"), "left")
         .join(broadcast(uni.select(col("token").as("pj"), col("ucnt").as("pcnt"))),

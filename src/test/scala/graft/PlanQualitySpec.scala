@@ -54,12 +54,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"keeper rule must stay an equi-join:\n$plan")
   }
 
-  test("dup_span_stats joins back on gram by shuffle, never nested-loop — the " +
-      "dup-gram table is corpus-sized and must not broadcast") {
+  test("dup_span_stats reads the corpus text exactly once — one tokenize pass " +
+      "feeding a gram window, no re-scan and no corpus-sized gram join") {
     val plan = planOf(
       graft.queries.TextQueries.queries("dup_span_stats")(spark, TestSession.Sf0001))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      s"dup-span join must stay an equi-join:\n$plan")
+      s"no non-equi join shapes:\n$plan")
+    val textScans = plan.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("text"))
+    assert(textScans == 1, s"expected exactly one text-reading scan, got $textScans:\n$plan")
+    assert(plan.contains("Window"), s"dup marking must be the gram window:\n$plan")
   }
 
   test("parquet scan prunes columns: 2-column projection reads 2 columns") {

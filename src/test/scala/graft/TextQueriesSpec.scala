@@ -106,9 +106,15 @@ class TextQueriesSpec extends AnyFunSuite {
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.keySet == docs.keySet)
     val tokDocs = docs.view.mapValues(_.toLowerCase.split(" ", -1).toVector).toMap
-    val uni = tokDocs.values.flatten.toSeq
-      .groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val n = uni.values.sum.toDouble
+    // both models rebuilt CAPPED with the query's own tie-break and OOV
+    // floors, so the recount stays faithful even on a corpus where the
+    // unigram cap goes live (it is inert at this sf; the bigram cap is not)
+    val uniCap = tokDocs.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (k, c) => (-c, k) }
+      .take(graft.queries.TextQueries.UnigramVocabCap).toMap
+    val n = uniCap.values.sum.toDouble
+    def cu(t: String): Double = uniCap.getOrElse(t, 1L).toDouble
     val biCap = tokDocs.values
       .flatMap(tk => tk.sliding(2).filter(_.size == 2).map(p => p(0) + " " + p(1)))
       .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
@@ -117,10 +123,10 @@ class TextQueriesSpec extends AnyFunSuite {
     tokDocs.foreach { case (id, tk) =>
       // same fold: first token under the unigram model, then interpolated
       // bigram terms left-to-right (unseen bigram → 0 → unigram backoff)
-      var s = math.log(uni(tk.head) / n)
+      var s = math.log(cu(tk.head) / n)
       tk.sliding(2).filter(_.size == 2).foreach { p =>
         val cb = biCap.getOrElse(p(0) + " " + p(1), 0L).toDouble
-        s += math.log(0.5 * cb / uni(p(0)) + 0.5 * uni(p(1)) / n)
+        s += math.log(0.5 * cb / cu(p(0)) + 0.5 * cu(p(1)) / n)
       }
       val want = BigDecimal(-s / tk.length)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
