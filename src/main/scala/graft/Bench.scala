@@ -85,9 +85,15 @@ object Bench {
   }
 
   /** Warmup once, time twice, report min; the returned frame is cached
-    * (for recall joins) — caller unpersists. */
+    * (for recall joins) — caller unpersists. The controlled collection
+    * between warm and timed runs is the same discipline as the serving
+    * sections and the BRP read: sections inherit multi-GB of prior
+    * sections' garbage (flat_search measured 1.0 s from a collected heap
+    * vs 4.2 s from a 6 GB one, same code), so pay a bounded pause
+    * OUTSIDE the timed window instead of allocation stalls inside it. */
   private def searchBest2(mk: () => DataFrame): (DataFrame, Double) = {
     mk().count() // warm: plan, codegen, broadcast ship
+    System.gc()
     val (_, t1) = time(mk().count())
     val r = mk().cache()
     val (_, t2) = time(r.count())
@@ -248,7 +254,7 @@ object Bench {
       // carries their sf0.1 cost, not just their sf0.01 correctness
       "line_dedup", "pii_scrub", "unigram_logprob", "pack_sequences",
       "curation_pipeline", "contamination_doc_frac", "mixture_sample",
-      "dup_span_stats", "bigram_logprob")
+      "dup_span_stats", "bigram_logprob", "lm_quality_buckets")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

@@ -46,6 +46,112 @@ object TextQueries extends QueryProvider {
     * the same round-HALF_UP rule the curation filters rely on; the weight
     * parse reads the FULL numeric suffix and fails loudly on a
     * non-`src<N>` source, exactly like the oracle's CAST. */
+  /** DuckDB CTE block for the bigram-LM score, mirroring [[bigramNll]]
+    * exactly: both capped count tables (top-k by (count desc, key)),
+    * unigram OOV floor 1, unseen bigram → 0 so the 0.5-interpolation
+    * backs off to the unigram term; pos=1 scores under the unigram
+    * model; summation order is (l ORDER BY pos) with a 0.0 head. Ends
+    * at `f(doc_id, s, m)` — shared by the `bigram_logprob` and
+    * `lm_quality_buckets` oracles. */
+  private val BigramNllCtes: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
+       |             FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
+       |                   FROM documents)),
+       |v AS (SELECT tok, cnt FROM (
+       |        SELECT tok, count(*) AS cnt,
+       |               row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+       |        FROM tok GROUP BY tok) WHERE rn <= $UnigramVocabCap),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),
+       |bg AS (SELECT p.doc_id, c.pos, p.tok AS ptok, c.tok AS ctok
+       |       FROM tok p JOIN tok c ON p.doc_id = c.doc_id AND c.pos = p.pos + 1),
+       |vb AS (SELECT key, cnt FROM (
+       |        SELECT ptok || ' ' || ctok AS key, count(*) AS cnt,
+       |               row_number() OVER (ORDER BY count(*) DESC, ptok || ' ' || ctok) AS rn
+       |        FROM bg GROUP BY ptok || ' ' || ctok) WHERE rn <= $BigramVocabCap),
+       |lp AS (SELECT t.doc_id, t.pos, ln(coalesce(v.cnt, 1) / (SELECT n FROM tot)) AS l
+       |       FROM tok t LEFT JOIN v USING (tok) WHERE t.pos = 1
+       |       UNION ALL
+       |       SELECT bg.doc_id, bg.pos,
+       |              ln(CAST(0.5 AS DOUBLE) * coalesce(vb.cnt, 0) / coalesce(vp.cnt, 1)
+       |                 + CAST(0.5 AS DOUBLE) * coalesce(vc.cnt, 1) / (SELECT n FROM tot)) AS l
+       |       FROM bg
+       |       LEFT JOIN vb ON vb.key = bg.ptok || ' ' || bg.ctok
+       |       LEFT JOIN v vp ON vp.tok = bg.ptok
+       |       LEFT JOIN v vc ON vc.tok = bg.ctok),
+       |f AS (SELECT doc_id,
+       |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l ORDER BY pos)),
+       |                         (a, b) -> a + b) AS s,
+       |             count(*) AS m
+       |      FROM lp GROUP BY doc_id)""".stripMargin
+
+  /** Per-doc interpolated bigram-LM score (doc_id, n_tokens, nll) —
+    * the scoring engine behind `bigram_logprob` (raw scores) and
+    * `lm_quality_buckets` (the CCNet head/middle/tail cut). One scored
+    * row per token position from a SINGLE tokenize+explode pass: lag
+    * gives the previous token (null at p=0, which scores under the
+    * unigram model alone). The lag window hash-partitions by doc_id;
+    * the broadcast model joins preserve that partitioning, so the final
+    * per-doc fold re-uses it — one shuffle end to end. The per-doc fold
+    * is order-preserved by sorting the collected (pos, l) structs —
+    * 0.0 + l_1 + l_2 + … left-to-right, identical to the oracle's
+    * list_prepend(0.0, list(l ORDER BY pos)) reduction. */
+  private def bigramNll(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+    val (uni, bi, n) = bigramModels(d)
+    scoreWithModels(d, uni, bi, n)
+  }
+
+  /** Train the capped (unigram, bigram, normalizer) model tables from a
+    * corpus snapshot — the OFFLINE half of LM scoring, also consumed by
+    * [[graft.streaming.StreamingLmScore]] as the static serving model. */
+  private[graft] def bigramModels(d: DataFrame): (DataFrame, DataFrame, Double) = {
+    val s = d.sparkSession
+    import s.implicits._
+    val t = toks(lower(col("text")))
+    val vocab = d.select(explode(t).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(UnigramVocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = vocab.map(_._2).sum.toDouble
+    val uni = vocab.toSeq.toDF("token", "ucnt")
+    val bi = d.select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bkey"))
+      .groupBy("bkey").agg(count(lit(1)).as("bcnt"))
+      .orderBy(col("bcnt").desc, col("bkey")).limit(BigramVocabCap)
+    (uni, bi, n)
+  }
+
+  /** Score a documents frame (doc_id, text) under STATIC model tables —
+    * per-doc-pure (a doc's score depends only on its own tokens and the
+    * model), which is what lets the streaming form apply it per
+    * micro-batch with zero cross-batch state. */
+  private[graft] def scoreWithModels(d: DataFrame, uni: DataFrame, bi: DataFrame,
+      n: Double): DataFrame = {
+    val t = toks(lower(col("text")))
+    val scored = d.select(col("doc_id"), posexplode(t).as(Seq("p", "ctok")))
+      .withColumn("ptok",
+        lag(col("ctok"), 1).over(Window.partitionBy("doc_id").orderBy("p")))
+      .join(broadcast(bi),
+        concat(col("ptok"), lit(" "), col("ctok")) === col("bkey"), "left")
+      .join(broadcast(uni.select(col("token").as("pj"), col("ucnt").as("pcnt"))),
+        col("ptok") === col("pj"), "left")
+      .join(broadcast(uni.select(col("token").as("cj"), col("ucnt").as("ccnt"))),
+        col("ctok") === col("cj"), "left")
+      .select(col("doc_id"), col("p"),
+        when(col("p") === 0,
+          log(coalesce(col("ccnt"), lit(1L)).cast("double") / n))
+        .otherwise(log(
+          lit(0.5) * coalesce(col("bcnt"), lit(0L)).cast("double")
+            / coalesce(col("pcnt"), lit(1L)).cast("double")
+          + lit(0.5) * coalesce(col("ccnt"), lit(1L)).cast("double") / n))
+        .as("l"))
+    scored.groupBy("doc_id").agg(
+      count(lit(1)).cast("int").as("n_tokens"),
+      round(-aggregate(array_sort(collect_list(struct(col("p"), col("l")))),
+        lit(0.0), (a, x) => a + x.getField("l")) / count(lit(1)), 4).as("nll"))
+  }
+
   private def mixturePlan(d: DataFrame): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
@@ -277,47 +383,25 @@ object TextQueries extends QueryProvider {
     // fold is order-preserved by sorting the collected (pos, l) structs
     // — 0.0 + l_1 + l_2 + … left-to-right, identical to the oracle's
     // list_prepend(0.0, list(l ORDER BY pos)) reduction.
-    "bigram_logprob" -> ((s, dir) => {
-      import s.implicits._
+    "bigram_logprob" -> ((s, dir) => bigramNll(s, dir)),
+    // CCNet-style LM-quality bucketing (Wenzek et al. 2020, the
+    // "perplexity filter"): rank each doc's LM score within its language
+    // and cut head/middle/tail thirds — the standard decision layer on
+    // top of a reference-LM score. ntile keeps the cut exact for the
+    // oracle; the per-lang sort it implies is the documented scale
+    // trade — at open-corpus scale the cut becomes two approximate
+    // percentile cutoffs per language broadcast back onto the score
+    // projection (no per-language global sort), diverging from exact
+    // thirds only at tie/boundary rows.
+    "lm_quality_buckets" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val t = toks(lower(col("text")))
-      val vocab = d.select(explode(t).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token")).limit(UnigramVocabCap)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val n = vocab.map(_._2).sum.toDouble
-      val uni = vocab.toSeq.toDF("token", "ucnt")
-      val bi = d.select(explode(zip_with(
-          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bkey"))
-        .groupBy("bkey").agg(count(lit(1)).as("bcnt"))
-        .orderBy(col("bcnt").desc, col("bkey")).limit(BigramVocabCap)
-      // one scored row per token position from a SINGLE tokenize+explode
-      // pass: lag gives the previous token (null at p=0, which scores
-      // under the unigram model alone). The lag window hash-partitions
-      // by doc_id; the broadcast joins preserve that partitioning, so
-      // the final per-doc fold re-uses it — one shuffle end to end.
-      val scored = d.select(col("doc_id"), posexplode(t).as(Seq("p", "ctok")))
-        .withColumn("ptok",
-          lag(col("ctok"), 1).over(Window.partitionBy("doc_id").orderBy("p")))
-        .join(broadcast(bi),
-          concat(col("ptok"), lit(" "), col("ctok")) === col("bkey"), "left")
-        .join(broadcast(uni.select(col("token").as("pj"), col("ucnt").as("pcnt"))),
-          col("ptok") === col("pj"), "left")
-        .join(broadcast(uni.select(col("token").as("cj"), col("ucnt").as("ccnt"))),
-          col("ctok") === col("cj"), "left")
-        .select(col("doc_id"), col("p"),
-          when(col("p") === 0,
-            log(coalesce(col("ccnt"), lit(1L)).cast("double") / n))
-          .otherwise(log(
-            lit(0.5) * coalesce(col("bcnt"), lit(0L)).cast("double")
-              / coalesce(col("pcnt"), lit(1L)).cast("double")
-            + lit(0.5) * coalesce(col("ccnt"), lit(1L)).cast("double") / n))
-          .as("l"))
-      scored.groupBy("doc_id").agg(
-        count(lit(1)).cast("int").as("n_tokens"),
-        round(-aggregate(array_sort(collect_list(struct(col("p"), col("l")))),
-          lit(0.0), (a, x) => a + x.getField("l")) / count(lit(1)), 4).as("nll"))
+      val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+      d.select(col("doc_id"), col("lang"))
+        .join(bigramNll(s, dir).select(col("doc_id"), col("nll")), Seq("doc_id"))
+        .withColumn("nt", ntile(3).over(w))
+        .select(col("doc_id"), col("lang"), col("nll"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
     }),
     // Sequence packing — the terminal op of a training-data pipeline:
     // concatenate the corpus token stream in doc_id order and cut it
@@ -707,36 +791,17 @@ object TextQueries extends QueryProvider {
     // 0.0 head, identical to Spark's aggregate fold seeded by the
     // first-token term.
     "bigram_logprob" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(tk) AS tok, generate_subscripts(tk, 1) AS pos
-         |             FROM (SELECT doc_id, string_split(lower(text), ' ') AS tk
-         |                   FROM documents)),
-         |v AS (SELECT tok, cnt FROM (
-         |        SELECT tok, count(*) AS cnt,
-         |               row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
-         |        FROM tok GROUP BY tok) WHERE rn <= $UnigramVocabCap),
-         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM v),
-         |bg AS (SELECT p.doc_id, c.pos, p.tok AS ptok, c.tok AS ctok
-         |       FROM tok p JOIN tok c ON p.doc_id = c.doc_id AND c.pos = p.pos + 1),
-         |vb AS (SELECT key, cnt FROM (
-         |        SELECT ptok || ' ' || ctok AS key, count(*) AS cnt,
-         |               row_number() OVER (ORDER BY count(*) DESC, ptok || ' ' || ctok) AS rn
-         |        FROM bg GROUP BY ptok || ' ' || ctok) WHERE rn <= $BigramVocabCap),
-         |lp AS (SELECT t.doc_id, t.pos, ln(coalesce(v.cnt, 1) / (SELECT n FROM tot)) AS l
-         |       FROM tok t LEFT JOIN v USING (tok) WHERE t.pos = 1
-         |       UNION ALL
-         |       SELECT bg.doc_id, bg.pos,
-         |              ln(CAST(0.5 AS DOUBLE) * coalesce(vb.cnt, 0) / coalesce(vp.cnt, 1)
-         |                 + CAST(0.5 AS DOUBLE) * coalesce(vc.cnt, 1) / (SELECT n FROM tot)) AS l
-         |       FROM bg
-         |       LEFT JOIN vb ON vb.key = bg.ptok || ' ' || bg.ctok
-         |       LEFT JOIN v vp ON vp.tok = bg.ptok
-         |       LEFT JOIN v vc ON vc.tok = bg.ctok),
-         |f AS (SELECT doc_id,
-         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(l ORDER BY pos)),
-         |                         (a, b) -> a + b) AS s,
-         |             count(*) AS m
-         |      FROM lp GROUP BY doc_id)
+      s"""$BigramNllCtes
          |SELECT doc_id, CAST(m AS INT) AS n_tokens, round(-s / m, 4) AS nll FROM f""".stripMargin,
+    "lm_quality_buckets" ->
+      s"""$BigramNllCtes,
+         |nl AS (SELECT doc_id, round(-s / m, 4) AS nll FROM f),
+         |r AS (SELECT nl.doc_id, d.lang, nl.nll,
+         |             ntile(3) OVER (PARTITION BY d.lang ORDER BY nl.nll, nl.doc_id) AS nt
+         |      FROM nl JOIN documents d USING (doc_id))
+         |SELECT doc_id, lang, nll,
+         |       CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+         |FROM r""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
          |n AS (SELECT doc_id, len(tk) AS n FROM t),

@@ -66,6 +66,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"dup marking must be the gram window:\n$plan")
   }
 
+  test("lm_quality_buckets: LM model joins stay broadcast and every window is " +
+      "partitioned (no all-to-one exchange)") {
+    val plan = planOf(
+      graft.queries.TextQueries.queries("lm_quality_buckets")(spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model lookups must be broadcast hash joins:\n$plan")
+    // the lag window keys on doc_id, the ntile window on lang — an
+    // unpartitioned window would plan Exchange SinglePartition
+    assert(!plan.contains("SinglePartition"),
+      s"unpartitioned window moves the corpus to one partition:\n$plan")
+  }
+
   test("parquet scan prunes columns: 2-column projection reads 2 columns") {
     val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
       .select("doc_id", "lang")

@@ -136,6 +136,24 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("lm_quality_buckets: per-lang thirds differ by ≤1 doc and nll orders " +
+      "head ≤ middle ≤ tail") {
+    val rows = TextQueries.queries("lm_quality_buckets")(spark, TestSession.Sf0001).collect()
+    val scored = TextQueries.queries("bigram_logprob")(spark, TestSession.Sf0001).count()
+    assert(rows.length.toLong == scored, "one bucket row per scored doc")
+    rows.groupBy(_.getString(1)).foreach { case (lang, rs) =>
+      val sizes = Seq("head", "middle", "tail")
+        .map(b => rs.count(_.getString(3) == b))
+      assert(sizes.forall(_ > 0) && sizes.max - sizes.min <= 1,
+        s"$lang bucket sizes $sizes not thirds")
+      def nlls(b: String) = rs.filter(_.getString(3) == b).map(_.getDouble(2))
+      Seq("head", "middle", "tail").sliding(2).foreach { case Seq(a, b) =>
+        assert(nlls(a).max <= nlls(b).min,
+          s"$lang: $a max ${nlls(a).max} > $b min ${nlls(b).min}")
+      }
+    }
+  }
+
   test("contamination_doc_frac: fraction recomputes from counts; contaminated docs " +
       "from the boolean query show frac > 0") {
     val frac = TextQueries.queries("contamination_doc_frac")(spark, TestSession.Sf0001)
