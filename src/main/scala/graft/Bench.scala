@@ -8,10 +8,13 @@ import graft.index._
 
 /** Benchmark main (driver contract): prints ONE JSON line
   * `{"metric":...,"value":seconds,"unit":"sec","queries":{...},"sf":...}`
-  * to stdout, the same bare line to stderr (sbt prefixes stdout with
-  * `[info]`, which broke the driver's parse two rounds running), and
-  * writes it to `SPARK_GRAFT_BENCH_OUT` (default `BENCH_OUT.json` under
-  * the working directory).
+  * to stdout. The stdout line is CURATED (~41 baseline-comparable rows,
+  * compact numbers, ≈1.1 KB) so it fits whole inside the driver's ~2 KB
+  * tail capture — the full 240-row map (per-query headline seconds,
+  * per-section heap/GC/calib telemetry) goes to stderr and to
+  * `SPARK_GRAFT_BENCH_OUT` (default `BENCH_OUT.json` under the working
+  * directory, committed per-round); the stdout line's `"full"` key names
+  * that file.
   *
   * Timing discipline (VERDICT r2: single-shot timings under accumulated
   * cache pressure made rounds incomparable; VERDICT r4 #1: the last ~100 s
@@ -549,8 +552,42 @@ object Bench {
       .values.sum +
       headline.flatMap(results.get).sum
     val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_n":$benchN,"bench_q":$benchQ}"""
-    println(line)
+    // Six rounds of BENCH_r0N.json carried `parsed: null`: the driver
+    // captures only the LAST ~2 KB of output, and the full results map
+    // (240+ rows once per-section telemetry landed) runs ~4.3 KB, so the
+    // line's head — including the opening brace — never survived into the
+    // artifact. stdout therefore gets a CURATED line (baseline-comparable
+    // rows, serving p50s, per-section outlier evidence, headline total)
+    // compact-formatted to fit the capture window whole; the complete map
+    // still goes to stderr and SPARK_GRAFT_BENCH_OUT (committed as
+    // BENCH_OUT.json, which the "full" key points at).
+    results("headline_sec") = headline.flatMap(results.get).sum
+    val keep: Vector[String] = Vector(
+      "calib_mflops", "headline_sec", "brp_join_sec",
+      "flat_search_sec", "flat_qps", "flat_recall",
+      "ivf_build_sec", "ivf_search_sec", "ivf_qps", "ivf_recall",
+      "ivf_np50_qps", "ivf_np50_recall",
+      "pq_build_sec", "pq_search_sec", "pq_qps", "pq_recall",
+      "ivfpq_build_sec", "ivfpq_search_sec", "ivfpq_qps", "ivfpq_recall",
+      "lsh_build_sec", "lsh_qps", "lsh_recall", "lsh_mp_qps", "lsh_mp_recall",
+      "hnsw_build_sec", "hnsw_search_sec", "hnsw_qps", "hnsw_recall",
+      "hnsw_s8_qps", "hnsw_s8_recall", "hnsw_s16_qps", "hnsw_s16_recall",
+      "serve_p50_ms", "serve_pq_p50_ms", "serve_ivfpq_p50_ms",
+      "serve_lsh_p50_ms", "serve_hnsw_p50_ms",
+      "searcher_open_search_sec", "jvm_gc_total_ms") ++
+      // keep the evidence rows for any serving outlier that retried, so a
+      // contended driver run stays adjudicable from the artifact alone
+      results.keys.filter(_.contains("_retry")).toVector.sorted
+    def compact(v: Double): String = {
+      val s = f"$v%.4f".reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      if (s.isEmpty || s == "-") "0" else s
+    }
+    val qsShort = keep.flatMap(k => results.get(k).map(v => "\"" + k + "\":" + compact(v)))
+      .mkString("{", ",", "}")
+    val shortLine = f"""{"metric":"total","value":${compact(total)},"unit":"sec","queries":$qsShort,"full":"BENCH_OUT.json","sf":"$sfDir","bench_n":$benchN,"bench_q":$benchQ}"""
+    println(shortLine)
     System.err.println(line)
+    System.err.println(s"[bench] stdout line ${shortLine.length} chars (full line ${line.length})")
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -57,7 +57,10 @@ object StreamQueries extends QueryProvider {
     "events_pairs_1h" -> ((s, dir) => {
       val e = Tables.events(s, dir)
         .select(col("user_id").as("key"), col("event_id").as("id"),
-          unix_micros(col("ts")).as("us"))
+          // cast: the driver's parquet carries a TZ-naive timestamp some
+          // rounds (TIMESTAMP_NTZ), which unix_micros rejects; under the
+          // session's UTC zone NTZ->LTZ is epoch-identity vs the oracle
+          unix_micros(col("ts").cast("timestamp_ltz")).as("us"))
       graft.operators.RangeJoin.pairs(e, e, windowUs = 3600L * 1000000L)
         .select(col("key").as("user_id"), col("id_a").as("event_a"),
           col("id_b").as("event_b"), col("gap_us"))

@@ -25,8 +25,18 @@ object EventPipeline {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Watermarks require TIMESTAMP (with local zone); driver parquet
+    * carries TZ-naive `ts` some rounds, and under the session's UTC zone
+    * the NTZ->LTZ cast is wall-clock identity. */
+  private def tsAsLtz(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        events.withColumn("ts", col("ts").cast("timestamp_ltz"))
+      case _ => events
+    }
+
   def withWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", delay)
+    tsAsLtz(events).withWatermark("ts", delay)
 
   /** Start the streaming form of [[windowedCounts]] into a memory sink. */
   def startMemoryStream(spark: SparkSession, sourceDir: String, schema: org.apache.spark.sql.types.StructType,
@@ -80,7 +90,7 @@ object EventPipeline {
     * dropDuplicates over the hash). */
   def streamingDedup(events: DataFrame, hashCol: String,
       delay: String = "10 minutes"): DataFrame = {
-    val hashed = events.withWatermark("ts", delay)
+    val hashed = tsAsLtz(events).withWatermark("ts", delay)
     if (hashed.isStreaming) hashed.dropDuplicatesWithinWatermark(hashCol)
     else hashed.dropDuplicates(hashCol)
   }

@@ -127,7 +127,7 @@ class PlanQualitySpec extends AnyFunSuite {
       .select(org.apache.spark.sql.functions.col("user_id").as("key"),
         org.apache.spark.sql.functions.col("event_id").as("id"),
         org.apache.spark.sql.functions.unix_micros(
-          org.apache.spark.sql.functions.col("ts")).as("us"))
+          org.apache.spark.sql.functions.col("ts").cast("timestamp_ltz")).as("us"))
     val plan = planOf(graft.operators.RangeJoin.pairs(e, e, 3600L * 1000000L))
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"range join degenerated to a nested loop:\n$plan")
