@@ -411,6 +411,28 @@ object Bench {
     }
     pqCodes.unpersist()
 
+    // SQ8 — per-dim affine byte quantizer (round 7): one-pass min/max
+    // train, 4× smaller serving state than flat at near-flat recall
+    val (sq8Model, sq8Build) = time(Sq8Index.train(vectors, Metric.L2))
+    val (sq8Codes, sq8Encode) = time {
+      val c = Sq8Index.encode(vectors, sq8Model).cache(); c.count(); c
+    }
+    val (sq8Res, sq8Sec) = searchBest2(() =>
+      Sq8Index.knnBlocked(sq8Codes, sq8Model, queries, K))
+    results("sq8_build_sec") = sq8Build + sq8Encode
+    results("sq8_search_sec") = sq8Sec
+    results("sq8_qps") = benchQ / sq8Sec
+    results("sq8_recall") = recallVs(flatRes, sq8Res)
+    sq8Res.unpersist()
+    logSection(results, "sq8")
+    if (serveQ > 0) {
+      val server = new graft.query.Sq8Server(sq8Codes, sq8Model).warm()
+      timeSingles(results, "serve_sq8", singles, 1000.0 * sq8Sec / benchQ,
+        floor = Some(() => server.floorProbe()))(q => server.search(q, K))
+      server.unpersist()
+    }
+    sq8Codes.unpersist()
+
     // IVFPQ
     val (ivfpqModel, ivfpqBuild) = time(
       IvfPqIndex.train(trainSet, nlist, m = 8, nbits = 8, Metric.L2))
@@ -568,11 +590,12 @@ object Bench {
       "ivf_build_sec", "ivf_search_sec", "ivf_qps", "ivf_recall",
       "ivf_np50_qps", "ivf_np50_recall",
       "pq_build_sec", "pq_search_sec", "pq_qps", "pq_recall",
+      "sq8_build_sec", "sq8_search_sec", "sq8_qps", "sq8_recall",
       "ivfpq_build_sec", "ivfpq_search_sec", "ivfpq_qps", "ivfpq_recall",
       "lsh_build_sec", "lsh_qps", "lsh_recall", "lsh_mp_qps", "lsh_mp_recall",
       "hnsw_build_sec", "hnsw_search_sec", "hnsw_qps", "hnsw_recall",
       "hnsw_s8_qps", "hnsw_s8_recall", "hnsw_s16_qps", "hnsw_s16_recall",
-      "serve_p50_ms", "serve_pq_p50_ms", "serve_ivfpq_p50_ms",
+      "serve_p50_ms", "serve_pq_p50_ms", "serve_sq8_p50_ms", "serve_ivfpq_p50_ms",
       "serve_lsh_p50_ms", "serve_hnsw_p50_ms",
       "searcher_open_search_sec", "jvm_gc_total_ms") ++
       // keep the evidence rows for any serving outlier that retried, so a

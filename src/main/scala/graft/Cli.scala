@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Metric, VectorGen}
 import graft.index._
 import graft.io.{GofaissImport, IndexIO}
-import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, LshKind, PqKind, Searcher}
+import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, LshKind, PqKind, Searcher, Sq8Kind}
 
 /** Command-line lifecycle surface (reference: cmd/cli/main.go:17-73 —
   * bench/build/search subcommands; generate/info/import added for the
@@ -14,10 +14,10 @@ import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, LshKind, PqKind, Sea
   * files).
   *
   *   generate -n N -dim D -seed S -output DIR        seeded vector table
-  *   build    -type flat|ivf|pq|ivfpq|lsh|hnsw -input DIR -output DIR
+  *   build    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw -input DIR -output DIR
   *            [-metric l2|cosine|dot] [-nlist NL] [-m M] [-nbits B] [-planes P]
   *   search   -index DIR -query DIR -k K [-nprobe NP] [-limit L]
-  *   bench    -type flat|ivf|pq|ivfpq|lsh|hnsw -vectors N -dim D -queries Q
+  *   bench    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw -vectors N -dim D -queries Q
   *   info     -index DIR                              meta echo
   *   import   -input gofaiss.json[.gz] -output DIR [-metric l2] [-gzip]
   *
@@ -36,11 +36,11 @@ object Cli {
     System.err.println(
       """graft-cli — Spark vector index lifecycle
         |  generate -n 10000 -dim 128 -seed 42 -output /tmp/vecs
-        |  build    -type flat|ivf|pq|ivfpq|lsh|hnsw -input /tmp/vecs -output /tmp/idx
+        |  build    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw -input /tmp/vecs -output /tmp/idx
         |           [-metric l2] [-nlist 100] [-m 16] [-nbits 8] [-planes 8]
         |           [-ef 200] [-shards 32]
         |  search   -index /tmp/idx -query /tmp/vecs -k 10 -nprobe 10 -limit 5
-        |  bench    -type flat|ivf|pq|ivfpq|lsh|hnsw -vectors 10000 -dim 128 -queries 100
+        |  bench    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw -vectors 10000 -dim 128 -queries 100
         |  info     -index /tmp/idx
         |  import   -input index.json -output /tmp/idx -metric l2 [-gzip true]""".stripMargin)
     sys.exit(1)
@@ -90,6 +90,9 @@ object Cli {
             val nbits = flags.getOrElse("nbits", "8").toInt
             val model = IvfPqIndex.train(vectors, nlist, m, nbits, metric)
             IndexIO.saveIvfPq(spark, out, model, IvfPqIndex.encode(vectors, model))
+          case "sq8" =>
+            val model = Sq8Index.train(vectors, metric)
+            IndexIO.saveSq8(spark, out, model, Sq8Index.encode(vectors, model))
           case "lsh" =>
             val planes = flags.getOrElse("planes", "8").toInt
             IndexIO.saveLsh(spark, out, LshIndex.index(vectors, planes), planes, metric)
@@ -141,6 +144,9 @@ object Cli {
             val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
             val model = IvfPqIndex.train(vectors, nlist, 8, 8, Metric.L2)
             IvfPqKind(model, IvfPqIndex.encode(vectors, model).cache())
+          case "sq8" =>
+            val model = Sq8Index.train(vectors, Metric.L2)
+            Sq8Kind(model, Sq8Index.encode(vectors, model).cache())
           case "lsh" =>
             val planes = flags.getOrElse("planes", "8").toInt
             LshKind(planes, LshIndex.index(vectors, planes).cache(), Metric.L2)

@@ -1,0 +1,127 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+
+/** SQ8 scalar quantization: per-dimension affine 8-bit codes
+  * (`code_d = round((x_d - min_d) / scale_d)`, `scale_d = (max_d -
+  * min_d)/255`), searched asymmetrically — the full-precision query
+  * against dequantized neighbors. The faiss-family kind between flat
+  * (4 B/dim) and PQ (sub-byte/dim): 4× smaller than float32 at near-flat
+  * recall, with none of PQ's codebook training. The reference roadmap
+  * stops at PQ (pkg/index/pq/pq.go); SQ8 lands through the same Metric
+  * ADT + kind-dispatch slots the Manhattan round proved out.
+  *
+  * Training is a single min/max aggregate pass (map-side partials, one
+  * 2·dim-double model row) — no sampling, no iteration, fully
+  * deterministic, which also makes the PRODUCTION trainer (not a `_det`
+  * stand-in) exactly reproducible in the DuckDB oracle.
+  *
+  * At 100 TB: the model broadcasts as 2·dim doubles; encode is a pure
+  * projection (no shuffle); the codes table is what scans at search time
+  * — 4× less IO than flat — and the blocked kernel keeps the top-k
+  * shuffle at ≤ k·partitions rows per query.
+  */
+final case class Sq8Model(mins: Seq[Double], scales: Seq[Double], metric: Metric) {
+  def dim: Int = mins.size
+  private[graft] def minsArray: Array[Double] = mins.toArray
+  private[graft] def scalesArray: Array[Double] = scales.toArray
+}
+
+object Sq8Index {
+
+  /** One-pass per-dimension min/max — 2·dim partial-aggregating columns,
+    * so the corpus streams once and only the model row moves. */
+  def train(vectors: DataFrame, metric: Metric = Metric.L2): Sq8Model = {
+    val dim = vectors.select(size(col("vec"))).first().getInt(0)
+    require(dim > 0, "cannot train SQ8 on an empty vector table")
+    val aggs = (1 to dim).flatMap { i =>
+      Seq(min(element_at(col("vec"), i)), max(element_at(col("vec"), i)))
+    }
+    val row = vectors.agg(aggs.head, aggs.tail: _*).first()
+    val mins = Array.tabulate(dim)(i => row.getDouble(2 * i))
+    val scales = Array.tabulate(dim)(i => (row.getDouble(2 * i + 1) - mins(i)) / 255.0)
+    Sq8Model(mins.toVector, scales.toVector, metric)
+  }
+
+  /** `floor(t + 0.5)` rather than `round`: identical IEEE semantics in
+    * Spark and DuckDB (round's half-even vs half-away ambiguity is the
+    * kind of parity leak the oracle gate exists to catch). A constant
+    * dimension (scale 0) encodes as 0 and reconstructs exactly to min. */
+  private def codeExpr(x: Column, mn: Column, sc: Column): Column =
+    when(sc > 0.0,
+      least(lit(255.0), greatest(lit(0.0), floor((x - mn) / sc + lit(0.5)))))
+      .otherwise(lit(0.0))
+
+  /** Encode to `(id, code: array<tinyint>)`, stored as `code - 128` so the
+    * full 0..255 range fits the signed byte. A pure projection — the
+    * model rides as foldable literals, no UDF, no shuffle. (array<tinyint>
+    * rather than a packed binary blob: element-wise decode stays a codegen
+    * `transform`, and parquet's byte packing already gets the 4× on disk.) */
+  def encode(vectors: DataFrame, model: Sq8Model): DataFrame = {
+    val mn = array(model.mins.map(lit): _*)
+    val sc = array(model.scales.map(lit): _*)
+    vectors.select(col("id"),
+      transform(col("vec"), (x, i) =>
+        (codeExpr(x, element_at(mn, i + 1), element_at(sc, i + 1)) - lit(128.0))
+          .cast("tinyint")).as("code"))
+  }
+
+  /** Dequantize: `min_d + code_d · scale_d` as a double array column. */
+  def decode(code: Column, model: Sq8Model): Column = {
+    val mn = array(model.mins.map(lit): _*)
+    val sc = array(model.scales.map(lit): _*)
+    transform(code, (c, i) =>
+      element_at(mn, i + 1) + (c.cast("double") + lit(128.0)) * element_at(sc, i + 1))
+  }
+
+  /** Plan-based asymmetric kNN over an encoded table: dequantize-project,
+    * then the flat broadcast-join kernel under the model's metric. */
+  def knn(codes: DataFrame, model: Sq8Model, queries: DataFrame, k: Int): DataFrame = {
+    val recon = codes.select(col("id"), decode(col("code"), model).as("vec"))
+    FlatIndex.knn(recon, queries, k, model.metric)
+  }
+
+  /** Blocked serving kernel — result-identical to [[knn]] (same dequantize
+    * arithmetic, same rank-key fold, same (dist, id) tie-break), shuffling
+    * ≤ k·partitions rows per query. */
+  def knnBlocked(codes: DataFrame, model: Sq8Model, queries: DataFrame, k: Int): DataFrame = {
+    if (k <= 0) return knn(codes, model, queries, k)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val metric = model.metric
+    val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
+    val qids = qRows.map(_.getLong(0))
+    val qvecs = qRows.map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast(
+      (qids, qvecs, model.minsArray, model.scalesArray))
+    val partials = codes.select(col("id").cast("long"), col("code"))
+      .as[(Long, Seq[Byte])]
+      .mapPartitions { it =>
+        val (ids, qs, mins, scales) = bc.value
+        val nq = qs.length
+        val dim = mins.length
+        val heaps = Array.fill(nq)(new BoundedTopK(k))
+        val recon = new Array[Double](dim)
+        while (it.hasNext) {
+          val (id, code) = it.next()
+          val n = math.min(dim, code.length)
+          var d = 0
+          while (d < n) {
+            recon(d) = mins(d) + (code(d).toInt + 128).toDouble * scales(d)
+            d += 1
+          }
+          var qi = 0
+          while (qi < nq) {
+            heaps(qi).insert(id, metric.rankKeyScalar(qs(qi), recon))
+            qi += 1
+          }
+        }
+        BoundedTopK.drain(heaps, ids)
+      }
+      .toDF("query_id", "neighbor_id", "rank_key")
+    FlatIndex.topK(partials, k, metric)
+  }
+}

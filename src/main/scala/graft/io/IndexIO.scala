@@ -142,6 +142,27 @@ object IndexIO {
     (IvfPqModel(coarse, pq), spark.read.parquet(s"$path/codes"))
   }
 
+  // ---- SQ8 (per-dimension affine byte quantizer) ----
+  def saveSq8(spark: SparkSession, path: String, model: Sq8Model, codes: DataFrame): Unit = {
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    model.mins.zip(model.scales).zipWithIndex
+      .map { case ((mn, sc), i) => (i, mn, sc) }
+      .toDF("pos", "mn", "sc")
+      .write.mode("overwrite").parquet(s"$path/quantizer")
+    writeMeta(path, Map(
+      "index_type" -> "sq8", "metric" -> model.metric.name,
+      "dim" -> model.dim.toString))
+  }
+  def loadSq8(spark: SparkSession, path: String): (Sq8Model, DataFrame) = {
+    val meta = loadChecked(path, "sq8")
+    val rows = spark.read.parquet(s"$path/quantizer").orderBy("pos").collect()
+    val model = Sq8Model(
+      rows.map(_.getDouble(1)).toVector, rows.map(_.getDouble(2)).toVector,
+      Metric(meta("metric")))
+    (model, spark.read.parquet(s"$path/codes"))
+  }
+
   // ---- LSH (the high-throughput hash-bucketed ANN kind) ----
   def saveLsh(spark: SparkSession, path: String, indexed: DataFrame,
       planes: Int, metric: Metric): Unit = {

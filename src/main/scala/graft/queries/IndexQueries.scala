@@ -269,6 +269,40 @@ object IndexQueries extends QueryProvider {
     // the "distance" is degenerate; manhattan (round 6) is the roadmap
     // metric the reference never shipped, accepted with zero index-side
     // changes — the whole point of the Metric-ADT slot.
+    // SQ8 (graft.index.Sq8Index): per-dim affine byte quantizer. Unlike
+    // the *_det rows, this is the PRODUCTION trainer under the oracle —
+    // min/max training is deterministic, so the full train → encode →
+    // asymmetric-search pipeline hash-matches with no stand-in.
+    "sq8_encode" -> ((s, dir) => {
+      val (corpus, _) = vecTables(s, dir)
+      val model = Sq8Index.train(corpus, Metric.L2)
+      Sq8Index.encode(corpus, model)
+        .select(col("id"), posexplode(col("code")).as(Seq("m", "code")))
+        .select(col("id"), col("m"),
+          (col("code").cast("int") + 128).as("code"))
+    }),
+    "knn_sq8" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = Sq8Index.train(corpus, Metric.L2)
+      Sq8Index.knn(Sq8Index.encode(corpus, model), model, queries, K)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Same oracle through the blocked serving kernel AND the persisted
+    // facade: save → Searcher.open (kind-dispatch on metadata) → search —
+    // result-identity of the whole IO + facade + kernel stack is
+    // driver-verified, not just sbt-asserted.
+    "knn_sq8_open" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = Sq8Index.train(corpus, Metric.L2)
+      val path = java.nio.file.Files.createTempDirectory("graft_sq8").toString
+      graft.io.IndexIO.saveSq8(s, path, model, Sq8Index.encode(corpus, model))
+      val searcher = graft.query.Searcher.open(s, path).withK(K)
+      val out = searcher.search(queries)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+      out
+    }),
     "knn_hnsw_exact" -> hnswExact(Metric.L2),
     "knn_hnsw_exact_cosine" -> hnswExact(Metric.Cosine),
     "knn_hnsw_exact_dot" -> hnswExact(Metric.Dot),
@@ -353,7 +387,41 @@ object IndexQueries extends QueryProvider {
        |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $K""".stripMargin
 
+  /** SQ8 quantizer CTEs: per-dim min/max over the corpus, scale
+    * (max−min)/255, `floor(t + 0.5)` encode (exact parity with
+    * [[graft.index.Sq8Index.encode]] — see its scaladoc on round vs
+    * floor), dequantized vectors rebuilt in dimension order. */
+  private val sq8Ctes: String =
+    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+       |vx AS (SELECT id, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x FROM v),
+       |sc AS (SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS s
+       |       FROM vx GROUP BY pos),
+       |encl AS (SELECT t.id, t.pos,
+       |         CASE WHEN s.s > 0 THEN least(255.0, greatest(0.0,
+       |              floor((t.x - s.mn) / s.s + 0.5))) ELSE 0.0 END AS cd,
+       |         s.mn, s.s
+       |         FROM vx t JOIN sc s ON s.pos = t.pos),
+       |rec AS (SELECT id, list(mn + cd * s ORDER BY pos) AS rv
+       |        FROM encl GROUP BY id)""".stripMargin
+
+  private val sq8KnnSql: String =
+    s"""WITH $sq8Ctes,
+       |d AS (SELECT q.query_id, r.id AS neighbor_id, ${sqlL2SqG("qv", "rv")} AS d2
+       |      FROM q CROSS JOIN rec r),
+       |r AS (SELECT query_id, neighbor_id, d2,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+       |      FROM d)
+       |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $K""".stripMargin
+
   def oracles: Map[String, String] = oraclesBase +
+    ("sq8_encode" ->
+      s"""WITH $sq8Ctes
+         |SELECT id, CAST(pos - 1 AS INT) AS m, CAST(cd AS INT) AS code FROM encl""".stripMargin) +
+    ("knn_sq8" -> sq8KnnSql) +
+    ("knn_sq8_open" -> sq8KnnSql) +
     // facade range search over the deterministic IVF index: same probe
     // CTEs as knn_ivf_det, radius filter on the exact distance, cap 50
     ("range_search_ivf" ->

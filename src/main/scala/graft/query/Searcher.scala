@@ -17,6 +17,9 @@ sealed trait IndexKind
 final case class FlatKind(vectors: DataFrame, metric: Metric) extends IndexKind
 final case class IvfKind(model: IvfModel, assigned: DataFrame) extends IndexKind
 final case class PqKind(model: PqModel, codes: DataFrame) extends IndexKind
+/** SQ8 — per-dimension affine byte quantizer ([[graft.index.Sq8Index]]);
+  * the kind between flat and PQ the reference roadmap never reached. */
+final case class Sq8Kind(model: Sq8Model, codes: DataFrame) extends IndexKind
 final case class IvfPqKind(model: IvfPqModel, codes: DataFrame) extends IndexKind
 /** Sign-LSH — the engine's high-throughput ANN kind (SURVEY.md §7 M5;
   * the reference's *default* index is HNSW (search.go:220-228); a gofaiss
@@ -63,6 +66,8 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
       IvfIndex.searchBlocked(assigned, model, queries, opts.k, opts.nprobe)
     case PqKind(model, codes) =>
       PqIndex.knnBlocked(codes, model, queries, opts.k)
+    case Sq8Kind(model, codes) =>
+      Sq8Index.knnBlocked(codes, model, queries, opts.k)
     case IvfPqKind(model, codes) =>
       IvfPqIndex.searchBlocked(codes, model, queries, opts.k, opts.nprobe)
     case LshKind(planes, indexed, metric) =>
@@ -81,6 +86,7 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
       case FlatKind(vectors, _) => vectors
       case IvfKind(_, assigned) => assigned
       case PqKind(_, codes) => codes
+      case Sq8Kind(_, codes) => codes
       case IvfPqKind(_, codes) => codes
       case LshKind(_, indexed, _) => indexed
       case HnswKind(graph, _, _) => graph
@@ -145,6 +151,9 @@ final class IndexBuilder private (
       case "pq" =>
         val model = PqIndex.train(vectors, opt("M", 8), opt("nbits", 8), metric)
         PqKind(model, PqIndex.encode(vectors, model))
+      case "sq8" =>
+        val model = Sq8Index.train(vectors, metric)
+        Sq8Kind(model, Sq8Index.encode(vectors, model))
       case "ivf" =>
         val model = IvfIndex.train(vectors, opt("nlist", 100), metric)
         IvfKind(model, IvfIndex.assign(vectors, model))
@@ -182,6 +191,7 @@ object Searcher {
       case "flat" => val (v, m) = IndexIO.loadFlat(spark, path); FlatKind(v.cache(), m)
       case "ivf" => val (m, a) = IndexIO.loadIvf(spark, path); IvfKind(m, a.cache())
       case "pq" => val (m, c) = IndexIO.loadPq(spark, path); PqKind(m, c.cache())
+      case "sq8" => val (m, c) = IndexIO.loadSq8(spark, path); Sq8Kind(m, c.cache())
       case "ivfpq" => val (m, c) = IndexIO.loadIvfPq(spark, path); IvfPqKind(m, c.cache())
       case "lsh" => val (p, m, i) = IndexIO.loadLsh(spark, path); LshKind(p, i.cache(), m)
       case "hnsw" =>

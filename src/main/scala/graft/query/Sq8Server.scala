@@ -1,0 +1,65 @@
+package graft.query
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.core.Metric
+import graft.index.{BoundedTopK, Sq8Model}
+
+/** Online single-query serving over an SQ8 codes table — the seventh
+  * serving kind, same engineering as [[PqServer]]: codes packed once into
+  * cached primitive [[CodeBlock]]s (~n·dim ints), ONE single-stage RDD
+  * job per query, driver merge. The scan dequantizes inline
+  * (`min_d + code_d·scale_d` — two fused ops per element, no per-row
+  * allocation), so serving-resident state stays 4× under the flat kind's.
+  *
+  * Result order/tie-break matches [[graft.index.Sq8Index.knnBlocked]]
+  * exactly: ascending (rank_key, id), identical dequantize arithmetic.
+  */
+// deliberately NOT Serializable — per-query closures capture only locals
+final class Sq8Server(codes: DataFrame, model: Sq8Model) extends ServingRdd {
+
+  require(model.metric == Metric.L2,
+    s"Sq8Server serves the l2 kind; got ${model.metric.name}")
+
+  private val rdd: RDD[CodeBlock] = ServeBlocks.packCodes(
+    codes.select(col("id"), col("code").cast("array<int>").as("code")), None)
+
+  /** Materialize the serving blocks (call once before timing queries). */
+  def warm(): this.type = { rdd.count(); this }
+
+  /** One query → top-k (id, distance, rank), driver-merged. */
+  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val mins = model.minsArray
+    val scales = model.scalesArray
+    val partials = rdd.mapPartitions { it =>
+      val merge = new BoundedTopK(k)
+      while (it.hasNext) {
+        val blk = it.next()
+        val dim = blk.m
+        val n = blk.ids.length
+        var r = 0
+        while (r < n) {
+          val off = r * dim
+          var d = 0.0
+          var i = 0
+          while (i < dim) {
+            val t = q(i) - (mins(i) + (blk.codes(off + i) + 128).toDouble * scales(i))
+            d += t * t
+            i += 1
+          }
+          merge.insert(blk.ids(r), d)
+          r += 1
+        }
+      }
+      merge.drainIterator
+    }.collect()
+    val top = new BoundedTopK(k)
+    partials.foreach { case (id, d) => top.insert(id, d) }
+    top.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+
+  protected def servingRdd: org.apache.spark.rdd.RDD[_] = rdd
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Metric
+import graft.index._
+import graft.io.IndexIO
+import graft.query.Searcher
+import graft.queries.VectorQueries
+
+/** SQ8 scalar-quantizer invariants: code range/width, constant-dimension
+  * exactness, quantization error bound, near-flat recall, blocked ≡ plan
+  * kernel identity, and the save → open → search round trip.
+  */
+class Sq8IndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSession.spark
+  private def vecs = VectorQueries.vecTables(spark, TestSession.Sf0001)
+
+  test("codes cover the full byte range and reconstruct within scale/2 per dim") {
+    val (corpus, _) = vecs
+    val model = Sq8Index.train(corpus, Metric.L2)
+    val codes = Sq8Index.encode(corpus, model)
+    // every dimension's max error ≤ scale/2 (affine quantizer bound)
+    val recon = codes.select(col("id"), Sq8Index.decode(col("code"), model).as("rv"))
+    val joined = corpus.join(recon, "id")
+      .select(posexplode(arrays_zip(col("vec"), col("rv"))).as(Seq("pos", "z")))
+      .select(col("pos"), abs(col("z.vec") - col("z.rv")).as("err"))
+      .groupBy("pos").agg(max(col("err")).as("max_err"))
+      .collect()
+    joined.foreach { r =>
+      val bound = model.scales(r.getInt(0)) / 2 + 1e-12
+      assert(r.getDouble(1) <= bound, s"dim ${r.getInt(0)}: err ${r.getDouble(1)} > $bound")
+    }
+    // min and max corpus values per dim map to the range endpoints
+    val minMaxCodes = codes
+      .select(posexplode(col("code")).as(Seq("pos", "c")))
+      .groupBy("pos").agg(min("c").as("lo"), max("c").as("hi"))
+      .collect()
+    minMaxCodes.foreach { r =>
+      assert(r.getByte(1) == -128, s"dim ${r.getInt(0)} min code ${r.getByte(1)}")
+      assert(r.getByte(2) == 127, s"dim ${r.getInt(0)} max code ${r.getByte(2)}")
+    }
+  }
+
+  test("constant dimension gets scale 0, code 0, exact reconstruction") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0, 5.0, 2.5)), (1L, Seq(1.0, 7.0, 2.5)), (2L, Seq(1.0, 6.0, 2.5)))
+    val df = rows.toDF("id", "vec")
+    val model = Sq8Index.train(df, Metric.L2)
+    assert(model.scales(0) == 0.0 && model.scales(2) == 0.0)
+    val recon = Sq8Index.encode(df, model)
+      .select(Sq8Index.decode(col("code"), model).as("rv"))
+      .collect().map(_.getSeq[Double](0))
+    recon.foreach { rv => assert(rv(0) == 1.0 && rv(2) == 2.5) }
+  }
+
+  test("SQ8 recall@10 vs flat is near-exact on this corpus") {
+    val (corpus, queries) = vecs
+    val model = Sq8Index.train(corpus, Metric.L2)
+    val approx = Sq8Index.knn(Sq8Index.encode(corpus, model), model, queries, 10)
+    val exact = FlatIndex.knn(corpus, queries, 10, Metric.L2)
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .intersect(exact.select(col("query_id"), col("neighbor_id"))).count()
+    val recall = hits.toDouble / exact.count()
+    assert(recall >= 0.9, s"SQ8 recall $recall < 0.9")
+  }
+
+  test("blocked kernel is result-identical to the plan form, cosine included") {
+    val (corpus, queries) = vecs
+    for (metric <- Seq(Metric.L2, Metric.Cosine)) {
+      val model = Sq8Index.train(corpus, metric)
+      val codes = Sq8Index.encode(corpus, model)
+      val a = Sq8Index.knn(codes, model, queries, 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("distance"), 9).as("d"), col("rank"))
+      val b = Sq8Index.knnBlocked(codes, model, queries, 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("distance"), 9).as("d"), col("rank"))
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0, metric.name)
+    }
+  }
+
+  test("save → Searcher.open dispatches to sq8 and preserves results") {
+    val (corpus, queries) = vecs
+    val model = Sq8Index.train(corpus, Metric.L2)
+    val codes = Sq8Index.encode(corpus, model)
+    val path = Files.createTempDirectory("graft_sq8_idx").toString
+    IndexIO.saveSq8(spark, path, model, codes)
+    assert(IndexIO.readMeta(path)("index_type") == "sq8")
+    val s = Searcher.open(spark, path).withK(10)
+    val before = Sq8Index.knn(codes, model, queries, 10)
+    val after = s.search(queries)
+    assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
+    s.close()
+  }
+
+  test("Sq8Server single-query results equal the batch kernel rows") {
+    val (corpus, queries) = vecs
+    val model = Sq8Index.train(corpus, Metric.L2)
+    val codes = Sq8Index.encode(corpus, model)
+    val server = new graft.query.Sq8Server(codes, model).warm()
+    val batch = Sq8Index.knnBlocked(codes, model, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    val qRows = queries.collect()
+    qRows.foreach { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      val served = server.search(q, 10)
+      val expected = batch(qid).sortBy(_._4).map(t => (t._2, t._3, t._4))
+      assert(served.toSeq == expected.toSeq, s"query $qid")
+    }
+    server.unpersist()
+  }
+
+  test("IndexBuilder accepts sq8 as an index type") {
+    val (corpus, queries) = vecs
+    val s = graft.query.IndexBuilder().withIndexType("sq8").build(corpus).withK(5)
+    assert(s.search(queries).count() == 5 * VectorQueries.QueryIds)
+  }
+}
