@@ -21,7 +21,8 @@ object SparkEntry {
 
   private val providers: Seq[QueryProvider] =
     Seq(VectorQueries, RelationalQueries, TextQueries, IndexQueries,
-      DedupQueries, StreamQueries, AnnQueries, MultimodalQueries)
+      DedupQueries, StreamQueries, AnnQueries, MultimodalQueries,
+      RetrievalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -27,6 +27,10 @@ object DedupQueries extends QueryProvider {
   private val PairCap = 100 // id prefix bound for brute-force pair baselines
   private val MinhashDocCap = 1000
   private val NdePlanes = 4 // sign-LSH candidate buckets for near_dup_embedding
+  /** semdedup_prune: cluster count and the within-cluster cosine
+    * similarity above which the larger-id doc of a pair is pruned. */
+  private val SemNlist = 16
+  private val SemThreshold = 0.3
   /** line_dedup: tokens per synthesized line (the corpus has no '\n'), and
     * the corpus-count above which a line is dropped everywhere. */
   private val LineTokens = 3
@@ -196,6 +200,32 @@ object DedupQueries extends QueryProvider {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= 3)
         .select(col("id_a"), col("id_b"), round(col("j"), 4).as("jaccard"), col("rank"))
+    }),
+    // SemDeDup (semantic dedup, Abbas et al. 2023 shape): k-means-cluster
+    // the embedding space, then prune near-duplicates ONLY within each
+    // cluster — the pairwise compare is gated by an equi-join on
+    // cluster_id, so pair count ∝ Σ cluster_size², not corpus². With
+    // nlist ∝ n (constant cluster size), that is linear in the corpus —
+    // the property that makes semantic dedup runnable at 100 TB where
+    // all-pairs cosine is not. Deterministic id-bucket centroids stand in
+    // for the k-means fit (the IndexQueries *_det discipline) so the
+    // whole pipeline — assignment, gated pairs, prune verdicts — is one
+    // hash-matched DuckDB replica; keep rule: a doc is pruned iff a
+    // SMALLER-id doc in its cluster has cosine similarity ≥ τ.
+    "semdedup_prune" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir).select(col("id"), col("vec"))
+      val model = graft.index.IvfIndex.trainDeterministic(
+        v, SemNlist, graft.core.Metric.L2)
+      val a = graft.index.IvfIndex.assign(v, model)
+        .select(col("id"), col("vec"), col("cluster_id"))
+      val dropped = a.alias("x").join(a.alias("y"),
+          col("x.cluster_id") === col("y.cluster_id") && col("x.id") > col("y.id"))
+        .where(similarity(cosineDistance(col("x.vec"), col("y.vec"))) >= SemThreshold)
+        .select(col("x.id").as("id")).distinct()
+      a.select(col("id"), col("cluster_id"))
+        .join(dropped.withColumn("hit", lit(1)), Seq("id"), "left")
+        .select(col("id"), col("cluster_id"),
+          when(col("hit").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
     }),
     // Embedding-cosine near-duplicate pairs, candidate-bounded by sign-LSH
     // buckets: only pairs landing in the same bucket reach the exact cosine
@@ -368,6 +398,17 @@ object DedupQueries extends QueryProvider {
          |      FROM p)
          |SELECT id_a, id_b, round(j, 4) AS jaccard, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 3""".stripMargin,
+    // SemNlist must stay = IndexQueries' Nlist: the shared `base` CTE
+    // hardcodes the deterministic id-bucket centroid count
+    "semdedup_prune" ->
+      s"""WITH ${IndexQueries.base},
+         |p AS (SELECT DISTINCT x.id AS id
+         |      FROM assign x JOIN assign y
+         |        ON x.cluster_id = y.cluster_id AND x.id > y.id
+         |      WHERE ${VectorQueries.sqlCosineSimG("x.ev", "y.ev")} >= $SemThreshold)
+         |SELECT a.id, a.cluster_id,
+         |       CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS keep
+         |FROM assign a LEFT JOIN p ON p.id = a.id""".stripMargin,
     "near_dup_embedding" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev,
          |  ${graft.index.LshIndex.sqlBucket("CAST(embedding AS DOUBLE[])", NdePlanes)} AS bucket

@@ -342,7 +342,8 @@ object IndexQueries extends QueryProvider {
        |assign AS (SELECT id, ev, bucket AS cluster_id FROM (
        |  SELECT id, ev, bucket, row_number() OVER (PARTITION BY id ORDER BY d2, bucket) AS rn
        |  FROM ad) WHERE rn = 1)""".stripMargin
-  private val base = baseWith(sqlL2SqG)
+  // shared with DedupQueries' semdedup_prune oracle (same det centroids)
+  private[queries] val base = baseWith(sqlL2SqG)
 
   /** Probe CTEs: per-query top-nprobe buckets (with centroid in scope). */
   private def probeCtesWith(dist: (String, String) => String) =

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.TextFunctions.{jaccard, sqlJaccard, toks}
+
+/** Text-retrieval operators: BM25 lexical scoring and hybrid
+  * lexical+vector rank fusion — the serving-side counterpart of the
+  * curation pipeline (the same index that dedups a corpus also answers
+  * "find me training docs like X").
+  *
+  * 100 TB shapes: BM25 is two map-side-partial aggregations (per-term df
+  * — rows ∝ |query terms|; per-doc tf — rows ∝ docs × matched terms)
+  * joined back through broadcasts of the tiny term/corpus-stats frames,
+  * then one `TakeOrderedAndProject`-style rank; nothing shuffles the
+  * corpus itself. RRF fusion joins two already-top-N ranked lists
+  * (rows ∝ queries × N) — the expensive sides are the upstream retrieval
+  * kernels, which ship their own scale stories.
+  */
+object RetrievalQueries extends QueryProvider {
+
+  /** BM25 parameters (the standard Robertson/Lucene defaults). */
+  private val K1 = 1.2
+  private val B = 0.75
+  /** Literal query-term set — a stand-in for a parameterized search
+    * string (swapping in a real query is a literal change). */
+  private val Terms = Seq("table", "join", "merge")
+  private val TopDocs = 20
+
+  /** Rank-fusion constant (Cormack/Clarke RRF's canonical 60) and list
+    * widths for the hybrid query. */
+  private val RrfK = 60
+  private val FuseN = 50
+  private val FuseTop = 10
+  private val FuseQueries = VectorQueries.QueryIds
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 top-k: idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Lucene
+    // non-negative form), tf term = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+    // Per-term contributions fold in term order (bigram-LM discipline:
+    // identical summation order in both engines), ranking uses the RAW
+    // fold value (bit-identical) with a doc_id tie-break.
+    "bm25_topk" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val lens = d.select(col("doc_id"), size(col("tk")).as("dl"))
+      val stats = lens.agg(
+        sum(col("dl")).cast("double").as("tot"),
+        count(lit(1)).cast("double").as("n_docs"))
+      val tf = d.select(col("doc_id"), explode(col("tk")).as("term"))
+        .where(col("term").isin(Terms: _*))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val contrib = tf
+        .join(broadcast(dfq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf").cast("double") * lit(K1 + 1.0)) /
+            (col("tf").cast("double") +
+              lit(K1) * (lit(1.0) - lit(B) +
+                lit(B) * col("dl").cast("double") / (col("tot") / col("n_docs")))))
+      val scored = contrib.groupBy(col("doc_id")).agg(
+        aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (a, x) => a + x.getField("contrib")).as("score"),
+        count(lit(1)).cast("int").as("n_terms"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rank") <= TopDocs)
+        .select(col("doc_id"), round(col("score"), 4).as("bm25"),
+          col("n_terms"), col("rank"))
+    }),
+    // Hybrid retrieval via reciprocal rank fusion: per query doc, the
+    // bigram-Jaccard lexical top-N over `documents` fuses with the
+    // cosine-kNN top-N over `embeddings` as Σ 1/(RrfK + rank) — the
+    // standard fusion that needs no score calibration between the two
+    // systems. A doc found by only one side contributes one term (full
+    // outer join); the two reciprocal terms add in a FIXED order
+    // (lex + vec), so the fused doubles are bit-identical across engines.
+    "hybrid_rrf" -> ((s, dir) => {
+      val bgOf = {
+        val tk = toks(col("text"))
+        array_distinct(transform(sequence(lit(1), size(tk) - 1),
+          j => concat(element_at(tk, j), lit(" "), element_at(tk, j + 1))))
+      }
+      val g = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), bgOf.as("bg"))
+      val qd = g.where(col("doc_id") < FuseQueries)
+        .select(col("doc_id").as("query_id"), col("bg").as("qbg"))
+      // corpus scans once against the broadcast query batch (FlatIndex's
+      // J1 shape) — never a corpus×corpus nested loop
+      val lexTop = g.crossJoin(broadcast(qd))
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("id"),
+          jaccard(col("qbg"), col("bg")).as("j"))
+        .withColumn("lex_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("j").desc, col("id"))))
+        .where(col("lex_rank") <= FuseN)
+        .select(col("query_id"), col("id"), col("lex_rank"))
+      val (corpus, queries) = VectorQueries.vecTables(s, dir)
+      val vecTop = graft.index.FlatIndex.topK(
+        graft.index.FlatIndex.distanceJoin(corpus, queries, graft.core.Metric.Cosine)
+          .where(col("neighbor_id") =!= col("query_id")),
+        FuseN, graft.core.Metric.Cosine)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").as("vec_rank"))
+      val fused = lexTop.join(vecTop, Seq("query_id", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)))
+      fused
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rrf").desc, col("id"))))
+        .where(col("rank") <= FuseTop)
+        .select(col("query_id"), col("id"), round(col("rrf"), 6).as("rrf"),
+          coalesce(col("lex_rank"), lit(-1)).cast("int").as("lex_rank"),
+          coalesce(col("vec_rank"), lit(-1)).cast("int").as("vec_rank"),
+          col("rank"))
+    })
+  )
+
+  private val termsSqlList = Terms.map(t => s"'$t'").mkString(", ")
+
+  def oracles: Map[String, String] = Map(
+    "bm25_topk" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |l AS (SELECT doc_id, len(tk) AS dl FROM d),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS n_docs FROM l),
+         |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+         |       WHERE t IN ($termsSqlList) GROUP BY doc_id, t),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id, tf.term,
+         |        ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+         |          (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0}) /
+         |          (CAST(tf.tf AS DOUBLE) +
+         |            $K1 * (1.0 - $B + $B * CAST(l.dl AS DOUBLE) / (st.tot / st.n_docs))) AS contrib
+         |      FROM tf CROSS JOIN st
+         |      JOIN dfq ON dfq.term = tf.term
+         |      JOIN l ON l.doc_id = tf.doc_id),
+         |sc AS (SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY term)),
+         |           (x, y) -> x + y) AS score,
+         |         count(*) AS n_terms
+         |       FROM c GROUP BY doc_id),
+         |r AS (SELECT doc_id, score, n_terms,
+         |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM sc)
+         |SELECT doc_id, round(score, 4) AS bm25, CAST(n_terms AS INT) AS n_terms,
+         |       CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $TopDocs""".stripMargin,
+    "hybrid_rrf" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+         |        j -> tk[j] || ' ' || tk[j+1])) AS bg FROM d),
+         |lx AS (SELECT q.doc_id AS query_id, c.doc_id AS id,
+         |         ${sqlJaccard("q.bg", "c.bg")} AS j
+         |       FROM g q JOIN g c ON c.doc_id <> q.doc_id
+         |       WHERE q.doc_id < $FuseQueries),
+         |lt AS (SELECT query_id, id, lex_rank FROM (
+         |         SELECT query_id, id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY j DESC, id) AS lex_rank
+         |         FROM lx) WHERE lex_rank <= $FuseN),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < $FuseQueries),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |vd AS (SELECT q.query_id, v.vec_id AS id, ${VectorQueries.sqlCosine} AS dist
+         |       FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id),
+         |vt AS (SELECT query_id, id, vec_rank FROM (
+         |         SELECT query_id, id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS vec_rank
+         |         FROM vd) WHERE vec_rank <= $FuseN),
+         |f AS (SELECT coalesce(lt.query_id, vt.query_id) AS query_id,
+         |             coalesce(lt.id, vt.id) AS id, lt.lex_rank, vt.vec_rank,
+         |             coalesce(CAST(1 AS DOUBLE) / ($RrfK + lt.lex_rank), CAST(0 AS DOUBLE)) +
+         |             coalesce(CAST(1 AS DOUBLE) / ($RrfK + vt.vec_rank), CAST(0 AS DOUBLE)) AS rrf
+         |      FROM lt FULL OUTER JOIN vt
+         |        ON lt.query_id = vt.query_id AND lt.id = vt.id),
+         |r AS (SELECT query_id, id, rrf, lex_rank, vec_rank,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rank
+         |      FROM f)
+         |SELECT query_id, id, round(rrf, 6) AS rrf,
+         |       CAST(coalesce(lex_rank, -1) AS INT) AS lex_rank,
+         |       CAST(coalesce(vec_rank, -1) AS INT) AS vec_rank, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $FuseTop""".stripMargin
+  )
+}

@@ -572,6 +572,25 @@ object TextQueries extends QueryProvider {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("n_chars_t"), col("n_vocab"))
     }),
+    // Sketch-based distinct counting with a bounded-accuracy oracle: at
+    // 100 TB the exact per-source vocabulary count above shuffles every
+    // (source, token) pair; HyperLogLog++ (approx_count_distinct) answers
+    // the same reporting question with O(sources · sketch) state and NO
+    // second shuffle. The sketch value itself isn't SQL-reproducible, so
+    // the oracle gate checks the accuracy CONTRACT instead (the
+    // *_kmeans_invariants discipline): |approx − exact| ≤ 5% · exact per
+    // source, emitted as the literal all-within-bound frame.
+    "distinct_tokens_sketch" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = d.select(col("source"),
+        explode(array_distinct(toks(lower(col("text"))))).as("token"))
+      t.groupBy("source").agg(
+          countDistinct(col("token")).as("exact"),
+          approx_count_distinct(col("token")).as("approx"))
+        .select(col("source"),
+          when(abs(col("approx") - col("exact")).cast("double") <=
+            lit(0.05) * col("exact"), 1).otherwise(0).as("within_5pct"))
+    }),
     // Heuristic-eval reporting: confusion matrix of the lang_id argmax
     // against the labeled lang column — the accuracy readout any
     // classifier-based curation filter needs. Pure re-aggregation of the
@@ -922,6 +941,8 @@ object TextQueries extends QueryProvider {
         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars_t,
         |       CAST(n_vocab AS BIGINT) AS n_vocab
         |FROM base JOIN v USING (source)""".stripMargin,
+    "distinct_tokens_sketch" ->
+      """SELECT source, 1 AS within_5pct FROM documents GROUP BY source""",
     "lang_confusion" ->
       s"""SELECT lang AS lang_actual,
          |       CASE WHEN ${sqlHits(enWords)} >= ${sqlHits(deWords)}

@@ -268,4 +268,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"),
       s"unpartitioned window moves the corpus to one partition:\n$plan")
   }
+
+  test("bm25_topk joins through broadcasts; the corpus never shuffles whole rows") {
+    val plan = planOf(
+      graft.queries.RetrievalQueries.queries("bm25_topk")(spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected the df/stats frames to broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"bm25 must not cross-join the corpus:\n$plan")
+  }
+
+  test("semdedup pair compare is gated by a cluster_id equi-join (never all-pairs)") {
+    val plan = planOf(
+      graft.queries.DedupQueries.queries("semdedup_prune")(spark, TestSession.Sf0001))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"within-cluster pairs must come from an equi-join:\n$plan")
+  }
+
+  test("hybrid_rrf fuses two already-ranked lists — no corpus-x-corpus nested loop " +
+      "beyond the broadcast query batch") {
+    val plan = planOf(
+      graft.queries.RetrievalQueries.queries("hybrid_rrf")(spark, TestSession.Sf0001))
+    assert(!plan.contains("CartesianProduct"),
+      s"fusion must not cartesian-join:\n$plan")
+  }
 }
