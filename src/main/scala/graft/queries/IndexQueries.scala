@@ -303,6 +303,25 @@ object IndexQueries extends QueryProvider {
           round(col("distance"), 4).as("distance"), col("rank"))
       out
     }),
+    // Composite IVF+SQ8 (faiss IndexIVFScalarQuantizer shape): coarse
+    // assignment runs on the ORIGINAL vectors (index built before
+    // quantization), the stored payload is SQ8 codes, and probe-time
+    // distances are asymmetric — query vs dequantized candidates. Pure
+    // composition of the two existing kinds (probe pruning ∥ 4× payload
+    // compression are independent reductions), zero new kernel code;
+    // the hash-matched oracle replays assignment on exact vectors and
+    // ranking on reconstructed ones.
+    "knn_ivfsq8_det" -> ((s, dir) => {
+      val (corpus, queries, model) = detIvf(s, dir)
+      val sq = Sq8Index.train(corpus, Metric.L2)
+      val recon = Sq8Index.encode(corpus, sq)
+        .select(col("id"), Sq8Index.decode(col("code"), sq).as("vec"))
+      val assigned = IvfIndex.assign(corpus, model)
+        .select(col("id"), col("cluster_id"))
+      IvfIndex.search(recon.join(assigned, "id"), model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     "knn_hnsw_exact" -> hnswExact(Metric.L2),
     "knn_hnsw_exact_cosine" -> hnswExact(Metric.Cosine),
     "knn_hnsw_exact_dot" -> hnswExact(Metric.Dot),
@@ -392,11 +411,11 @@ object IndexQueries extends QueryProvider {
     * (max−min)/255, `floor(t + 0.5)` encode (exact parity with
     * [[graft.index.Sq8Index.encode]] — see its scaladoc on round vs
     * floor), dequantized vectors rebuilt in dimension order. */
-  private val sq8Ctes: String =
-    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-       |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
-       |vx AS (SELECT id, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x FROM v),
+  /** Quantizer body alone (expects a `v(id, ev)` CTE in scope) — shared
+    * with the composite IVF+SQ8 oracle, which brings its own `v` via the
+    * IVF `base` block. */
+  private val sq8Quantizer: String =
+    s"""vx AS (SELECT id, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x FROM v),
        |sc AS (SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS s
        |       FROM vx GROUP BY pos),
        |encl AS (SELECT t.id, t.pos,
@@ -406,6 +425,12 @@ object IndexQueries extends QueryProvider {
        |         FROM vx t JOIN sc s ON s.pos = t.pos),
        |rec AS (SELECT id, list(mn + cd * s ORDER BY pos) AS rv
        |        FROM encl GROUP BY id)""".stripMargin
+
+  private val sq8Ctes: String =
+    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+       |$sq8Quantizer""".stripMargin
 
   private val sq8KnnSql: String =
     s"""WITH $sq8Ctes,
@@ -423,6 +448,18 @@ object IndexQueries extends QueryProvider {
          |SELECT id, CAST(pos - 1 AS INT) AS m, CAST(cd AS INT) AS code FROM encl""".stripMargin) +
     ("knn_sq8" -> sq8KnnSql) +
     ("knn_sq8_open" -> sq8KnnSql) +
+    ("knn_ivfsq8_det" ->
+      s"""WITH $base,
+         |$sq8Quantizer,
+         |$probeCtes,
+         |cand AS (SELECT p.query_id, a.id AS neighbor_id, ${sqlL2SqG("qv", "rv")} AS d2
+         |         FROM probes p JOIN assign a ON a.cluster_id = p.bucket
+         |         JOIN rec ON rec.id = a.id),
+         |rr AS (SELECT query_id, neighbor_id, d2,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+         |       FROM cand)
+         |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM rr WHERE rank <= $K""".stripMargin) +
     // facade range search over the deterministic IVF index: same probe
     // CTEs as knn_ivf_det, radius filter on the exact distance, cap 50
     ("range_search_ivf" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextFunctions.{jaccard, sqlJaccard, toks}
+import graft.functions.TextFunctions.{jaccard, sqlJaccard, sqlTokenHash, tokenHash, toks}
 
 /** Text-retrieval operators: BM25 lexical scoring and hybrid
   * lexical+vector rank fusion — the serving-side counterpart of the
@@ -36,6 +36,12 @@ object RetrievalQueries extends QueryProvider {
   private val FuseN = 50
   private val FuseTop = 10
   private val FuseQueries = VectorQueries.QueryIds
+
+  /** DSIR feature-hash bucket count, the target-domain predicate, and the
+    * selected-set size. */
+  private val DsirBuckets = 128
+  private val DsirTargetLang = "en"
+  private val DsirTop = 100
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BM25 top-k: idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the Lucene
@@ -123,6 +129,47 @@ object RetrievalQueries extends QueryProvider {
           coalesce(col("lex_rank"), lit(-1)).cast("int").as("lex_rank"),
           coalesce(col("vec_rank"), lit(-1)).cast("int").as("vec_rank"),
           col("rank"))
+    }),
+    // DSIR-style importance resampling (Xie et al. 2023 shape): score each
+    // raw doc by how target-like its hashed n-gram feature profile is —
+    // weight = Σ_f n_f(doc) · (ln p_target(f) − ln p_raw(f)) with add-one
+    // smoothing over B hash buckets — and keep the top-N. The feature
+    // models are two B-row aggregates (map-side partials; B=128 here, a
+    // constant) broadcast back to a per-doc fold; the corpus streams once
+    // for feature counts and once for scoring — no shuffle grows with the
+    // corpus beyond the (doc, bucket) count agg, whose width is capped by
+    // B. Contributions fold in bucket order (the term-ordered-sum
+    // discipline), ranking on the raw fold with a doc_id tie-break.
+    "dsir_topk" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val fb = d.select(col("doc_id"), col("lang"),
+          explode(toks(col("text"))).as("tok"))
+        .withColumn("bucket", tokenHash(col("tok")) % DsirBuckets)
+      val raw = fb.groupBy("bucket").agg(count(lit(1)).as("cr"))
+      val tgt = fb.where(col("lang") === DsirTargetLang)
+        .groupBy("bucket").agg(count(lit(1)).as("ct"))
+      val totals = fb.agg(
+        count(lit(1)).cast("double").as("tr"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
+          .cast("double").as("tt"))
+      val lr = raw.join(tgt, Seq("bucket"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("bucket"),
+          (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+              (col("tt") + lit(DsirBuckets.toDouble))) -
+            log((col("cr").cast("double") + lit(1.0)) /
+              (col("tr") + lit(DsirBuckets.toDouble)))).as("w"))
+      val perDoc = fb.groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(lr), "bucket")
+        .withColumn("contrib", col("n") * col("w"))
+      perDoc.groupBy("doc_id").agg(
+          aggregate(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
+            lit(0.0), (a, x) => a + x.getField("contrib")).as("weight"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("weight").desc, col("doc_id"))))
+        .where(col("rank") <= DsirTop)
+        .select(col("doc_id"), round(col("weight"), 4).as("dsir_weight"), col("rank"))
     })
   )
 
@@ -188,6 +235,31 @@ object RetrievalQueries extends QueryProvider {
          |SELECT query_id, id, round(rrf, 6) AS rrf,
          |       CAST(coalesce(lex_rank, -1) AS INT) AS lex_rank,
          |       CAST(coalesce(vec_rank, -1) AS INT) AS vec_rank, CAST(rank AS INT) AS rank
-         |FROM r WHERE rank <= $FuseTop""".stripMargin
+         |FROM r WHERE rank <= $FuseTop""".stripMargin,
+    "dsir_topk" ->
+      s"""WITH fb AS (SELECT doc_id, lang, ${sqlTokenHash("t")} % $DsirBuckets AS bucket
+         |            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+         |                  FROM documents)),
+         |rawc AS (SELECT bucket, count(*) AS cr FROM fb GROUP BY bucket),
+         |tgt AS (SELECT bucket, count(*) AS ct FROM fb
+         |        WHERE lang = '$DsirTargetLang' GROUP BY bucket),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS tr,
+         |               CAST(sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)
+         |                 AS DOUBLE) AS tt FROM fb),
+         |lr AS (SELECT rawc.bucket,
+         |         ln((CAST(coalesce(tgt.ct, 0) AS DOUBLE) + 1.0) / (tot.tt + ${DsirBuckets}.0)) -
+         |         ln((CAST(rawc.cr AS DOUBLE) + 1.0) / (tot.tr + ${DsirBuckets}.0)) AS w
+         |       FROM rawc LEFT JOIN tgt ON tgt.bucket = rawc.bucket CROSS JOIN tot),
+         |nb AS (SELECT doc_id, bucket, count(*) AS n FROM fb GROUP BY doc_id, bucket),
+         |c AS (SELECT nb.doc_id, nb.bucket, nb.n * lr.w AS contrib
+         |      FROM nb JOIN lr ON lr.bucket = nb.bucket),
+         |sc AS (SELECT doc_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY bucket)),
+         |           (x, y) -> x + y) AS weight
+         |       FROM c GROUP BY doc_id),
+         |r AS (SELECT doc_id, weight,
+         |        row_number() OVER (ORDER BY weight DESC, doc_id) AS rank FROM sc)
+         |SELECT doc_id, round(weight, 4) AS dsir_weight, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $DsirTop""".stripMargin
   )
 }

@@ -591,6 +591,28 @@ object TextQueries extends QueryProvider {
           when(abs(col("approx") - col("exact")).cast("double") <=
             lit(0.05) * col("exact"), 1).otherwise(0).as("within_5pct"))
     }),
+    // Second sketch kind under the same accuracy-contract oracle: KLL-style
+    // approximate quantiles (percentile_approx) vs exact percentiles, per
+    // language. At scale the exact form needs a sort (or full collect)
+    // per group; the sketch is mergeable map-side state. Contract: the
+    // sketch value lies inside the exact [p−0.05, p+0.05] quantile band —
+    // a RANK tolerance, which is what a quantile sketch actually
+    // guarantees (a value-relative bound breaks whenever adjacent order
+    // statistics have a wide gap, e.g. a 7% jump at es/q25 at sf0.001).
+    "length_quantiles_sketch" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val agg = d.groupBy("lang").agg(
+        percentile_approx(col("n_chars"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx"),
+        expr("percentile(n_chars, array(0.20D, 0.45D, 0.70D))").as("lo"),
+        expr("percentile(n_chars, array(0.30D, 0.55D, 0.80D))").as("hi"))
+      def ok(i: Int) =
+        when(element_at(col("approx"), i).cast("double")
+            .between(element_at(col("lo"), i), element_at(col("hi"), i)), 1)
+          .otherwise(0)
+      agg.select(col("lang"),
+        ok(1).as("q25_ok"), ok(2).as("q50_ok"), ok(3).as("q75_ok"))
+    }),
     // Heuristic-eval reporting: confusion matrix of the lang_id argmax
     // against the labeled lang column — the accuracy readout any
     // classifier-based curation filter needs. Pure re-aggregation of the
@@ -943,6 +965,9 @@ object TextQueries extends QueryProvider {
         |FROM base JOIN v USING (source)""".stripMargin,
     "distinct_tokens_sketch" ->
       """SELECT source, 1 AS within_5pct FROM documents GROUP BY source""",
+    "length_quantiles_sketch" ->
+      """SELECT lang, 1 AS q25_ok, 1 AS q50_ok, 1 AS q75_ok
+        |FROM documents GROUP BY lang""".stripMargin,
     "lang_confusion" ->
       s"""SELECT lang AS lang_actual,
          |       CASE WHEN ${sqlHits(enWords)} >= ${sqlHits(deWords)}
