@@ -257,7 +257,10 @@ object Bench {
       // carries their sf0.1 cost, not just their sf0.01 correctness
       "line_dedup", "pii_scrub", "unigram_logprob", "pack_sequences",
       "curation_pipeline", "contamination_doc_frac", "mixture_sample",
-      "dup_span_stats", "bigram_logprob", "lm_quality_buckets")
+      "dup_span_stats", "bigram_logprob", "lm_quality_buckets",
+      // round-7 retrieval/selection operators
+      "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",
+      "distinct_tokens_sketch", "knn_sq8", "knn_ivfsq8_det")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())
@@ -597,7 +600,10 @@ object Bench {
       "hnsw_s8_qps", "hnsw_s8_recall", "hnsw_s16_qps", "hnsw_s16_recall",
       "serve_p50_ms", "serve_pq_p50_ms", "serve_sq8_p50_ms", "serve_ivfpq_p50_ms",
       "serve_lsh_p50_ms", "serve_hnsw_p50_ms",
-      "searcher_open_search_sec", "jvm_gc_total_ms") ++
+      "searcher_open_search_sec", "jvm_gc_total_ms",
+      // round-7 operator rows — parsed driver evidence, not just BENCH_OUT
+      "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",
+      "knn_sq8", "knn_ivfsq8_det") ++
       // keep the evidence rows for any serving outlier that retried, so a
       // contended driver run stays adjudicable from the artifact alone
       results.keys.filter(_.contains("_retry")).toVector.sorted
