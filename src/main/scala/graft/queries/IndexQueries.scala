@@ -322,6 +322,20 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // Facade range search over the persisted SQ8 index: the quantized-kind
+    // range semantics (radius filters the kind's own — here dequantized —
+    // distances; rank-then-filter ≡ filter-then-rank by the prefix
+    // argument of range_search_ivf's scaladoc).
+    "range_search_sq8" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = Sq8Index.train(corpus, Metric.L2)
+      val path = java.nio.file.Files.createTempDirectory("graft_rs_sq8").toString
+      graft.io.IndexIO.saveSq8(s, path, model, Sq8Index.encode(corpus, model))
+      graft.query.Searcher.open(s, path)
+        .rangeSearch(queries, threshold = 1.25, maxResults = 50)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     "knn_hnsw_exact" -> hnswExact(Metric.L2),
     "knn_hnsw_exact_cosine" -> hnswExact(Metric.Cosine),
     "knn_hnsw_exact_dot" -> hnswExact(Metric.Dot),
@@ -448,6 +462,15 @@ object IndexQueries extends QueryProvider {
          |SELECT id, CAST(pos - 1 AS INT) AS m, CAST(cd AS INT) AS code FROM encl""".stripMargin) +
     ("knn_sq8" -> sq8KnnSql) +
     ("knn_sq8_open" -> sq8KnnSql) +
+    ("range_search_sq8" ->
+      s"""WITH $sq8Ctes,
+         |d AS (SELECT q.query_id, rec.id AS neighbor_id, ${sqlL2SqG("qv", "rv")} AS d2
+         |      FROM q CROSS JOIN rec),
+         |rr AS (SELECT query_id, neighbor_id, d2,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+         |       FROM d WHERE d2 <= 1.25 * 1.25)
+         |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM rr WHERE rank <= 50""".stripMargin) +
     ("knn_ivfsq8_det" ->
       s"""WITH $base,
          |$sq8Quantizer,

@@ -106,6 +106,17 @@ object EventPipeline {
       .write.mode("append").partitionBy("cluster_id")
       .parquet(s"$indexPath/codes")
 
+  /** Continuous SQ8 maintenance: new vectors encode with the FROZEN
+    * min/max quantizer (the add-after-train rule, like [[appendBatchToIvf]])
+    * and append to the codes table — a stateless pure projection, so the
+    * stream needs no state store and retries are idempotent per batch.
+    * Values outside the trained range clamp to the byte endpoints until
+    * an explicit retrain. */
+  def appendBatchToSq8(model: graft.index.Sq8Model, indexPath: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.index.Sq8Index.encode(batch, model)
+      .write.mode("append").parquet(s"$indexPath/codes")
+
   /** Continuous HNSW maintenance: each micro-batch routes its vectors to
     * their shards (HnswIndex.shardCol) and rebuilds ONLY those shards —
     * the affected-shard read is partition-pruned (the graph is stored

@@ -226,6 +226,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(inc.exceptAll(batch).count() == 0)
   }
 
+  test("foreachBatch SQ8 maintenance: frozen-model incremental encode equals batch encode") {
+    import graft.index.Sq8Index
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val model = Sq8Index.train(corpus, graft.core.Metric.L2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sq8").toString
+    val maxId = corpus.agg(max(col("id"))).first().getLong(0)
+    val b1 = corpus.where(col("id") <= maxId / 2)
+    val b2 = corpus.where(col("id") > maxId / 2)
+    EventPipeline.appendBatchToSq8(model, dir)(b1, 0L)
+    EventPipeline.appendBatchToSq8(model, dir)(b2, 1L)
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == corpus.count())
+    val inc = Sq8Index.knnBlocked(codes, model, queries, 10)
+      .select("query_id", "neighbor_id", "rank")
+    val batch = Sq8Index.knnBlocked(Sq8Index.encode(corpus, model), model, queries, 10)
+      .select("query_id", "neighbor_id", "rank")
+    assert(inc.exceptAll(batch).count() == 0 && batch.exceptAll(inc).count() == 0)
+  }
+
   test("foreachBatch HNSW maintenance rebuilds only touched shards, equals full build") {
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_hnsw").toString
