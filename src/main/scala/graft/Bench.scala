@@ -260,7 +260,8 @@ object Bench {
       "dup_span_stats", "bigram_logprob", "lm_quality_buckets",
       // round-7 retrieval/selection operators
       "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",
-      "distinct_tokens_sketch", "knn_sq8", "knn_ivfsq8_det")
+      "distinct_tokens_sketch", "knn_sq8", "knn_ivfsq8_det",
+      "contamination_bloom", "heavy_hitters_sketch")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

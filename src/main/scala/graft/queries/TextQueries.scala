@@ -269,6 +269,33 @@ object TextQueries extends QueryProvider {
         .groupBy("doc_id", "eval_id")
         .agg(count(lit(1)).as("n_shared"))
     }),
+    // Bloom-prefiltered decontamination — the shape that replaces the
+    // broadcast gram SET at 100 TB: the eval grams aggregate into one
+    // native bloom sketch (BloomFilterAggregate, ~10 bits/item — a fixed
+    // few-hundred-KB literal however large the corpus side grows), the
+    // corpus gram stream drops non-members BEFORE the join (codegen'd
+    // might_contain, no false negatives), and only the surviving sliver
+    // joins the exact eval set to kill false positives. Result semantics
+    // are therefore EXACTLY contamination_8gram's — same oracle SQL, the
+    // knn_ivf_blocked reuse discipline — while the join's probe side
+    // shrinks from every corpus gram to ~the true overlap.
+    "contamination_bloom" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      def grams(df: DataFrame, idAs: String) = df
+        .select(col("doc_id").as(idAs),
+          transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
+        .select(col(idAs),
+          explode(array_distinct(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN))).as("gram"))
+      val evalGrams = grams(d.where(col("doc_id") < EvalCap), "eval_id")
+      val bf = evalGrams
+        .agg(org.apache.spark.sql.graftx.SketchExpressions.bloomFilterAgg(col("gram"), 100000L, 1000000L).as("bf"))
+        .first().getAs[Array[Byte]](0)
+      val corpusGrams = grams(d.where(col("doc_id") >= EvalCap), "doc_id")
+        .where(org.apache.spark.sql.graftx.SketchExpressions.mightContain(bf, col("gram")))
+      corpusGrams.join(broadcast(evalGrams), Seq("gram"))
+        .groupBy("doc_id", "eval_id")
+        .agg(count(lit(1)).as("n_shared"))
+    }),
     // Per-doc contamination FRACTION — the operational form of the
     // boolean 8-gram overlap: for every corpus doc, what share of its
     // distinct 8-grams appears anywhere in the eval set. The eval gram
@@ -466,6 +493,30 @@ object TextQueries extends QueryProvider {
         .groupBy("token").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("token"))
         .limit(100)
+    }),
+    // Heavy hitters via the DataSketches frequent-items sketch
+    // (approx_top_k, Spark 4): the streaming/mergeable answer to "top
+    // tokens" that needs no exact (token) shuffle at scale. Contract
+    // oracle (the sketch state isn't SQL-reproducible): every exact
+    // top-10 token's sketch estimate lands within 1% — emitted as the
+    // literal all-ok frame over the exact top-10, which IS
+    // SQL-reproducible.
+    "heavy_hitters_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+      val tokens = d.select(explode(toks(lower(col("text")))).as("token"))
+      val est = tokens.agg(expr("approx_top_k(token, 20)").as("tk")).first()
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getAs[Number](1).longValue()))
+        .toDF("token", "est")
+      val exact = tokens.groupBy("token").agg(count(lit(1)).as("freq"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("freq").desc, col("token"))))
+        .where(col("rk") <= 10)
+      exact.join(broadcast(est), Seq("token"), "left")
+        .select(col("token"), col("freq"),
+          when(abs(coalesce(col("est"), lit(0L)) - col("freq")).cast("double") <=
+            lit(0.01) * col("freq"), 1).otherwise(0).as("est_ok"))
     }),
     // Bigram top-k: sliding-window n-grams via zip_with over two
     // shifted slices (no UDF, stays in codegen); same wordcount
@@ -707,7 +758,13 @@ object TextQueries extends QueryProvider {
        |                  AS BIGINT)) AS thresh
        |       FROM ms, mt)""".stripMargin
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] =
+    // bloom prefilter + exact confirm ≡ the exact join (no false
+    // negatives; positives re-verified) — same oracle, blocked-variant
+    // style
+    Map("contamination_bloom" -> oraclesBase("contamination_8gram")) ++ oraclesBase
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "mixture_plan" ->
       s"""WITH $sqlMixPlan
          |SELECT source, w, src_tokens, thresh FROM mplan""".stripMargin,
@@ -877,6 +934,14 @@ object TextQueries extends QueryProvider {
         |       ((top_cnt * 2 <= n_tokens) AND ((rnk - 1) * 4 >= n_lang - 1)
         |         AND (doc_id = keeper)) AS kept
         |FROM r""".stripMargin,
+    "heavy_hitters_sketch" ->
+      """WITH tc AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |                  FROM documents)
+        |            GROUP BY token),
+        |r AS (SELECT token, freq,
+        |             row_number() OVER (ORDER BY freq DESC, token) AS rk FROM tc)
+        |SELECT token, freq, 1 AS est_ok FROM r WHERE rk <= 10""".stripMargin,
     "vocab_topk" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
