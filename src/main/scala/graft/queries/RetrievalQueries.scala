@@ -76,10 +76,12 @@ object RetrievalQueries extends QueryProvider {
         aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
           lit(0.0), (a, x) => a + x.getField("contrib")).as("score"),
         count(lit(1)).cast("int").as("n_terms"))
+      // TakeOrdered top-N first (no all-rows single-partition sort), then
+      // rank the N survivors — identical result, bounded exchange
       scored
+        .orderBy(col("score").desc, col("doc_id")).limit(TopDocs)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))))
-        .where(col("rank") <= TopDocs)
         .select(col("doc_id"), round(col("score"), 4).as("bm25"),
           col("n_terms"), col("rank"))
     }),
@@ -166,9 +168,9 @@ object RetrievalQueries extends QueryProvider {
       perDoc.groupBy("doc_id").agg(
           aggregate(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
             lit(0.0), (a, x) => a + x.getField("contrib")).as("weight"))
+        .orderBy(col("weight").desc, col("doc_id")).limit(DsirTop)
         .withColumn("rank", row_number().over(
           Window.orderBy(col("weight").desc, col("doc_id"))))
-        .where(col("rank") <= DsirTop)
         .select(col("doc_id"), round(col("weight"), 4).as("dsir_weight"), col("rank"))
     })
   )

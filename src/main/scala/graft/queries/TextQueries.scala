@@ -510,9 +510,7 @@ object TextQueries extends QueryProvider {
         .map(r => (r.getString(0), r.getAs[Number](1).longValue()))
         .toDF("token", "est")
       val exact = tokens.groupBy("token").agg(count(lit(1)).as("freq"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("freq").desc, col("token"))))
-        .where(col("rk") <= 10)
+        .orderBy(col("freq").desc, col("token")).limit(10)
       exact.join(broadcast(est), Seq("token"), "left")
         .select(col("token"), col("freq"),
           when(abs(coalesce(col("est"), lit(0L)) - col("freq")).cast("double") <=

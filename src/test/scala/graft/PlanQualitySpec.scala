@@ -269,13 +269,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unpartitioned window moves the corpus to one partition:\n$plan")
   }
 
-  test("bm25_topk joins through broadcasts; the corpus never shuffles whole rows") {
+  test("bm25_topk joins through broadcasts; top-N is TakeOrdered, not a global sort") {
     val plan = planOf(
       graft.queries.RetrievalQueries.queries("bm25_topk")(spark, TestSession.Sf0001))
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected the df/stats frames to broadcast in:\n$plan")
     assert(!plan.contains("CartesianProduct"),
       s"bm25 must not cross-join the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered top-N before the rank window:\n$plan")
   }
 
   test("semdedup pair compare is gated by a cluster_id equi-join (never all-pairs)") {
