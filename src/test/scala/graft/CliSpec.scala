@@ -58,6 +58,21 @@ class CliSpec extends AnyFunSuite {
       Map("type" -> "lsh", "vectors" -> "200", "dim" -> "8", "queries" -> "10", "planes" -> "4"))
   }
 
+  test("build sq8 -> search lifecycle") {
+    val vecs = Files.createTempDirectory("cli_vecs5").toString
+    val idx = Files.createTempDirectory("cli_idx5").toString
+    Cli.run(spark, "generate",
+      Map("n" -> "300", "dim" -> "8", "seed" -> "11", "output" -> vecs))
+    Cli.run(spark, "build",
+      Map("type" -> "sq8", "input" -> vecs, "output" -> idx))
+    val meta = graft.io.IndexIO.readMeta(idx)
+    assert(meta("index_type") == "sq8" && meta("dim") == "8")
+    Cli.run(spark, "search",
+      Map("index" -> idx, "query" -> vecs, "k" -> "3", "limit" -> "3"))
+    Cli.run(spark, "bench",
+      Map("type" -> "sq8", "vectors" -> "200", "dim" -> "8", "queries" -> "10"))
+  }
+
   test("build flat + bench smoke") {
     val vecs = Files.createTempDirectory("cli_vecs2").toString
     val idx = Files.createTempDirectory("cli_idx2").toString
