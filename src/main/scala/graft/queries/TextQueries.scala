@@ -494,6 +494,28 @@ object TextQueries extends QueryProvider {
         .orderBy(col("freq").desc, col("token"))
         .limit(100)
     }),
+    // Overlapping fixed-stride chunking — the long-document prep stage
+    // feeding sequence packing (chunk → filter → pack): 32-token windows
+    // every 28 tokens (4-token overlap), final partial window kept. Pure
+    // projection + explode, rows ∝ tokens/stride — embarrassingly
+    // parallel at any scale.
+    "doc_chunks" -> ((s, dir) => {
+      val ChunkLen = 32
+      val Stride = 28
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      d.select(col("doc_id"),
+          explode(transform(
+            sequence(lit(0), floor((size(col("tk")) - 1) / Stride).cast("int")),
+            i => struct(
+              i.as("chunk_idx"),
+              (i * Stride + 1).as("start_tok"),
+              size(slice(col("tk"), i * Stride + 1, lit(ChunkLen))).as("n_tok"),
+              array_join(slice(col("tk"), i * Stride + 1, lit(ChunkLen)), " ")
+                .as("chunk_text")))).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+          col("c.n_tok"), col("c.chunk_text"))
+    }),
     // Heavy hitters via the DataSketches frequent-items sketch
     // (approx_top_k, Spark 4): the streaming/mergeable answer to "top
     // tokens" that needs no exact (token) shuffle at scale. Contract
@@ -932,6 +954,13 @@ object TextQueries extends QueryProvider {
         |       ((top_cnt * 2 <= n_tokens) AND ((rnk - 1) * 4 >= n_lang - 1)
         |         AND (doc_id = keeper)) AS kept
         |FROM r""".stripMargin,
+    "doc_chunks" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |       CAST(i * 28 + 1 AS INT) AS start_tok,
+        |       CAST(len(list_slice(tk, i * 28 + 1, i * 28 + 32)) AS INT) AS n_tok,
+        |       array_to_string(list_slice(tk, i * 28 + 1, i * 28 + 32), ' ') AS chunk_text
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |     LATERAL (SELECT unnest(range(0, (len(tk) - 1) // 28 + 1)) AS i) t""".stripMargin,
     "heavy_hitters_sketch" ->
       """WITH tc AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
         |            FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
