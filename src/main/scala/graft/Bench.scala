@@ -567,9 +567,13 @@ object Bench {
     flatRes.unpersist(); trainSet.unpersist()
     queries.unpersist(); vectors.unpersist()
     results("jvm_gc_total_ms") = gcTotalMs.toDouble
+    // set BEFORE qs renders, so the BENCH_OUT/stderr full map carries the
+    // same row the curated stdout line does
+    results("headline_sec") = headline.flatMap(results.get).sum
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + (if (v.isNaN || v.isInfinite) "0" else f"$v%.4f")
+    }.mkString("{", ",", "}")
     // retry rows are diagnostic re-measurements of a section already
     // counted by its primary row — summing both would inflate exactly
     // the runs the retry exists to de-noise
@@ -587,7 +591,6 @@ object Bench {
     // compact-formatted to fit the capture window whole; the complete map
     // still goes to stderr and SPARK_GRAFT_BENCH_OUT (committed as
     // BENCH_OUT.json, which the "full" key points at).
-    results("headline_sec") = headline.flatMap(results.get).sum
     val keep: Vector[String] = Vector(
       "calib_mflops", "headline_sec", "brp_join_sec",
       "flat_search_sec", "flat_qps", "flat_recall",
@@ -604,11 +607,16 @@ object Bench {
       "searcher_open_search_sec", "jvm_gc_total_ms",
       // round-7 operator rows — parsed driver evidence, not just BENCH_OUT
       "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",
-      "knn_sq8", "knn_ivfsq8_det") ++
+      "knn_sq8", "knn_ivfsq8_det", "contamination_bloom",
+      "heavy_hitters_sketch", "distinct_tokens_sketch") ++
       // keep the evidence rows for any serving outlier that retried, so a
       // contended driver run stays adjudicable from the artifact alone
       results.keys.filter(_.contains("_retry")).toVector.sorted
     def compact(v: Double): String = {
+      // non-finite values (0/0 recall on a degenerate run, 1/0 qps) would
+      // render as bare NaN/Infinity and invalidate the JSON line — the
+      // exact failure mode this curated line exists to prevent
+      if (v.isNaN || v.isInfinite) return "0"
       val s = f"$v%.4f".reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       if (s.isEmpty || s == "-") "0" else s
     }

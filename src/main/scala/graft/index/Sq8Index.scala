@@ -107,9 +107,12 @@ object Sq8Index {
         val recon = new Array[Double](dim)
         while (it.hasNext) {
           val (id, code) = it.next()
-          val n = math.min(dim, code.length)
+          // fail fast: a short row would leave the previous row's tail in
+          // the reused recon buffer — silently wrong distances
+          require(code.length == dim,
+            s"code row for id=$id has ${code.length} dims, model has $dim")
           var d = 0
-          while (d < n) {
+          while (d < dim) {
             recon(d) = mins(d) + (code(d).toInt + 128).toDouble * scales(d)
             d += 1
           }

@@ -93,11 +93,12 @@ object RetrievalQueries extends QueryProvider {
     // outer join); the two reciprocal terms add in a FIXED order
     // (lex + vec), so the fused doubles are bit-identical across engines.
     "hybrid_rrf" -> ((s, dir) => {
-      val bgOf = {
-        val tk = toks(col("text"))
-        array_distinct(transform(sequence(lit(1), size(tk) - 1),
-          j => concat(element_at(tk, j), lit(" "), element_at(tk, j + 1))))
-      }
+      // TextFunctions.bigrams guards the 1-token case (slice length 0 →
+      // empty list) that a hand-rolled sequence(1, size-1) ramp would
+      // crash on under ANSI; element order matches the oracle's range(1,
+      // len) transform, so array_distinct keeps the same distinct order
+      val bgOf = array_distinct(
+        graft.functions.TextFunctions.bigrams(toks(col("text"))))
       val g = Tables.load(s, dir, "documents")
         .select(col("doc_id"), bgOf.as("bg"))
       val qd = g.where(col("doc_id") < FuseQueries)

@@ -181,6 +181,23 @@ object TextQueries extends QueryProvider {
   private def sqlHits(words: Seq[String]): String =
     s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Rolling-ContamN-gram rows (idAs, gram) over a documents slice; token
+    * hashes materialize once per doc, not once per window (see
+    * TextFunctions.ngramWindow). ONE definition for the three
+    * decontamination queries — the gram semantics cannot de-synchronize. */
+  private def contamGrams(d: DataFrame, idAs: String): DataFrame = d
+    .select(col("doc_id").as(idAs),
+      transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
+    .select(col(idAs),
+      explode(array_distinct(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN))).as("gram"))
+
+  /** Exact (doc_id, eval_id) overlap counts — the shared confirm join of
+    * the 8gram and bloom-prefiltered variants. */
+  private def contamJoin(corpusGrams: DataFrame, evalGrams: DataFrame): DataFrame =
+    corpusGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting + quality scoring (length / distinct ratio)
     "text_stats" -> ((s, dir) => {
@@ -256,18 +273,9 @@ object TextQueries extends QueryProvider {
     // n-gram-overlap decontamination pass at 100 TB.
     "contamination_8gram" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      // token hashes materialized as their own projection so each token
-      // hashes once, not once per window (see TextFunctions.ngramWindow)
-      def grams(df: DataFrame, idAs: String) = df
-        .select(col("doc_id").as(idAs),
-          transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
-        .select(col(idAs),
-          explode(array_distinct(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN))).as("gram"))
-      val evalGrams = grams(d.where(col("doc_id") < EvalCap), "eval_id")
-      val corpusGrams = grams(d.where(col("doc_id") >= EvalCap), "doc_id")
-      corpusGrams.join(broadcast(evalGrams), Seq("gram"))
-        .groupBy("doc_id", "eval_id")
-        .agg(count(lit(1)).as("n_shared"))
+      contamJoin(
+        contamGrams(d.where(col("doc_id") >= EvalCap), "doc_id"),
+        contamGrams(d.where(col("doc_id") < EvalCap), "eval_id"))
     }),
     // Bloom-prefiltered decontamination — the shape that replaces the
     // broadcast gram SET at 100 TB: the eval grams aggregate into one
@@ -281,20 +289,14 @@ object TextQueries extends QueryProvider {
     // shrinks from every corpus gram to ~the true overlap.
     "contamination_bloom" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      def grams(df: DataFrame, idAs: String) = df
-        .select(col("doc_id").as(idAs),
-          transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
-        .select(col(idAs),
-          explode(array_distinct(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN))).as("gram"))
-      val evalGrams = grams(d.where(col("doc_id") < EvalCap), "eval_id")
+      val evalGrams = contamGrams(d.where(col("doc_id") < EvalCap), "eval_id")
       val bf = evalGrams
         .agg(org.apache.spark.sql.graftx.SketchExpressions.bloomFilterAgg(col("gram"), 100000L, 1000000L).as("bf"))
         .first().getAs[Array[Byte]](0)
-      val corpusGrams = grams(d.where(col("doc_id") >= EvalCap), "doc_id")
-        .where(org.apache.spark.sql.graftx.SketchExpressions.mightContain(bf, col("gram")))
-      corpusGrams.join(broadcast(evalGrams), Seq("gram"))
-        .groupBy("doc_id", "eval_id")
-        .agg(count(lit(1)).as("n_shared"))
+      contamJoin(
+        contamGrams(d.where(col("doc_id") >= EvalCap), "doc_id")
+          .where(org.apache.spark.sql.graftx.SketchExpressions.mightContain(bf, col("gram"))),
+        evalGrams)
     }),
     // Per-doc contamination FRACTION — the operational form of the
     // boolean 8-gram overlap: for every corpus doc, what share of its
@@ -304,14 +306,9 @@ object TextQueries extends QueryProvider {
     // Docs shorter than 8 tokens have no grams and report 0.0.
     "contamination_doc_frac" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      def grams(df: DataFrame, idAs: String) = df
-        .select(col("doc_id").as(idAs),
-          transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
-        .select(col(idAs),
-          explode(array_distinct(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN))).as("gram"))
-      val evalSet = grams(d.where(col("doc_id") < EvalCap), "eval_id")
+      val evalSet = contamGrams(d.where(col("doc_id") < EvalCap), "eval_id")
         .select("gram").distinct()
-      val corpusGrams = grams(d.where(col("doc_id") >= EvalCap), "doc_id")
+      val corpusGrams = contamGrams(d.where(col("doc_id") >= EvalCap), "doc_id")
       val totals = corpusGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
       val contaminated = corpusGrams.join(broadcast(evalSet), Seq("gram"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
@@ -655,9 +652,12 @@ object TextQueries extends QueryProvider {
       val d = Tables.load(s, dir, "documents")
       val t = d.select(col("source"),
         explode(array_distinct(toks(lower(col("text"))))).as("token"))
+      // rsd 0.01 under a 5% gate = a 5-sigma contract; the default 0.05
+      // would make the bound ONE sigma — expected to flap ~1/3 of the
+      // time once cardinality leaves HLL++'s exact sparse regime
       t.groupBy("source").agg(
           countDistinct(col("token")).as("exact"),
-          approx_count_distinct(col("token")).as("approx"))
+          approx_count_distinct(col("token"), 0.01).as("approx"))
         .select(col("source"),
           when(abs(col("approx") - col("exact")).cast("double") <=
             lit(0.05) * col("exact"), 1).otherwise(0).as("within_5pct"))

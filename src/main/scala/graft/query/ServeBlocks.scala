@@ -25,6 +25,12 @@ private[query] final case class ServeBlock(
 private[query] final case class CodeBlock(
     ids: Array[Long], tags: Array[Long], codes: Array[Int], m: Int)
 
+/** Byte-packed sibling of [[CodeBlock]] for SQ8: row r's dim codes sit at
+  * offset r·dim in one flat byte array — 1 B/element, 8× under the
+  * double-packed [[ServeBlock]] a flat server would hold. */
+private[query] final case class ByteBlock(
+    ids: Array[Long], codes: Array[Byte], dim: Int)
+
 private[query] object ServeBlocks {
 
   /** Serving partition count: enough for parallel scan, few enough that
@@ -91,6 +97,32 @@ private[query] object ServeBlocks {
         }
         if (m < 0) Iterator.empty
         else Iterator.single(CodeBlock(ids.result(), tags.result(), codes.result(), m))
+      }
+      .cache()
+  }
+
+  /** Pack (id, code: array<tinyint>) rows into one [[ByteBlock]] per
+    * partition — same contract as [[pack]]/[[packCodes]]. */
+  def packBytes(df: DataFrame): RDD[ByteBlock] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("code"))
+      .as[(Long, Seq[Byte])]
+      .rdd
+      .coalesce(ServePartitions, shuffle = false)
+      .mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuilder.make[Long]
+        val codes = scala.collection.mutable.ArrayBuilder.make[Byte]
+        var dim = -1
+        while (it.hasNext) {
+          val (id, c) = it.next()
+          ids += id
+          if (dim < 0) dim = c.length
+          var i = 0
+          while (i < dim) { codes += c(i); i += 1 }
+        }
+        if (dim < 0) Iterator.empty
+        else Iterator.single(ByteBlock(ids.result(), codes.result(), dim))
       }
       .cache()
   }

@@ -2,17 +2,17 @@ package graft.query
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
 
 import graft.core.Metric
 import graft.index.{BoundedTopK, Sq8Model}
 
 /** Online single-query serving over an SQ8 codes table — the seventh
   * serving kind, same engineering as [[PqServer]]: codes packed once into
-  * cached primitive [[CodeBlock]]s (~n·dim ints), ONE single-stage RDD
-  * job per query, driver merge. The scan dequantizes inline
-  * (`min_d + code_d·scale_d` — two fused ops per element, no per-row
-  * allocation), so serving-resident state stays 4× under the flat kind's.
+  * cached primitive [[ByteBlock]]s (1 B/element — 8× less resident state
+  * than the double-packed blocks a flat server would hold), ONE
+  * single-stage RDD job per query, driver merge. The scan dequantizes
+  * inline (`min_d + code_d·scale_d` — two fused ops per element, no
+  * per-row allocation).
   *
   * Result order/tie-break matches [[graft.index.Sq8Index.knnBlocked]]
   * exactly: ascending (rank_key, id), identical dequantize arithmetic.
@@ -23,8 +23,7 @@ final class Sq8Server(codes: DataFrame, model: Sq8Model) extends ServingRdd {
   require(model.metric == Metric.L2,
     s"Sq8Server serves the l2 kind; got ${model.metric.name}")
 
-  private val rdd: RDD[CodeBlock] = ServeBlocks.packCodes(
-    codes.select(col("id"), col("code").cast("array<int>").as("code")), None)
+  private val rdd: RDD[ByteBlock] = ServeBlocks.packBytes(codes)
 
   /** Materialize the serving blocks (call once before timing queries). */
   def warm(): this.type = { rdd.count(); this }
@@ -38,7 +37,7 @@ final class Sq8Server(codes: DataFrame, model: Sq8Model) extends ServingRdd {
       val merge = new BoundedTopK(k)
       while (it.hasNext) {
         val blk = it.next()
-        val dim = blk.m
+        val dim = blk.dim
         val n = blk.ids.length
         var r = 0
         while (r < n) {
@@ -46,7 +45,7 @@ final class Sq8Server(codes: DataFrame, model: Sq8Model) extends ServingRdd {
           var d = 0.0
           var i = 0
           while (i < dim) {
-            val t = q(i) - (mins(i) + (blk.codes(off + i) + 128).toDouble * scales(i))
+            val t = q(i) - (mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i))
             d += t * t
             i += 1
           }
