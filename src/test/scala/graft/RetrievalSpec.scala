@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{DedupQueries, RetrievalQueries, TextQueries}
+
+/** Semantic properties of the round-7 retrieval/selection operators —
+  * what the oracle hash can't state: monotonicity, fusion dominance,
+  * target-likeness ordering, and prune symmetry.
+  */
+class RetrievalSpec extends AnyFunSuite {
+
+  lazy val spark = TestSession.spark
+
+  private def bm25(dir: String) =
+    RetrievalQueries.queries("bm25_topk")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("bm25_topk: every returned doc matched at least one query term, " +
+      "scores are positive and ranks follow (score desc, doc_id)") {
+    val rows = RetrievalQueries.queries("bm25_topk")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+    assert(rows.nonEmpty && rows.forall(_._3 >= 1))
+    assert(rows.forall(_._2 > 0.0), "Lucene-form idf keeps contributions positive")
+    val sorted = rows.sortBy(r => (-r._2, r._1)).map(_._4)
+    assert(sorted.sameElements(rows.sortBy(_._4).map(_._4)),
+      "rank order must equal (score desc, doc_id) order")
+  }
+
+  test("hybrid_rrf: a doc ranked by BOTH sides outscores a doc holding the " +
+      "same single-side rank alone; ranks are dense per query") {
+    val rows = RetrievalQueries.queries("hybrid_rrf")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, qr) =>
+      assert(qr.map(_._6).sorted.sameElements(1 to qr.length), "dense ranks")
+      for {
+        both <- qr.filter(r => r._4 > 0 && r._5 > 0)
+        single <- qr.filter(r => r._4 == both._4 && r._5 == -1)
+      } assert(both._3 > single._3,
+        s"two-list doc ${both._2} must outscore one-list doc ${single._2} at equal lex rank")
+    }
+  }
+
+  test("dsir_topk: selected docs skew toward the target language") {
+    import org.apache.spark.sql.functions.col
+    val sel = RetrievalQueries.queries("dsir_topk")(spark, TestSession.Sf0001)
+      .select(col("doc_id"))
+    val d = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+    val selEn = d.join(sel, "doc_id").where(col("lang") === "en").count().toDouble /
+      sel.count()
+    val baseEn = d.where(col("lang") === "en").count().toDouble / d.count()
+    assert(selEn > baseEn,
+      s"target-language share in the selected set ($selEn) must beat the corpus base rate ($baseEn)")
+  }
+
+  test("semdedup_prune: within every cluster at most the pruned docs have a " +
+      "smaller-id survivor partner; the smallest id of any cluster always survives") {
+    val rows = DedupQueries.queries("semdedup_prune")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (c, cr) =>
+      val minId = cr.map(_._1).min
+      assert(cr.find(_._1 == minId).get._3 == 1,
+        s"cluster $c: smallest id $minId can have no smaller-id partner and must be kept")
+    }
+    assert(rows.exists(_._3 == 0), "threshold chosen so pruning is live on this corpus")
+  }
+
+  test("doc_chunks: chunks tile each doc with stride overlap and rebuild its text") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val chunks = TextQueries.queries("doc_chunks")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = texts(id).split(" ", -1)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 1 && sorted.map(_._2).sameElements(sorted.indices))
+      sorted.foreach { case (_, idx, start, n, text) =>
+        assert(start == idx * 28 + 1)
+        val expect = toks.slice(start - 1, start - 1 + 32)
+        assert(n == expect.length && text == expect.mkString(" "))
+      }
+      // full coverage: the final chunk reaches the last token
+      val last = sorted.last
+      assert(last._3 - 1 + last._4 == toks.length, s"doc $id tail covered")
+    }
+  }
+}
