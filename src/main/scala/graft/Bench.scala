@@ -577,8 +577,12 @@ object Bench {
     // retry rows are diagnostic re-measurements of a section already
     // counted by its primary row — summing both would inflate exactly
     // the runs the retry exists to de-noise
+    // headline_sec is the headline sum itself and ends with "sec" — it must
+    // not pass the filter or the headline time is counted twice in `value`
     val total = results
-      .filter { case (k, _) => k.endsWith("sec") && !k.contains("_retry") }
+      .filter { case (k, _) =>
+        k.endsWith("sec") && !k.contains("_retry") && k != "headline_sec"
+      }
       .values.sum +
       headline.flatMap(results.get).sum
     val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir","bench_n":$benchN,"bench_q":$benchQ}"""
@@ -610,8 +614,11 @@ object Bench {
       "knn_sq8", "knn_ivfsq8_det", "contamination_bloom",
       "heavy_hitters_sketch", "distinct_tokens_sketch") ++
       // keep the evidence rows for any serving outlier that retried, so a
-      // contended driver run stays adjudicable from the artifact alone
-      results.keys.filter(_.contains("_retry")).toVector.sorted
+      // contended driver run stays adjudicable from the artifact alone —
+      // capped so a heavily contended run (many retries) can't push the
+      // curated line past the driver's ~2 KB tail-capture window, which
+      // would reintroduce the exact truncation this line exists to fix
+      results.keys.filter(_.contains("_retry")).toVector.sorted.take(12)
     def compact(v: Double): String = {
       // non-finite values (0/0 recall on a degenerate run, 1/0 qps) would
       // render as bare NaN/Infinity and invalidate the JSON line — the

@@ -136,34 +136,48 @@ object RetrievalQueries extends QueryProvider {
     // DSIR-style importance resampling (Xie et al. 2023 shape): score each
     // raw doc by how target-like its hashed n-gram feature profile is —
     // weight = Σ_f n_f(doc) · (ln p_target(f) − ln p_raw(f)) with add-one
-    // smoothing over B hash buckets — and keep the top-N. The feature
-    // models are two B-row aggregates (map-side partials; B=128 here, a
-    // constant) broadcast back to a per-doc fold; the corpus streams once
-    // for feature counts and once for scoring — no shuffle grows with the
-    // corpus beyond the (doc, bucket) count agg, whose width is capped by
-    // B. Contributions fold in bucket order (the term-ordered-sum
+    // smoothing over B hash buckets — and keep the top-N. The corpus is
+    // tokenized and aggregated ONCE to the narrow (doc_id, lang, bucket, n)
+    // frame `nb`; the raw AND target feature models are one conditional
+    // B-row aggregation of nb (B=128), the grand totals re-aggregate that
+    // B-row frame (never the corpus), and the scoring pass re-reads nb —
+    // so AQE's stage reuse runs the scan+explode+partial-agg a single time
+    // and every model frame replays the ~|docs|·B-row shuffle output
+    // instead of re-reading the corpus (VERDICT r7 #2: the previous form
+    // built the tokenize subtree 4× — 2× wasted corpus IO at 100 TB).
+    // Contributions fold in bucket order (the term-ordered-sum
     // discipline), ranking on the raw fold with a doc_id tie-break.
     "dsir_topk" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      val fb = d.select(col("doc_id"), col("lang"),
+      // the explicit isNotNull guards are no-ops semantically (doc_id and
+      // bucket are never null) but keep the two consumers' subtrees
+      // byte-identical after Catalyst's filter inference — the condition
+      // for AQE's exchange-stage reuse to fire
+      val nb = d.where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("lang"),
           explode(toks(col("text"))).as("tok"))
         .withColumn("bucket", tokenHash(col("tok")) % DsirBuckets)
-      val raw = fb.groupBy("bucket").agg(count(lit(1)).as("cr"))
-      val tgt = fb.where(col("lang") === DsirTargetLang)
-        .groupBy("bucket").agg(count(lit(1)).as("ct"))
-      val totals = fb.agg(
-        count(lit(1)).cast("double").as("tr"),
-        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
-          .cast("double").as("tt"))
-      val lr = raw.join(tgt, Seq("bucket"), "left")
+        .where(col("bucket").isNotNull)
+        .groupBy(col("doc_id"), col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+      // raw + target counts in ONE conditional aggregation over nb —
+      // no raw⋈tgt join, no second corpus pass for the target model
+      val models = nb.groupBy("bucket").agg(
+        sum(col("n")).as("cr"),
+        sum(when(col("lang") === DsirTargetLang, col("n")).otherwise(0L)).as("ct"))
+      // grand totals re-aggregate the B-row model frame, not the corpus
+      val totals = models.agg(
+        sum(col("cr")).cast("double").as("tr"),
+        sum(col("ct")).cast("double").as("tt"))
+      val lr = models
         .crossJoin(broadcast(totals))
         .select(col("bucket"),
-          (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+          (log((col("ct").cast("double") + lit(1.0)) /
               (col("tt") + lit(DsirBuckets.toDouble))) -
             log((col("cr").cast("double") + lit(1.0)) /
               (col("tr") + lit(DsirBuckets.toDouble)))).as("w"))
-      val perDoc = fb.groupBy(col("doc_id"), col("bucket"))
-        .agg(count(lit(1)).as("n"))
+      val perDoc = nb
+        .select(col("doc_id"), col("bucket"), col("n"))
         .join(broadcast(lr), "bucket")
         .withColumn("contrib", col("n") * col("w"))
       perDoc.groupBy("doc_id").agg(

@@ -331,24 +331,41 @@ object TextQueries extends QueryProvider {
     // own doc doesn't count — the signal is cross-document boilerplate
     // that doc-level MinHash and line-level dedup both miss. Shapes for
     // 100 TB: ONE tokenize+explode pass, a (doc, gram) partial agg, a
-    // count window over gram (uniform rolling-hash keys — no skew, no
-    // salting), and a per-doc re-agg; the corpus text is never scanned
-    // twice and the corpus-sized gram table is never joined or
-    // broadcast.
+    // grouped doc-count per gram joined back by gram equi-join, and a
+    // per-doc re-agg; the corpus text is never scanned twice and the
+    // corpus-sized gram table is never broadcast. The per-gram count is
+    // a groupBy (map-side partial, AQE-skew-join-eligible join back),
+    // NOT a count-over window: a boilerplate 8-gram present in millions
+    // of docs is a hot key by definition, and WindowExec would sort that
+    // entire key's rows in one task (VERDICT r7 #3 — the same argument
+    // that salted line_dedup).
     "dup_span_stats" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
-      // single tokenize+hash+window pass: collapse to one row per
-      // (doc, gram) carrying its window count, mark grams seen in >1 doc
-      // with a count-over-gram window (each (doc,gram) row is one doc's
-      // vote, so the partition count IS the distinct-doc count), then
-      // re-aggregate per doc — no second corpus scan, no gram join
-      val perDocGram = d.select(col("doc_id"),
+      // single tokenize+hash pass: collapse to one row per (doc, gram)
+      // carrying its window count, mark grams seen in >1 doc by joining
+      // the per-gram doc-count back (each (doc,gram) row is one doc's
+      // vote, so the grouped row count IS the distinct-doc count), then
+      // re-aggregate per doc — no second corpus scan; both join sides
+      // re-aggregate the SAME (doc,gram) subtree, so ReuseExchange runs
+      // the tokenize+explode once
+      // the explicit isNotNull guards are semantic no-ops (doc_id and gram
+      // are never null) but keep both join sides' subtrees byte-identical
+      // after Catalyst filter inference, so AQE's stage reuse runs the
+      // tokenize+explode+partial-agg once for both
+      val perDocGram = d.where(col("doc_id").isNotNull)
+        .select(col("doc_id"),
           transform(toks(col("text")), t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN)).as("gram"))
+        .where(col("gram").isNotNull)
         .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
-      val nd = count(lit(1)).over(Window.partitionBy("gram"))
-      val stats = perDocGram.withColumn("nd", nd)
+      // nd counts via c (always ≥ 1, so this IS the row count): phrasing
+      // the doc-count as a consumer of c stops Catalyst pruning the count
+      // out of the shared (doc,gram) aggregate, which would fork the
+      // subtree and cost a second corpus scan
+      val gramDocs = perDocGram.groupBy("gram")
+        .agg(sum(when(col("c") > 0, 1L).otherwise(0L)).as("nd"))
+      val stats = perDocGram.join(gramDocs, Seq("gram"))
         .groupBy("doc_id").agg(
           sum(col("c")).as("n_grams"),
           sum(when(col("nd") > 1, col("c")).otherwise(lit(0L))).as("n_dup"))

@@ -118,6 +118,11 @@ private[query] object ServeBlocks {
           val (id, c) = it.next()
           ids += id
           if (dim < 0) dim = c.length
+          // fail fast on ragged codes (matches Sq8Index.knnBlocked): a longer
+          // row would be silently truncated, a shorter one would throw deep
+          // inside the packed-offset arithmetic with a useless stack trace
+          require(c.length == dim,
+            s"packBytes: ragged code for id=$id: length ${c.length} != $dim")
           var i = 0
           while (i < dim) { codes += c(i); i += 1 }
         }
