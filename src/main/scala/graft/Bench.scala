@@ -437,6 +437,36 @@ object Bench {
     }
     sq8Codes.unpersist()
 
+    // SQ8 at production embedding width (round 8): dim 768 exercises the
+    // posexplode trainer (the wide-agg form would be 1.5k aggregate
+    // expressions in one codegen unit — VERDICT r7 #4) plus encode + the
+    // blocked kernel at 6× the index-bench dim. Smaller n keeps the
+    // section's FLOP budget in the other sections' class.
+    {
+      val hdN = math.max(1000L, benchN / 5)
+      val hdQ = 100
+      val hdDim = 768
+      val hd = graft.core.VectorGen.random(spark, hdN, hdDim, seed = 17L).cache()
+      hd.count()
+      val hdQueries = graft.core.VectorGen.random(spark, hdQ, hdDim, seed = 18L)
+        .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
+      hdQueries.count()
+      val (hdModel, hdBuild) = time(Sq8Index.train(hd, Metric.L2))
+      val (hdCodes, hdEncode) = time {
+        val c = Sq8Index.encode(hd, hdModel).cache(); c.count(); c
+      }
+      val (hdRes, hdSec) = searchBest2(() =>
+        Sq8Index.knnBlocked(hdCodes, hdModel, hdQueries, K))
+      val (hdFlat, _) = searchBest2(() => FlatIndex.knn(hd, hdQueries, K, Metric.L2))
+      results("sq8_d768_build_sec") = hdBuild + hdEncode
+      results("sq8_d768_search_sec") = hdSec
+      results("sq8_d768_qps") = hdQ / hdSec
+      results("sq8_d768_recall") = recallVs(hdFlat, hdRes)
+      hdRes.unpersist(); hdFlat.unpersist()
+      hdCodes.unpersist(); hdQueries.unpersist(); hd.unpersist()
+      logSection(results, "sq8_d768")
+    }
+
     // IVFPQ
     val (ivfpqModel, ivfpqBuild) = time(
       IvfPqIndex.train(trainSet, nlist, m = 8, nbits = 8, Metric.L2))
@@ -602,6 +632,7 @@ object Bench {
       "ivf_np50_qps", "ivf_np50_recall",
       "pq_build_sec", "pq_search_sec", "pq_qps", "pq_recall",
       "sq8_build_sec", "sq8_search_sec", "sq8_qps", "sq8_recall",
+      "sq8_d768_build_sec", "sq8_d768_qps", "sq8_d768_recall",
       "ivfpq_build_sec", "ivfpq_search_sec", "ivfpq_qps", "ivfpq_recall",
       "lsh_build_sec", "lsh_qps", "lsh_recall", "lsh_mp_qps", "lsh_mp_recall",
       "hnsw_build_sec", "hnsw_search_sec", "hnsw_qps", "hnsw_recall",

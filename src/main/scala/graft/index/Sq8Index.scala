@@ -32,17 +32,53 @@ final case class Sq8Model(mins: Seq[Double], scales: Seq[Double], metric: Metric
 
 object Sq8Index {
 
-  /** One-pass per-dimension min/max — 2·dim partial-aggregating columns,
-    * so the corpus streams once and only the model row moves. */
+  /** Above this, the wide-agg trainer would emit too many aggregate
+    * expressions for one codegen unit (the 64 KB method limit / fallback
+    * to interpreted mode) — production embedding dims (768–4096) go
+    * through the posexplode path instead. */
+  private val WideAggMaxDim = 192
+
+  /** One-pass per-dimension min/max. Two shapes, same result:
+    *
+    *   - dim ≤ [[WideAggMaxDim]]: 2·dim partial-aggregating columns in a
+    *     single `agg` — zero shuffle rows beyond the one model row, and
+    *     comfortably inside whole-stage codegen at index-bench dims.
+    *   - larger dims: `posexplode` to (dim_idx, x) → `groupBy(dim_idx)`
+    *     min/max — map-side partials reduce each partition to dim rows, so
+    *     the shuffle is partitions·dim tiny rows regardless of dim, and the
+    *     aggregate never grows past two functions (VERDICT r7: the wide
+    *     form at dim 4096 is 8k aggregate expressions in one codegen unit).
+    *
+    * Both stream the corpus exactly once and are fully deterministic
+    * (min/max, no sampling), keeping the production trainer
+    * oracle-reproducible. */
   def train(vectors: DataFrame, metric: Metric = Metric.L2): Sq8Model = {
     val dim = vectors.select(size(col("vec"))).first().getInt(0)
     require(dim > 0, "cannot train SQ8 on an empty vector table")
-    val aggs = (1 to dim).flatMap { i =>
-      Seq(min(element_at(col("vec"), i)), max(element_at(col("vec"), i)))
-    }
-    val row = vectors.agg(aggs.head, aggs.tail: _*).first()
-    val mins = Array.tabulate(dim)(i => row.getDouble(2 * i))
-    val scales = Array.tabulate(dim)(i => (row.getDouble(2 * i + 1) - mins(i)) / 255.0)
+    val (mins, scales) =
+      if (dim <= WideAggMaxDim) {
+        val aggs = (1 to dim).flatMap { i =>
+          Seq(min(element_at(col("vec"), i)), max(element_at(col("vec"), i)))
+        }
+        val row = vectors.agg(aggs.head, aggs.tail: _*).first()
+        val mn = Array.tabulate(dim)(i => row.getDouble(2 * i))
+        (mn, Array.tabulate(dim)(i => (row.getDouble(2 * i + 1) - mn(i)) / 255.0))
+      } else {
+        val rows = vectors
+          .select(posexplode(col("vec")).as(Seq("d", "x")))
+          .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+          .collect()
+        require(rows.length == dim,
+          s"ragged vector table: ${rows.length} distinct dims, first row had $dim")
+        val mn = new Array[Double](dim)
+        val sc = new Array[Double](dim)
+        rows.foreach { r =>
+          val d = r.getInt(0)
+          mn(d) = r.getDouble(1)
+          sc(d) = (r.getDouble(2) - mn(d)) / 255.0
+        }
+        (mn, sc)
+      }
     Sq8Model(mins.toVector, scales.toVector, metric)
   }
 
