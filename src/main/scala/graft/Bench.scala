@@ -434,6 +434,16 @@ object Bench {
       timeSingles(results, "serve_sq8", singles, 1000.0 * sq8Sec / benchQ,
         floor = Some(() => server.floorProbe()))(q => server.search(q, K))
       server.unpersist()
+      // IVF×SQ8 composite serving (round 8, VERDICT r7 #7): the probe
+      // mask bounds the per-query resident scan to ~nprobe/nlist of the
+      // byte-packed rows — serve_sq8 is the exhaustive-scan upper bound,
+      // serve (IVF) the same-probe full-precision sibling
+      val ivfSq8Codes = sq8Codes
+        .join(IvfIndex.assign(vectors, ivfModel).select(col("id"), col("cluster_id")), "id")
+      val composite = new graft.query.IvfSq8Server(ivfSq8Codes, sq8Model, ivfModel).warm()
+      timeSingles(results, "serve_ivfsq8", singles, 1000.0 * sq8Sec / benchQ,
+        floor = Some(() => composite.floorProbe()))(q => composite.search(q, K, 10))
+      composite.unpersist()
     }
     sq8Codes.unpersist()
 
@@ -594,6 +604,83 @@ object Bench {
       logSection(results, s"hnsw_s$s")
     }
 
+    // Routed sharded HNSW (round 8, VERDICT r7 #1): shards placed by
+    // k-means region, each query fanning out only to its top-R regions —
+    // per-query graph walks drop from O(shards) to O(R), the property
+    // that survives a 100× corpus. The R sweep measures the recall dial
+    // against the id-hash s-sweep above (same ef, same graph kernel):
+    // QPS should sit ABOVE the all-shard fan-out at comparable recall.
+    {
+      val routedRegions = 32
+      val (routedModel, trainSec) = time(RoutedHnswIndex.train(
+        vectors, routedRegions, Metric.L2,
+        targetShardRows = math.max(1000L, benchN / routedRegions)))
+      val (rg, rgBuild) = time {
+        val g = RoutedHnswIndex.build(vectors, routedModel).cache(); g.count(); g
+      }
+      results("hnsw_routed_train_sec") = trainSec
+      results("hnsw_routed_build_sec") = rgBuild
+      val rSweep = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUTED_SWEEP", "8,16,24")
+      rSweep.split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).foreach { r =>
+        val (res, sec) = searchBest2(() =>
+          RoutedHnswIndex.knn(rg, routedModel, queries, K, probeRegions = r,
+            efSearch = 50))
+        results(s"hnsw_routed_r${r}_search_sec") = sec
+        results(s"hnsw_routed_r${r}_qps") = benchQ / sec
+        results(s"hnsw_routed_r${r}_recall") = recallVs(flatRes, res)
+        res.unpersist()
+        logSection(results, s"hnsw_routed_r$r")
+      }
+      rg.unpersist()
+
+      // Clustered-data comparison. The uniform vectors above are the
+      // worst case for ANY region router: with no cluster structure a
+      // query's true neighbors spread over all regions, so routed recall
+      // ≈ probe fraction (exactly the ivf_recall rows' curve). Real
+      // embedding corpora are clustered — the regime routing exists for —
+      // so measure routed vs all-shard fan-out on deterministic clustered
+      // data too: same graphs, same ef, same k. The claim under test:
+      // at recall parity with the all-shard baseline, routed QPS is a
+      // multiple, because per-query graph walks are O(R) not O(shards).
+      {
+        val ck = 64
+        val all = graft.core.VectorGen.clustered(
+          spark, benchN + benchQ, dim, ck, spread = 0.3, seed = 23L)
+        val cvec = all.where(col("id") < benchN).cache(); cvec.count()
+        val cq = all.where(col("id") >= benchN)
+          .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
+        cq.count()
+        val (cFlat, _) = searchBest2(() =>
+          FlatIndex.knnBlocked(cvec, cq, K, Metric.L2))
+        val (hg, hgBuild) = time {
+          val g = HnswIndex.build(cvec, routedRegions, Metric.L2).cache(); g.count(); g
+        }
+        results("hnsw_clustered_build_sec") = hgBuild
+        val (hres, hsec) = searchBest2(() =>
+          HnswIndex.knnBlocked(hg, cq, K, Metric.L2, efSearch = 50,
+            numShards = routedRegions))
+        results("hnsw_clustered_qps") = benchQ / hsec
+        results("hnsw_clustered_recall") = recallVs(cFlat, hres)
+        hres.unpersist(); hg.unpersist()
+        val (cModel, cTrain) = time(RoutedHnswIndex.train(
+          cvec, routedRegions, Metric.L2,
+          targetShardRows = math.max(1000L, benchN / routedRegions)))
+        val (cg, cgBuild) = time {
+          val g = RoutedHnswIndex.build(cvec, cModel).cache(); g.count(); g
+        }
+        results("hnsw_routed_c_build_sec") = cTrain + cgBuild
+        Seq(2, 4).foreach { r =>
+          val (res, sec) = searchBest2(() =>
+            RoutedHnswIndex.knn(cg, cModel, cq, K, probeRegions = r, efSearch = 50))
+          results(s"hnsw_routed_c_r${r}_qps") = benchQ / sec
+          results(s"hnsw_routed_c_r${r}_recall") = recallVs(cFlat, res)
+          res.unpersist()
+        }
+        cg.unpersist(); cFlat.unpersist(); cq.unpersist(); cvec.unpersist()
+        logSection(results, "hnsw_routed_clustered")
+      }
+    }
+
     flatRes.unpersist(); trainSet.unpersist()
     queries.unpersist(); vectors.unpersist()
     results("jvm_gc_total_ms") = gcTotalMs.toDouble
@@ -637,8 +724,15 @@ object Bench {
       "lsh_build_sec", "lsh_qps", "lsh_recall", "lsh_mp_qps", "lsh_mp_recall",
       "hnsw_build_sec", "hnsw_search_sec", "hnsw_qps", "hnsw_recall",
       "hnsw_s8_qps", "hnsw_s8_recall", "hnsw_s16_qps", "hnsw_s16_recall",
-      "serve_p50_ms", "serve_pq_p50_ms", "serve_sq8_p50_ms", "serve_ivfpq_p50_ms",
-      "serve_lsh_p50_ms", "serve_hnsw_p50_ms",
+      "hnsw_routed_build_sec",
+      "hnsw_routed_r8_qps", "hnsw_routed_r8_recall",
+      "hnsw_routed_r16_qps", "hnsw_routed_r16_recall",
+      "hnsw_routed_r24_qps", "hnsw_routed_r24_recall",
+      "hnsw_clustered_qps", "hnsw_clustered_recall",
+      "hnsw_routed_c_r2_qps", "hnsw_routed_c_r2_recall",
+      "hnsw_routed_c_r4_qps", "hnsw_routed_c_r4_recall",
+      "serve_p50_ms", "serve_pq_p50_ms", "serve_sq8_p50_ms", "serve_ivfsq8_p50_ms",
+      "serve_ivfpq_p50_ms", "serve_lsh_p50_ms", "serve_hnsw_p50_ms",
       "searcher_open_search_sec", "jvm_gc_total_ms",
       // round-7 operator rows — parsed driver evidence, not just BENCH_OUT
       "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",

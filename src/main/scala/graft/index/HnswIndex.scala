@@ -91,10 +91,20 @@ object HnswIndex {
   def build(vectors: DataFrame, numShards: Int, metric: Metric,
       m: Int = M, efConstruction: Int = EfConstruction): DataFrame = {
     require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-    val spark = vectors.sparkSession
+    buildFromShardCol(
+      vectors.select(shardCol(numShards), col("id").cast("long"), col("vec")),
+      numShards, metric, m, efConstruction)
+  }
+
+  /** Shared per-shard graph builder over a (shard, id, vec) frame — the
+    * shard column is the caller's routing policy (id-hash here, k-means
+    * region + balance split in [[RoutedHnswIndex]]); everything after the
+    * shard assignment is identical. */
+  private[index] def buildFromShardCol(assigned: DataFrame, numShards: Int,
+      metric: Metric, m: Int, efConstruction: Int): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
-    vectors
-      .select(shardCol(numShards), col("id").cast("long"), col("vec"))
+    assigned
       .repartitionByRange(numShards, col("shard"))
       .as[(Int, Long, Seq[Double])]
       .mapPartitions { it =>

@@ -1,0 +1,172 @@
+package graft.index
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+
+/** Routed sharded HNSW — the IVF probe discipline composed with
+  * per-shard graphs (the faiss IVF×HNSW / SPANN shape).
+  *
+  * [[HnswIndex]]'s id-hash shards admit no pruning: every query walks
+  * EVERY shard's graph, so per-query cost grows linearly with the corpus
+  * (O(shards) — fine at 32 shards, a scale-killer at the ~10⁴ shards a
+  * 100 TB corpus needs; VERDICT r7 #1, vs the reference's single-graph
+  * walk at pkg/index/hnsw/hnsw.go:142-187). Here shards are PLACED by
+  * k-means region ([[Centroids.kMeans]] — the same trainer and
+  * [[Centroids.nearest]] assignment the IVF family uses), so a query
+  * needs only the R regions nearest its own position: cost drops from
+  * O(corpus/shard_size) graph walks to O(R · log shard_size), constant
+  * in corpus size at fixed R, and recall is governed by the same
+  * R-vs-recall dial as IVF's nprobe.
+  *
+  * Balance: k-means regions are naturally uneven, and one giant region
+  * would rebuild the build-skew AND serve-skew problems inside a single
+  * task. Each region is therefore SPLIT into `ceil(size /
+  * targetShardRows)` id-hash sub-shards at train time; routing probes
+  * every sub-shard of a probed region (they partition the region's rows,
+  * so region recall is unchanged). Max task size is bounded by
+  * `targetShardRows` regardless of the cluster-size distribution, and
+  * the probe set stays O(R · region_size / targetShardRows).
+  *
+  * Everything below the routing layer — deterministic levels, graph
+  * build/load, heaps, tie-breaks — is [[HnswIndex]]/[[LocalHnsw]]
+  * verbatim: routed results are bit-deterministic for a fixed model.
+  */
+final case class RoutedHnswModel(
+    centroids: Seq[Seq[Double]],
+    subShards: Seq[Int],
+    metric: Metric) {
+  require(centroids.nonEmpty && centroids.size == subShards.size,
+    s"centroids (${centroids.size}) and subShards (${subShards.size}) must align")
+  require(subShards.forall(_ >= 1), "every region needs >= 1 sub-shard")
+
+  def nlist: Int = centroids.size
+
+  /** First shard id of each region (exclusive prefix sums). */
+  lazy val offsets: Array[Int] = subShards.scanLeft(0)(_ + _).init.toArray
+
+  /** Total physical shards across all regions. */
+  def numShards: Int = offsets.last + subShards.last
+
+  /** All physical shard ids of one region. */
+  def shardsOfRegion(c: Int): Range = offsets(c) until (offsets(c) + subShards(c))
+}
+
+object RoutedHnswIndex {
+
+  /** Default rows per physical shard. Sized so one shard's graph (vec +
+    * adjacency) stays comfortably inside one executor core's memory at
+    * production dims; the bench overrides it down to get a multi-shard
+    * layout at test scale. */
+  val DefaultTargetShardRows = 250000L
+
+  /** Train the routing model: k-means regions over the corpus (the
+    * production [[Centroids.kMeans]] — capped sample, strided init,
+    * deterministic), then one count aggregation over the assignment to
+    * size each region's balance split. Two corpus passes total (sample
+    * scan + count scan), both map-side-partial aggregations. */
+  def train(vectors: DataFrame, nlist: Int, metric: Metric,
+      targetShardRows: Long = DefaultTargetShardRows): RoutedHnswModel = {
+    require(nlist >= 1, s"nlist must be >= 1, got $nlist")
+    require(targetShardRows >= 1, s"targetShardRows must be >= 1")
+    val cents = Centroids.kMeans(vectors, nlist, metric = metric)
+    val sizes = vectors
+      .select(Centroids.nearest(col("vec"), cents, metric).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sub = Array.tabulate(cents.size) { c =>
+      val n = sizes.getOrElse(c, 0L)
+      math.max(1L, (n + targetShardRows - 1) / targetShardRows).toInt
+    }
+    RoutedHnswModel(cents, sub.toVector, metric)
+  }
+
+  /** Physical shard of a row: region = nearest centroid, sub-shard =
+    * id-hash within the region's split — all codegen'd Column arithmetic
+    * (no UDF), so a 100 TB assign is a pure projection. */
+  private[index] def shardExpr(model: RoutedHnswModel): Column = {
+    val c = Centroids.nearest(col("vec"), model.centroids, model.metric)
+    val offLit = array(model.offsets.map(lit).toIndexedSeq: _*)
+    val subLit = array(model.subShards.map(lit).toIndexedSeq: _*)
+    (element_at(offLit, c + 1) +
+      pmod(xxhash64(col("id").cast("long")), element_at(subLit, c + 1).cast("long"))
+        .cast("int")).as("shard")
+  }
+
+  /** Build the routed graph table — same (shard, id, vec, level, edges)
+    * schema as [[HnswIndex.build]] (save/load and maintenance reuse), with
+    * the shard column carrying the k-means route instead of an id hash. */
+  def build(vectors: DataFrame, model: RoutedHnswModel,
+      m: Int = HnswIndex.M, efConstruction: Int = HnswIndex.EfConstruction): DataFrame =
+    HnswIndex.buildFromShardCol(
+      vectors.select(shardExpr(model), col("id").cast("long"), col("vec")),
+      model.numShards, model.metric, m, efConstruction)
+
+  /** Per-query physical probe set: top-`probeRegions` regions by centroid
+    * rank key (IVF's probe ordering), expanded to each region's
+    * sub-shards. */
+  private[graft] def probeShards(q: Array[Double], model: RoutedHnswModel,
+      probeRegions: Int): Array[Int] = {
+    val cents = model.centroids.map(_.toArray).toArray
+    val r = math.min(math.max(probeRegions, 1), model.nlist)
+    IvfIndex.probeSet(q, cents, model.metric, r).flatMap(model.shardsOfRegion)
+  }
+
+  /** Routed batch kNN: each query is searched ONLY in the graphs of its
+    * top-R regions. The query batch broadcasts with a shard→queries
+    * inverted index; a partition loads a shard's graph once and walks it
+    * for exactly the queries that probed it; shards no query probed are
+    * pruned from the scan before the shuffle (`isin` on the shard column
+    * — a partition filter on a disk-backed graph). ≤ k·probed-shards
+    * rows per query reach the final merge. k ≤ 0 clamps to the
+    * engine-wide brute-force path (flat.go:82-84 semantics). */
+  def knn(graph: DataFrame, model: RoutedHnswModel, queries: DataFrame, k: Int,
+      probeRegions: Int, efSearch: Int = HnswIndex.EfSearch): DataFrame = {
+    val metric = model.metric
+    if (k <= 0)
+      return FlatIndex.knn(graph.select(col("id"), col("vec")), queries, k, metric)
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
+    val qids = qRows.map(_.getLong(0))
+    val qvecs = qRows.map(_.getSeq[Double](1).toArray)
+    val probes = qvecs.map(probeShards(_, model, probeRegions))
+    val inv = IvfIndex.invertedProbes(probes, model.numShards)
+    val touched = probes.flatten.distinct.sorted
+    if (touched.isEmpty)
+      return FlatIndex.topK(
+        spark.emptyDataset[(Long, Long, Double)]
+          .toDF("query_id", "neighbor_id", "rank_key"), k, metric)
+    val bc = spark.sparkContext.broadcast((qids, qvecs, inv))
+    val ef = math.max(efSearch, k)
+    val pruned = graph.where(col("shard").isin(touched.map(Int.box): _*))
+    val partials = HnswIndex.shardGrouped(pruned, touched.length)
+      .mapPartitions { it =>
+        val (ids, qs, inverted) = bc.value
+        val heaps = Array.fill(qs.length)(new BoundedTopK(k))
+        val byShard = new mutable.HashMap[
+          Int, mutable.ArrayBuffer[(Long, Seq[Double], Int, Seq[Seq[Long]])]]
+        it.foreach { case (s, id, v, l, e) =>
+          byShard.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((id, v, l, e))
+        }
+        byShard.iterator.foreach { case (shard, rows) =>
+          val qlist = inverted(shard)
+          if (qlist.nonEmpty) {
+            val g = LocalHnsw.fromTuples(rows, metric)
+            var t = 0
+            while (t < qlist.length) {
+              val qi = qlist(t)
+              g.knn(qs(qi), k, ef).foreach { case (id, d) => heaps(qi).insert(id, d) }
+              t += 1
+            }
+          }
+        }
+        BoundedTopK.drain(heaps, ids)
+      }
+      .toDF("query_id", "neighbor_id", "rank_key")
+    FlatIndex.topK(partials, k, metric)
+  }
+}

@@ -227,6 +227,53 @@ object DedupQueries extends QueryProvider {
         .select(col("id"), col("cluster_id"),
           when(col("hit").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
     }),
+    // SemDeDup on the PRODUCTION k-means fit (VERDICT r7 #5): the
+    // deterministic-centroid row above hash-verifies the pipeline; this
+    // row grades the real trainer lifecycle (Centroids.kMeans → assign →
+    // gated pairs → prune) the knn_ivf_kmeans_invariants way, since the
+    // fit itself isn't SQL-expressible. Checked invariants, one row out:
+    //  - n_docs: every doc gets exactly one verdict (no drops, no dups);
+    //  - n_bad_cluster_ids: fitted assignment stays inside [0, nlist);
+    //  - n_keep_violations: the keep column rechecked against an
+    //    INDEPENDENT formulation — per-doc max cosine similarity to any
+    //    smaller-id same-cluster doc (aggregation), vs the distinct-join
+    //    the pipeline uses; keep must equal (max_sim < τ);
+    //  - pair_count_mismatch: the gated-pair count equals Σ c·(c−1)/2
+    //    over fitted cluster sizes — the "pairs ∝ Σ cluster_size², never
+    //    corpus²" scale contract, recomputed from sizes alone.
+    "semdedup_kmeans_invariants" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir).select(col("id"), col("vec"))
+      val model = graft.index.IvfIndex.train(v, SemNlist, graft.core.Metric.L2)
+      val a = graft.index.IvfIndex.assign(v, model)
+        .select(col("id"), col("vec"), col("cluster_id"))
+      val dropped = a.alias("x").join(a.alias("y"),
+          col("x.cluster_id") === col("y.cluster_id") && col("x.id") > col("y.id"))
+        .where(similarity(cosineDistance(col("x.vec"), col("y.vec"))) >= SemThreshold)
+        .select(col("x.id").as("id")).distinct()
+      val verdicts = a.select(col("id"), col("cluster_id"))
+        .join(dropped.withColumn("hit", lit(1)), Seq("id"), "left")
+        .select(col("id"), col("cluster_id"),
+          when(col("hit").isNotNull, lit(0)).otherwise(lit(1)).as("keep"))
+      val msim = a.alias("x").join(a.alias("y"),
+          col("x.cluster_id") === col("y.cluster_id") && col("x.id") > col("y.id"))
+        .groupBy(col("x.id").as("id"))
+        .agg(max(similarity(cosineDistance(col("x.vec"), col("y.vec")))).as("max_sim"),
+          count(lit(1)).as("n_pairs"))
+      val checks = verdicts.join(msim, Seq("id"), "left").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id") < 0 || col("cluster_id") >= SemNlist, 1L)
+          .otherwise(0L)).as("n_bad_cluster_ids"),
+        sum(when((col("keep") === 0) =!=
+            (coalesce(col("max_sim"), lit(-2.0)) >= SemThreshold), 1L)
+          .otherwise(0L)).as("n_keep_violations"),
+        sum(coalesce(col("n_pairs"), lit(0L))).as("actual_pairs"))
+      val expected = a.groupBy("cluster_id").agg(count(lit(1)).as("c"))
+        .agg(sum((col("c") * (col("c") - 1) / 2).cast("long")).as("expected_pairs"))
+      checks.crossJoin(broadcast(expected))
+        .select(col("n_docs"), col("n_bad_cluster_ids"), col("n_keep_violations"),
+          when(col("actual_pairs") =!= col("expected_pairs"), 1L).otherwise(0L)
+            .as("pair_count_mismatch"))
+    }),
     // Embedding-cosine near-duplicate pairs, candidate-bounded by sign-LSH
     // buckets: only pairs landing in the same bucket reach the exact cosine
     // verify, so the self-join is an equi-join on bucket — the shape that
@@ -409,6 +456,15 @@ object DedupQueries extends QueryProvider {
          |SELECT a.id, a.cluster_id,
          |       CASE WHEN p.id IS NULL THEN 1 ELSE 0 END AS keep
          |FROM assign a LEFT JOIN p ON p.id = a.id""".stripMargin,
+    // literal all-invariants-hold row — any k-means-path breakage
+    // (bad assignment range, wrong keep verdicts, pair-count blowup)
+    // hash-mismatches
+    "semdedup_kmeans_invariants" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(0 AS BIGINT) AS n_bad_cluster_ids,
+         |       CAST(0 AS BIGINT) AS n_keep_violations,
+         |       CAST(0 AS BIGINT) AS pair_count_mismatch
+         |FROM embeddings""".stripMargin,
     "near_dup_embedding" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev,
          |  ${graft.index.LshIndex.sqlBucket("CAST(embedding AS DOUBLE[])", NdePlanes)} AS bucket

@@ -242,6 +242,48 @@ object IndexQueries extends QueryProvider {
           sum(when(abs(col("distance") - col("true_dist")) > 1e-6, 1).otherwise(0))
             .as("n_dist_mismatch"))
     }),
+    // Routed sharded HNSW (VERDICT r7 #1): shards placed by k-means
+    // region, each query searched ONLY in its top-R regions — per-query
+    // cost O(R·log shard) instead of O(shards). The k-means route isn't
+    // SQL-expressible, so this is an invariants row (the knn_hnsw_
+    // invariants discipline) plus the routed-specific gate: per query,
+    // exactly K rows; approx distance can never beat flat at matching
+    // rank; every reported distance equals the true L2 recompute (HNSW
+    // distances are exact over visited candidates); and recall vs flat
+    // holds a floor at fixed R=4 of 8 regions (measured 5-10/10 across
+    // all three SFs; the floor is 3/10 — a routing leak, a broken
+    // centroid split, or a graph-walk regression lands far below it).
+    "knn_hnsw_routed" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = RoutedHnswIndex.train(corpus, 8, Metric.L2, targetShardRows = 256)
+      val graph = RoutedHnswIndex.build(corpus, model)
+      val approx = RoutedHnswIndex.knn(graph, model, queries, K,
+        probeRegions = 4, efSearch = 256)
+        .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      val flat = FlatIndex.knn(corpus, queries, K, Metric.L2)
+        .select(col("query_id").as("fq"), col("rank").as("frank"),
+          col("neighbor_id").as("fnid"), col("distance").as("flat_distance"))
+      val hits = approx.select(col("query_id"), col("neighbor_id"))
+        .join(flat.select(col("fq").as("query_id"), col("fnid").as("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      approx
+        .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+          Seq("neighbor_id"))
+        .join(queries, Seq("query_id"))
+        .withColumn("true_dist", graft.functions.VectorFunctions.l2(col("qvec"), col("nvec")))
+        .join(flat, col("query_id") === col("fq") && col("rank") === col("frank"))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("distance") < col("flat_distance") - 1e-9, 1).otherwise(0))
+            .as("n_rank_violations"),
+          sum(when(abs(col("distance") - col("true_dist")) > 1e-6, 1).otherwise(0))
+            .as("n_dist_mismatch"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("low_recall",
+          when(coalesce(col("n_hits"), lit(0L)) < 3, 1L).otherwise(0L))
+        .drop("n_hits")
+    }),
     // Sharded HNSW (hnsw.go re-expressed; reference default index).
     // Deterministic (hash levels, id tie-breaks) but graph traversal
     // isn't SQL-expressible → rows-only driver check; exhaustive-
@@ -513,6 +555,12 @@ object IndexQueries extends QueryProvider {
       s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
          |       CAST(0 AS BIGINT) AS n_rank_violations,
          |       CAST(0 AS BIGINT) AS n_dist_mismatch
+         |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
+    ("knn_hnsw_routed" ->
+      s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_rank_violations,
+         |       CAST(0 AS BIGINT) AS n_dist_mismatch,
+         |       CAST(0 AS BIGINT) AS low_recall
          |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
     ("knn_ivf_blocked" -> oraclesBase("knn_ivf_det")) +
     ("knn_ivfpq_blocked" -> oraclesBase("knn_ivfpq_det")) +

@@ -27,9 +27,11 @@ private[query] final case class CodeBlock(
 
 /** Byte-packed sibling of [[CodeBlock]] for SQ8: row r's dim codes sit at
   * offset r·dim in one flat byte array — 1 B/element, 8× under the
-  * double-packed [[ServeBlock]] a flat server would hold. */
+  * double-packed [[ServeBlock]] a flat server would hold. `tags` carries
+  * the IVF cluster id for the IVF×SQ8 composite kind, all-zero for plain
+  * SQ8. */
 private[query] final case class ByteBlock(
-    ids: Array[Long], codes: Array[Byte], dim: Int)
+    ids: Array[Long], tags: Array[Long], codes: Array[Byte], dim: Int)
 
 private[query] object ServeBlocks {
 
@@ -101,22 +103,28 @@ private[query] object ServeBlocks {
       .cache()
   }
 
-  /** Pack (id, code: array<tinyint>) rows into one [[ByteBlock]] per
-    * partition — same contract as [[pack]]/[[packCodes]]. */
-  def packBytes(df: DataFrame): RDD[ByteBlock] = {
+  /** Pack (id, code: array<tinyint>[, tagCol]) rows into one [[ByteBlock]]
+    * per partition — same contract as [[pack]]/[[packCodes]]. */
+  def packBytes(df: DataFrame, tagCol: Option[String] = None): RDD[ByteBlock] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id").cast("long"), col("code"))
-      .as[(Long, Seq[Byte])]
+    val tagged = tagCol match {
+      case Some(t) => df.select(col("id").cast("long"), col("code"), col(t).cast("long"))
+      case None => df.select(col("id").cast("long"), col("code"),
+        org.apache.spark.sql.functions.lit(0L))
+    }
+    tagged.as[(Long, Seq[Byte], Long)]
       .rdd
       .coalesce(ServePartitions, shuffle = false)
       .mapPartitions { it =>
         val ids = scala.collection.mutable.ArrayBuilder.make[Long]
+        val tags = scala.collection.mutable.ArrayBuilder.make[Long]
         val codes = scala.collection.mutable.ArrayBuilder.make[Byte]
         var dim = -1
         while (it.hasNext) {
-          val (id, c) = it.next()
+          val (id, c, tag) = it.next()
           ids += id
+          tags += tag
           if (dim < 0) dim = c.length
           // fail fast on ragged codes (matches Sq8Index.knnBlocked): a longer
           // row would be silently truncated, a shorter one would throw deep
@@ -127,7 +135,7 @@ private[query] object ServeBlocks {
           while (i < dim) { codes += c(i); i += 1 }
         }
         if (dim < 0) Iterator.empty
-        else Iterator.single(ByteBlock(ids.result(), codes.result(), dim))
+        else Iterator.single(ByteBlock(ids.result(), tags.result(), codes.result(), dim))
       }
       .cache()
   }

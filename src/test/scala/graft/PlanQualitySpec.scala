@@ -317,6 +317,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected TakeOrdered top-N before the rank window:\n$plan")
   }
 
+  test("bm25_batch: query-table form keeps the broadcast plan — no corpus " +
+      "cross-join, per-query rank pushes a WindowGroupLimit") {
+    val plan = planOf(
+      graft.queries.RetrievalQueries.queries("bm25_batch")(spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected the term/df/stats frames to broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"batched bm25 must not cross-join the corpus:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the per-query rank<=N to push a WindowGroupLimit:\n$plan")
+  }
+
   test("semdedup pair compare is gated by a cluster_id equi-join (never all-pairs)") {
     val plan = planOf(
       graft.queries.DedupQueries.queries("semdedup_prune")(spark, TestSession.Sf0001))

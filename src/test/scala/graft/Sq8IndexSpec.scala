@@ -151,6 +151,33 @@ class Sq8IndexSpec extends AnyFunSuite {
     codes.unpersist(); corpus.unpersist()
   }
 
+  test("IvfSq8Server (probe-pruned composite serving) equals the composite " +
+      "batch plan per query") {
+    val (corpus, queries) = vecs
+    val ivf = IvfIndex.trainDeterministic(corpus, 16, Metric.L2)
+    val sq = Sq8Index.train(corpus, Metric.L2)
+    val codes = Sq8Index.encode(corpus, sq)
+      .join(IvfIndex.assign(corpus, ivf).select(col("id"), col("cluster_id")), "id")
+    // the knn_ivfsq8_det batch shape: assignment on exact vectors,
+    // ranking on dequantized payloads within the probed clusters
+    val recon = codes.select(col("id"), Sq8Index.decode(col("code"), sq).as("vec"),
+      col("cluster_id"))
+    val batch = IvfIndex.search(recon, ivf, queries, 10, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    val server = new graft.query.IvfSq8Server(codes, sq, ivf).warm()
+    queries.collect().foreach { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      val served = server.search(q, 10, 4)
+      val expected = batch(qid).sortBy(_._4).map(t => (t._2, t._3, t._4))
+      assert(served.map(t => (t._1, math.round(t._2 * 1e9) / 1e9, t._3)).toSeq ==
+        expected.map(t => (t._1, math.round(t._2 * 1e9) / 1e9, t._3)).toSeq,
+        s"query $qid")
+    }
+    server.unpersist()
+  }
+
   test("IndexBuilder accepts sq8 as an index type") {
     val (corpus, queries) = vecs
     val s = graft.query.IndexBuilder().withIndexType("sq8").build(corpus).withK(5)
