@@ -81,6 +81,13 @@ object AnnQueries extends QueryProvider {
         .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
           col("dist"))
         .where(col("id_a") < col("id_b"))
+      // pair-count bounds (VERDICT r7 #9): surfaced pairs must be
+      // distinct, and can never exceed the EXACT number of pairs within
+      // the radius — LSH can only drop candidates, never invent them.
+      // The exact count is a bounded self-join at verify scale.
+      val exact = vecs.alias("a").join(vecs.alias("b"), col("a.id") < col("b.id"))
+        .where(graft.functions.VectorFunctions.l2(col("a.vec"), col("b.vec")) <= 1.2)
+        .agg(count(lit(1)).as("n_exact"))
       pairs
         .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
         .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
@@ -90,7 +97,13 @@ object AnnQueries extends QueryProvider {
           sum(when(abs(col("dist") - col("true_dist")) > 1e-6, 1).otherwise(0))
             .as("n_dist_mismatch"),
           sum(when(col("true_dist") > 1.2 + 1e-9, 1).otherwise(0)).as("n_radius_violations"),
-          (count(lit(1)) > 0).cast("int").as("found_any"))
+          (count(lit(1)) > 0).cast("int").as("found_any"),
+          (count(lit(1)) - countDistinct(col("id_a"), col("id_b"))).as("n_dup_pairs"),
+          count(lit(1)).as("n_pairs"))
+        .crossJoin(broadcast(exact))
+        .select(col("n_order_violations"), col("n_dist_mismatch"),
+          col("n_radius_violations"), col("found_any"), col("n_dup_pairs"),
+          when(col("n_pairs") > col("n_exact"), 1L).otherwise(0L).as("overcount"))
     })
   )
 
@@ -99,7 +112,9 @@ object AnnQueries extends QueryProvider {
       """SELECT CAST(0 AS BIGINT) AS n_order_violations,
         |       CAST(0 AS BIGINT) AS n_dist_mismatch,
         |       CAST(0 AS BIGINT) AS n_radius_violations,
-        |       CAST(1 AS INT) AS found_any""".stripMargin) +
+        |       CAST(1 AS INT) AS found_any,
+        |       CAST(0 AS BIGINT) AS n_dup_pairs,
+        |       CAST(0 AS BIGINT) AS overcount""".stripMargin) +
     ("knn_lsh_blocked" -> oraclesBase("knn_lsh")) +
     ("knn_lsh_multiprobe" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev,

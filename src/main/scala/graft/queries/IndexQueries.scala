@@ -216,6 +216,40 @@ object IndexQueries extends QueryProvider {
           (count(lit(1)) - countDistinct(col("neighbor_id"))).as("n_dup_neighbors"),
           sum(when(col("known").isNull, 1).otherwise(0)).as("n_unknown_ids"))
     }),
+    // nbits=10 PQ (VERDICT r7 #8): ksub=1024 exceeds the byte range —
+    // codes are array<int> end-to-end (sparkx.IndexExpressions emits
+    // IntegerType; parquet stores ints), so nothing in the storage path
+    // caps nbits at 8; this row proves it with the production trainer
+    // (deterministic strided init; kk clamps to n below 1024 rows —
+    // codes still exceed 255 wherever n does). Structural invariants
+    // (ADC distances may undershoot flat, so no rank bound): K rows per
+    // query, non-negative monotone distances, distinct known neighbor
+    // ids, every stored code inside [0, 1024), and at least one code
+    // above the byte range (found_wide — the storage claim itself).
+    "knn_pq_nb10_invariants" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = PqIndex.train(corpus, M, nbits = 10, Metric.L2)
+      val codes = PqIndex.encode(corpus, model)
+      val codeStats = codes.select(explode(col("code")).as("c")).agg(
+        sum(when(col("c") < 0 || col("c") >= 1024, 1L).otherwise(0L))
+          .as("n_code_range_violations"),
+        (max(col("c")) > 255).cast("long").as("found_wide"))
+      val approx = PqIndex.knn(codes, model, queries, K)
+        .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      val w = Window.partitionBy("query_id").orderBy("rank")
+      approx
+        .join(corpus.select(col("id").as("neighbor_id"), lit(1).as("known")),
+          Seq("neighbor_id"), "left")
+        .withColumn("prev_dist", lag(col("distance"), 1).over(w))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("distance") < 0.0, 1).otherwise(0)).as("n_negative"),
+          sum(when(col("prev_dist") > col("distance") + 1e-12, 1).otherwise(0))
+            .as("n_nonmonotone"),
+          (count(lit(1)) - countDistinct(col("neighbor_id"))).as("n_dup_neighbors"),
+          sum(when(col("known").isNull, 1).otherwise(0)).as("n_unknown_ids"))
+        .crossJoin(broadcast(codeStats))
+    }),
     // Same invariant discipline for the approximate HNSW row (its three
     // *_exact siblings hash-verify the machinery; this bounds the
     // DEFAULT-config row the driver could previously only count): HNSW
@@ -555,6 +589,15 @@ object IndexQueries extends QueryProvider {
       s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
          |       CAST(0 AS BIGINT) AS n_rank_violations,
          |       CAST(0 AS BIGINT) AS n_dist_mismatch
+         |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
+    ("knn_pq_nb10_invariants" ->
+      s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_negative,
+         |       CAST(0 AS BIGINT) AS n_nonmonotone,
+         |       CAST(0 AS BIGINT) AS n_dup_neighbors,
+         |       CAST(0 AS BIGINT) AS n_unknown_ids,
+         |       CAST(0 AS BIGINT) AS n_code_range_violations,
+         |       CAST(1 AS BIGINT) AS found_wide
          |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
     ("knn_hnsw_routed" ->
       s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,

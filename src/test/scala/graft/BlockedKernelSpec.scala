@@ -29,6 +29,26 @@ class BlockedKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ at nbits=10 (ksub=1024): codes exceed the byte range, blocked ≡ plan") {
+    // VERDICT r7 #8: nothing in the storage path caps nbits at 8 — codes
+    // are array<int> end-to-end. n > 1024 so the clamp doesn't shrink
+    // ksub and codes above 255 must actually occur.
+    import org.apache.spark.sql.functions._
+    val corpus = graft.core.VectorGen.random(spark, 2000, 32, seed = 7L).cache()
+    val queries = graft.core.VectorGen.random(spark, 4, 32, seed = 8L)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val model = PqIndex.train(corpus, m = 4, nbits = 10, Metric.L2)
+    assert(model.ksub == 1024)
+    val codes = PqIndex.encode(corpus, model).cache()
+    val maxCode = codes.select(max(array_max(col("code")))).first().getInt(0)
+    assert(maxCode > 255 && maxCode < 1024,
+      s"expected codes beyond the byte range, max was $maxCode")
+    val win = PqIndex.knn(codes, model, queries, 10)
+    val blocked = PqIndex.knnBlocked(codes, model, queries, 10)
+    assertSame(win, blocked, "pq/nb10")
+    codes.unpersist(); corpus.unpersist()
+  }
+
   test("IVFPQ searchBlocked ≡ search, with and without the ADC-table hoist") {
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val model = IvfPqIndex.trainDeterministic(corpus, nlist = 8, m = 4, ksub = 16, Metric.L2)
