@@ -490,6 +490,18 @@ object Bench {
     results("ivfpq_qps") = benchQ / ivfpqSec
     results("ivfpq_recall") = recallVs(flatRes, ivfpqRes)
     ivfpqRes.unpersist()
+    // refine: ADC overfetch k'=10·K, exact re-rank of just those
+    // candidates on the raw vectors (broadcast-filtered single corpus
+    // scan, Refine.scala) — the recall-recovery dial for the
+    // compressed-domain kinds, timed end-to-end (overfetch + rerank)
+    val (rrRes, rrSec) = searchBest2(() =>
+      Refine.rerank(
+        IvfPqIndex.searchBlocked(ivfpqCodes, ivfpqModel, queries, 10 * K, nprobe = 10),
+        vectors, queries, K, Metric.L2))
+    results("ivfpq_rerank_search_sec") = rrSec
+    results("ivfpq_rerank_qps") = benchQ / rrSec
+    results("ivfpq_rerank_recall") = recallVs(flatRes, rrRes)
+    rrRes.unpersist()
     logSection(results, "ivfpq")
     if (serveQ > 0) {
       val server = new graft.query.IvfPqServer(ivfpqCodes, ivfpqModel).warm()
@@ -721,6 +733,7 @@ object Bench {
       "sq8_build_sec", "sq8_search_sec", "sq8_qps", "sq8_recall",
       "sq8_d768_build_sec", "sq8_d768_qps", "sq8_d768_recall",
       "ivfpq_build_sec", "ivfpq_search_sec", "ivfpq_qps", "ivfpq_recall",
+      "ivfpq_rerank_qps", "ivfpq_rerank_recall",
       "lsh_build_sec", "lsh_qps", "lsh_recall", "lsh_mp_qps", "lsh_mp_recall",
       "hnsw_build_sec", "hnsw_search_sec", "hnsw_qps", "hnsw_recall",
       "hnsw_s8_qps", "hnsw_s8_recall", "hnsw_s16_qps", "hnsw_s16_recall",

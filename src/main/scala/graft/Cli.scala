@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Metric, VectorGen}
 import graft.index._
 import graft.io.{GofaissImport, IndexIO}
-import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, LshKind, PqKind, Searcher, Sq8Kind}
+import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, LshKind, PqKind, RoutedHnswKind, Searcher, Sq8Kind}
 
 /** Command-line lifecycle surface (reference: cmd/cli/main.go:17-73 —
   * bench/build/search subcommands; generate/info/import added for the
@@ -14,10 +14,10 @@ import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, LshKind, PqKind, Sea
   * files).
   *
   *   generate -n N -dim D -seed S -output DIR        seeded vector table
-  *   build    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw -input DIR -output DIR
+  *   build    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw|hnsw_routed -input DIR -output DIR
   *            [-metric l2|cosine|dot] [-nlist NL] [-m M] [-nbits B] [-planes P]
   *   search   -index DIR -query DIR -k K [-nprobe NP] [-limit L]
-  *   bench    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw -vectors N -dim D -queries Q
+  *   bench    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors N -dim D -queries Q
   *   info     -index DIR                              meta echo
   *   import   -input gofaiss.json[.gz] -output DIR [-metric l2] [-gzip]
   *
@@ -36,11 +36,11 @@ object Cli {
     System.err.println(
       """graft-cli — Spark vector index lifecycle
         |  generate -n 10000 -dim 128 -seed 42 -output /tmp/vecs
-        |  build    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw -input /tmp/vecs -output /tmp/idx
+        |  build    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw|hnsw_routed -input /tmp/vecs -output /tmp/idx
         |           [-metric l2] [-nlist 100] [-m 16] [-nbits 8] [-planes 8]
         |           [-ef 200] [-shards 32]
         |  search   -index /tmp/idx -query /tmp/vecs -k 10 -nprobe 10 -limit 5
-        |  bench    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw -vectors 10000 -dim 128 -queries 100
+        |  bench    -type flat|ivf|pq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors 10000 -dim 128 -queries 100
         |  info     -index /tmp/idx
         |  import   -input index.json -output /tmp/idx -metric l2 [-gzip true]""".stripMargin)
     sys.exit(1)
@@ -103,6 +103,16 @@ object Cli {
             val shards = flags.getOrElse("shards", "32").toInt
             val graph = HnswIndex.build(vectors, shards, metric, m, ef)
             IndexIO.saveHnsw(spark, out, graph, metric, m, ef)
+          case "hnsw_routed" =>
+            // k-means-routed shards: -nlist regions, -nprobe at search time
+            val m = flags.getOrElse("m", HnswIndex.M.toString).toInt
+            val ef = flags.getOrElse("ef", HnswIndex.EfConstruction.toString).toInt
+            val nlist = flags.getOrElse("nlist", "16").toInt
+            val target = flags.getOrElse("shardrows",
+              RoutedHnswIndex.DefaultTargetShardRows.toString).toLong
+            val model = RoutedHnswIndex.train(vectors, nlist, metric, target)
+            IndexIO.saveRoutedHnsw(spark, out,
+              model, RoutedHnswIndex.build(vectors, model, m, ef), m, ef)
           case t => System.err.println(s"unknown index type '$t'"); usage()
         }
         println(f"built $tpe index -> $out in ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -153,6 +163,12 @@ object Cli {
           case "hnsw" =>
             val shards = flags.getOrElse("shards", "32").toInt
             HnswKind(HnswIndex.build(vectors, shards, Metric.L2).cache(), Metric.L2)
+          case "hnsw_routed" =>
+            val nlist = flags.getOrElse("nlist", "16").toInt
+            val target = flags.getOrElse("shardrows",
+              RoutedHnswIndex.DefaultTargetShardRows.toString).toLong
+            val model = RoutedHnswIndex.train(vectors, nlist, Metric.L2, target)
+            RoutedHnswKind(model, RoutedHnswIndex.build(vectors, model).cache())
           case t => System.err.println(s"unknown index type '$t'"); usage()
         }
         val buildS = (System.nanoTime() - t0) / 1e9

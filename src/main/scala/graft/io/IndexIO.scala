@@ -209,6 +209,41 @@ object IndexIO {
     (Metric(meta("metric")), graph)
   }
 
+  // ---- Routed HNSW (k-means-placed shards + probe routing — the
+  // engine's 100 TB ANN shape, graft.index.RoutedHnswIndex) ----
+  def saveRoutedHnsw(spark: SparkSession, path: String, model: RoutedHnswModel,
+      graph: DataFrame, m: Int = HnswIndex.M,
+      efConstruction: Int = HnswIndex.EfConstruction): Unit = {
+    import spark.implicits._
+    val dim = model.centroids.head.size
+    // same one-file-per-shard layout as saveHnsw: probing R regions is a
+    // partition-pruned scan of just their sub-shard files
+    graph.repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/graph")
+    // routing table: region centroid + its balance-split width
+    model.centroids.zip(model.subShards).zipWithIndex
+      .map { case ((v, s), i) => (i, v, s) }
+      .toDF("cluster_id", "vec", "sub_shards")
+      .write.mode("overwrite").parquet(s"$path/routing")
+    writeMeta(path, Map(
+      "index_type" -> "hnsw_routed", "metric" -> model.metric.name,
+      "dim" -> dim.toString, "nlist" -> model.nlist.toString,
+      "num_shards" -> model.numShards.toString,
+      "m" -> m.toString, "ef_construction" -> efConstruction.toString))
+  }
+  def loadRoutedHnsw(spark: SparkSession, path: String): (RoutedHnswModel, DataFrame) = {
+    val meta = loadChecked(path, "hnsw_routed")
+    val rows = spark.read.parquet(s"$path/routing").orderBy("cluster_id").collect()
+    val model = RoutedHnswModel(
+      rows.map(_.getSeq[Double](1).toVector).toVector,
+      rows.map(_.getInt(2)).toVector,
+      Metric(meta("metric")))
+    // partition-column inference narrows shard; kernels group on INT
+    val graph = spark.read.parquet(s"$path/graph")
+      .withColumn("shard", col("shard").cast("int"))
+    (model, graph)
+  }
+
   private def loadChecked(path: String, expectedType: String): Map[String, String] = {
     val meta = readMeta(path)
     checkCompatible(meta("version"))

@@ -26,6 +26,7 @@ object IndexQueries extends QueryProvider {
   private val M = 8
   private val Ksub = 16
   private val K = 10
+  private val Kprime = 30 // refine overfetch: ADC top-k' before exact re-rank
 
   import VectorQueries.{vecTables, sqlL2SqG}
 
@@ -95,6 +96,27 @@ object IndexQueries extends QueryProvider {
       val (corpus, queries) = vecTables(s, dir)
       val model = IvfPqIndex.trainDeterministic(corpus, Nlist, M, Ksub, Metric.L2)
       IvfPqIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Exact re-rank (refine) stage over the ADC candidates: overfetch
+    // k'=Kprime by ADC, recompute true L2 on just those candidates, keep
+    // top-K — recall recovery at the cost of nq·k' exact distances and
+    // one broadcast-filtered corpus scan (faiss IndexRefineFlat shape;
+    // beyond the reference, which stops at raw ADC, search.go:92-131)
+    "knn_pq_rerank" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = PqIndex.trainDeterministic(corpus, M, Ksub, Metric.L2)
+      val cands = PqIndex.knn(PqIndex.encode(corpus, model), model, queries, Kprime)
+      Refine.rerank(cands, corpus, queries, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    "knn_ivfpq_rerank" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = IvfPqIndex.trainDeterministic(corpus, Nlist, M, Ksub, Metric.L2)
+      val cands = IvfPqIndex.knn(corpus, model, queries, Kprime, Nprobe)
+      Refine.rerank(cands, corpus, queries, K, Metric.L2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
@@ -497,6 +519,26 @@ object IndexQueries extends QueryProvider {
        |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $K""".stripMargin
 
+  /** Refine final: ADC top-`$Kprime` candidates, then exact squared-L2
+    * against the raw corpus (`v`) / query (`q`) vectors, re-ranked and
+    * cut at `$K` — mirrors [[graft.index.Refine.rerank]]. */
+  private val adcRerankFinal =
+    s"""adc AS (SELECT query_id, neighbor_id,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(pd ORDER BY m)), (x, y) -> x + y) AS d2
+       |  FROM part GROUP BY query_id, neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+       |  FROM adc) WHERE rn <= $Kprime),
+       |ex AS (SELECT c.query_id, c.neighbor_id, ${sqlL2SqG("qv", "ev")} AS ed2
+       |       FROM cand c JOIN v ON v.id = c.neighbor_id
+       |       JOIN q ON q.query_id = c.query_id),
+       |rr AS (SELECT query_id, neighbor_id, ed2,
+       |       row_number() OVER (PARTITION BY query_id ORDER BY ed2, neighbor_id) AS rank
+       |       FROM ex)
+       |SELECT query_id, neighbor_id, round(sqrt(ed2), 4) AS distance, CAST(rank AS INT) AS rank
+       |FROM rr WHERE rank <= $K""".stripMargin
+
   /** SQ8 quantizer CTEs: per-dim min/max over the corpus, scale
     * (max−min)/255, `floor(t + 0.5)` encode (exact parity with
     * [[graft.index.Sq8Index.encode]] — see its scaladoc on round vs
@@ -686,6 +728,36 @@ object IndexQueries extends QueryProvider {
          |    (x, y) -> x + y) AS pd
          |  FROM pq2 p JOIN enc e ON e.cluster_id = p.bucket
          |  JOIN cb ON cb.m = e.m AND cb.j = e.code),
-         |$adcFinal""".stripMargin
+         |$adcFinal""".stripMargin,
+    "knn_pq_rerank" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+         |src AS (SELECT id, ev AS xv FROM v),
+         |${pqCtes("src", carryCluster = false)},
+         |part AS (SELECT q.query_id, e.id AS neighbor_id, e.m,
+         |  list_reduce(list_transform(range(1, ${64 / M + 1}),
+         |    i -> (qv[e.m*${64 / M} + i] - cbv[i]) * (qv[e.m*${64 / M} + i] - cbv[i])),
+         |    (x, y) -> x + y) AS pd
+         |  FROM q CROSS JOIN enc e JOIN cb ON cb.m = e.m AND cb.j = e.code),
+         |$adcRerankFinal""".stripMargin,
+    "knn_ivfpq_rerank" ->
+      s"""WITH $base,
+         |res AS (SELECT a.id, a.cluster_id,
+         |        list_transform(range(1, len(a.ev)+1), i -> a.ev[i] - c.cv[i]) AS xv
+         |        FROM assign a JOIN cent c ON c.bucket = a.cluster_id),
+         |src AS (SELECT id, cluster_id, xv FROM res),
+         |${pqCtes("src", carryCluster = true)},
+         |$probeCtes,
+         |pq2 AS (SELECT query_id, bucket,
+         |        list_transform(range(1, len(qv)+1), i -> qv[i] - cv[i]) AS qres
+         |        FROM probes),
+         |part AS (SELECT p.query_id, e.id AS neighbor_id, e.m,
+         |  list_reduce(list_transform(range(1, ${64 / M + 1}),
+         |    i -> (qres[e.m*${64 / M} + i] - cbv[i]) * (qres[e.m*${64 / M} + i] - cbv[i])),
+         |    (x, y) -> x + y) AS pd
+         |  FROM pq2 p JOIN enc e ON e.cluster_id = p.bucket
+         |  JOIN cb ON cb.m = e.m AND cb.j = e.code),
+         |$adcRerankFinal""".stripMargin
   )
 }

@@ -33,6 +33,12 @@ final case class LshKind(planes: Int, indexed: DataFrame, metric: Metric) extend
   * metadata) spares every search the `max(shard)` discovery job. */
 final case class HnswKind(graph: DataFrame, metric: Metric,
     numShards: Int = -1) extends IndexKind
+/** Routed sharded HNSW — shards placed by k-means region, queries probe
+  * only their top-R regions ([[graft.index.RoutedHnswIndex]]; the
+  * engine's 100 TB ANN shape). `nprobe` maps onto R (probed regions),
+  * the same recall dial as the IVF kinds. */
+final case class RoutedHnswKind(model: RoutedHnswModel,
+    graph: DataFrame) extends IndexKind
 
 /** Defaults of search.go:32-39 (K=10, Nprobe=10, EfSearch=50 — the
   * reference bench config). EfSearch drives the HNSW kind's layer-0
@@ -76,6 +82,9 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
     case HnswKind(graph, metric, numShards) =>
       HnswIndex.knnBlocked(graph, queries, opts.k, metric, opts.efSearch,
         numShards)
+    case RoutedHnswKind(model, graph) =>
+      RoutedHnswIndex.knn(graph, model, queries, opts.k,
+        probeRegions = opts.nprobe, efSearch = opts.efSearch)
   }
 
   /** Release the cached table a [[Searcher.open]] call pinned. Idempotent;
@@ -90,6 +99,7 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
       case IvfPqKind(_, codes) => codes
       case LshKind(_, indexed, _) => indexed
       case HnswKind(graph, _, _) => graph
+      case RoutedHnswKind(_, graph) => graph
     }
     df.unpersist()
   }
@@ -145,6 +155,11 @@ final class IndexBuilder private (
         val shards = opt("shards", 32)
         HnswKind(HnswIndex.build(vectors, shards, metric,
           opt("M", 16), opt("efConstruction", 200)), metric, shards)
+      case "hnsw_routed" =>
+        val model = RoutedHnswIndex.train(vectors, opt("nlist", 16), metric,
+          opt("targetShardRows", RoutedHnswIndex.DefaultTargetShardRows.toInt).toLong)
+        RoutedHnswKind(model, RoutedHnswIndex.build(vectors, model,
+          opt("M", 16), opt("efConstruction", 200)))
       case "lsh" =>
         val planes = opt("planes", 8)
         LshKind(planes, LshIndex.index(vectors, planes), metric)
@@ -197,6 +212,9 @@ object Searcher {
       case "hnsw" =>
         val (m, g) = IndexIO.loadHnsw(spark, path)
         HnswKind(g.cache(), m, meta.get("num_shards").map(_.toInt).getOrElse(-1))
+      case "hnsw_routed" =>
+        val (m, g) = IndexIO.loadRoutedHnsw(spark, path)
+        RoutedHnswKind(m, g.cache())
       case t => throw new IllegalArgumentException(s"unknown index type '$t'")
     }
     apply(kind)

@@ -121,4 +121,29 @@ class RoutedHnswSpec extends AnyFunSuite {
     val all = RoutedHnswIndex.knn(graph, model, queries, 0, probeRegions = 2)
     assert(all.count() == corpus.count() * queries.count())
   }
+
+  test("save -> open -> facade search round trip equals the direct routed knn") {
+    val (_, queries) = vecs
+    val dir = java.nio.file.Files.createTempDirectory("graft-routed").toString
+    graft.io.IndexIO.saveRoutedHnsw(spark, dir, model, graph)
+
+    val meta = graft.io.IndexIO.readMeta(dir)
+    assert(meta("index_type") == "hnsw_routed")
+    assert(meta("nlist") == model.nlist.toString)
+    assert(meta("num_shards") == model.numShards.toString)
+
+    // loaded model is value-identical (routing is fully reproducible)
+    val (loaded, _) = graft.io.IndexIO.loadRoutedHnsw(spark, dir)
+    assert(loaded.centroids == model.centroids &&
+      loaded.subShards == model.subShards && loaded.metric == model.metric)
+
+    val searcher = graft.query.Searcher.open(spark, dir)
+      .withK(K).withNprobe(2).withEfSearch(HnswIndex.EfSearch)
+    val got = searcher.search(queries)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toString).sorted
+    val want = RoutedHnswIndex.knn(graph, model, queries, K, probeRegions = 2)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+    searcher.close()
+  }
 }
