@@ -415,6 +415,49 @@ object Bench {
     }
     pqCodes.unpersist()
 
+    // OPQ — learned-rotation PQ (OpqIndex.scala) on ANISOTROPIC data,
+    // the regime it exists for: dim i scaled by 1/(1+i/4) gives decaying
+    // per-dim variance (the shape real embedding models emit), where
+    // plain PQ's fixed axis-aligned subspaces carry unequal quantization
+    // error. Both quantizers train at the same m/nbits on the same data;
+    // the delta is the rotation.
+    {
+      val decay = (x: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =>
+        x / (lit(1.0) + i.cast("double") / lit(4.0))
+      val av = vectors.select(col("id"), transform(col("vec"), decay).as("vec"))
+        .cache(); av.count()
+      val aq = queries.select(col("query_id"),
+        transform(col("qvec"), decay).as("qvec")).cache(); aq.count()
+      val (aFlat, _) = searchBest2(() => FlatIndex.knnBlocked(av, aq, K, Metric.L2))
+      val aTrain = av.limit(trainCap).cache(); aTrain.count()
+      val (pqA, _) = time(PqIndex.train(aTrain, m = 16, nbits = 8, Metric.L2))
+      val (pqARes, _) = searchBest2(() =>
+        PqIndex.knnBlocked(PqIndex.encode(av, pqA), pqA, aq, K))
+      results("pq_aniso_recall") = recallVs(aFlat, pqARes)
+      val (opqModel, opqBuild) = time(
+        OpqIndex.train(aTrain, m = 16, nbits = 8, Metric.L2))
+      val (opqCodes, opqEncode) = time {
+        val c = OpqIndex.encode(av, opqModel).cache(); c.count(); c
+      }
+      val (opqRes, opqSec) = searchBest2(() =>
+        OpqIndex.knnBlocked(opqCodes, opqModel, aq, K))
+      results("opq_build_sec") = opqBuild + opqEncode
+      results("opq_search_sec") = opqSec
+      results("opq_qps") = benchQ / opqSec
+      results("opq_recall") = recallVs(aFlat, opqRes)
+      opqRes.unpersist(); pqARes.unpersist()
+      if (serveQ > 0) {
+        val aSingles = aq.limit(serveQ).collect().map(_.getSeq[Double](1).toArray)
+        val server = new graft.query.OpqServer(opqCodes, opqModel).warm()
+        timeSingles(results, "serve_opq", aSingles, 1000.0 * opqSec / benchQ,
+          floor = Some(() => server.floorProbe()))(q => server.search(q, K))
+        server.unpersist()
+      }
+      opqCodes.unpersist()
+      aFlat.unpersist(); aTrain.unpersist(); av.unpersist(); aq.unpersist()
+      logSection(results, "opq")
+    }
+
     // SQ8 — per-dim affine byte quantizer (round 7): one-pass min/max
     // train, 4× smaller serving state than flat at near-flat recall
     val (sq8Model, sq8Build) = time(Sq8Index.train(vectors, Metric.L2))
@@ -730,6 +773,7 @@ object Bench {
       "ivf_build_sec", "ivf_search_sec", "ivf_qps", "ivf_recall",
       "ivf_np50_qps", "ivf_np50_recall",
       "pq_build_sec", "pq_search_sec", "pq_qps", "pq_recall",
+      "pq_aniso_recall", "opq_build_sec", "opq_qps", "opq_recall",
       "sq8_build_sec", "sq8_search_sec", "sq8_qps", "sq8_recall",
       "sq8_d768_build_sec", "sq8_d768_qps", "sq8_d768_recall",
       "ivfpq_build_sec", "ivfpq_search_sec", "ivfpq_qps", "ivfpq_recall",

@@ -100,7 +100,7 @@ object HnswIndex {
     * shard column is the caller's routing policy (id-hash here, k-means
     * region + balance split in [[RoutedHnswIndex]]); everything after the
     * shard assignment is identical. */
-  private[index] def buildFromShardCol(assigned: DataFrame, numShards: Int,
+  private[graft] def buildFromShardCol(assigned: DataFrame, numShards: Int,
       metric: Metric, m: Int, efConstruction: Int): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._

@@ -22,7 +22,7 @@ final case class PqModel(codebooks: Seq[Seq[Seq[Double]]], metric: Metric) {
   def dsub: Int = codebooks.head.head.size
   def dim: Int = m * dsub
   /** Primitive copy for blocked kernels (computed once per use site). */
-  private[index] def codebookArrays: Array[Array[Array[Double]]] =
+  private[graft] def codebookArrays: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
 }
 

@@ -87,7 +87,7 @@ object RoutedHnswIndex {
   /** Physical shard of a row: region = nearest centroid, sub-shard =
     * id-hash within the region's split — all codegen'd Column arithmetic
     * (no UDF), so a 100 TB assign is a pure projection. */
-  private[index] def shardExpr(model: RoutedHnswModel): Column = {
+  private[graft] def shardExpr(model: RoutedHnswModel): Column = {
     val c = Centroids.nearest(col("vec"), model.centroids, model.metric)
     val offLit = array(model.offsets.map(lit).toIndexedSeq: _*)
     val subLit = array(model.subShards.map(lit).toIndexedSeq: _*)

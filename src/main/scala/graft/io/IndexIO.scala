@@ -142,6 +142,27 @@ object IndexIO {
     (IvfPqModel(coarse, pq), spark.read.parquet(s"$path/codes"))
   }
 
+  // ---- OPQ (orthogonal rotation + PQ, graft.index.OpqIndex) ----
+  def saveOpq(spark: SparkSession, path: String, model: OpqModel, codes: DataFrame): Unit = {
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    codebooksDf(spark, model.pq.codebooks).write.mode("overwrite").parquet(s"$path/codebooks")
+    model.rotation.zipWithIndex.map { case (row, j) => (j, row) }
+      .toDF("j", "row").write.mode("overwrite").parquet(s"$path/rotation")
+    writeMeta(path, Map(
+      "index_type" -> "opq", "metric" -> model.pq.metric.name,
+      "dim" -> model.dim.toString,
+      "m" -> model.pq.m.toString, "ksub" -> model.pq.ksub.toString))
+  }
+  def loadOpq(spark: SparkSession, path: String): (OpqModel, DataFrame) = {
+    val meta = loadChecked(path, "opq")
+    val cbs = collectCodebooks(spark.read.parquet(s"$path/codebooks"))
+    val rot = spark.read.parquet(s"$path/rotation").orderBy("j").collect()
+      .map(_.getSeq[Double](1).toVector).toVector
+    (OpqModel(rot, PqModel(cbs, Metric(meta("metric")))),
+      spark.read.parquet(s"$path/codes"))
+  }
+
   // ---- SQ8 (per-dimension affine byte quantizer) ----
   def saveSq8(spark: SparkSession, path: String, model: Sq8Model, codes: DataFrame): Unit = {
     import spark.implicits._

@@ -272,6 +272,40 @@ object IndexQueries extends QueryProvider {
           sum(when(col("known").isNull, 1).otherwise(0)).as("n_unknown_ids"))
         .crossJoin(broadcast(codeStats))
     }),
+    // OPQ (rotation-optimized PQ, OpqIndex.scala — beyond-reference):
+    // the SVD-learned rotation is not SQL-expressible, so the gate is
+    // the literal-oracle invariants discipline. n_isometry_violations is
+    // the strong row: for every returned (query, neighbor) pair the
+    // rotated-space exact L2 must equal the raw-space exact L2 (that IS
+    // the orthogonality claim, checked on real data through the same
+    // rotateCol the index uses); the rest are the structural ADC checks.
+    "knn_opq_invariants" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = OpqIndex.train(corpus, M, nbits = 4, Metric.L2)
+      val approx = OpqIndex.knn(OpqIndex.encode(corpus, model), model, queries, K)
+        .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      val w = Window.partitionBy("query_id").orderBy("rank")
+      approx
+        .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+          Seq("neighbor_id"), "left")
+        .join(queries, Seq("query_id"))
+        .withColumn("raw_d",
+          graft.functions.VectorFunctions.l2(col("qvec"), col("nvec")))
+        .withColumn("rot_d",
+          graft.functions.VectorFunctions.l2(
+            OpqIndex.rotateCol(col("qvec"), model),
+            OpqIndex.rotateCol(col("nvec"), model)))
+        .withColumn("prev_dist", lag(col("distance"), 1).over(w))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("distance") < 0.0, 1).otherwise(0)).as("n_negative"),
+          sum(when(col("prev_dist") > col("distance") + 1e-12, 1).otherwise(0))
+            .as("n_nonmonotone"),
+          (count(lit(1)) - countDistinct(col("neighbor_id"))).as("n_dup_neighbors"),
+          sum(when(col("nvec").isNull, 1).otherwise(0)).as("n_unknown_ids"),
+          sum(when(abs(col("raw_d") - col("rot_d")) > 1e-9, 1).otherwise(0))
+            .as("n_isometry_violations"))
+    }),
     // Same invariant discipline for the approximate HNSW row (its three
     // *_exact siblings hash-verify the machinery; this bounds the
     // DEFAULT-config row the driver could previously only count): HNSW
@@ -640,6 +674,14 @@ object IndexQueries extends QueryProvider {
          |       CAST(0 AS BIGINT) AS n_unknown_ids,
          |       CAST(0 AS BIGINT) AS n_code_range_violations,
          |       CAST(1 AS BIGINT) AS found_wide
+         |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
+    ("knn_opq_invariants" ->
+      s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_negative,
+         |       CAST(0 AS BIGINT) AS n_nonmonotone,
+         |       CAST(0 AS BIGINT) AS n_dup_neighbors,
+         |       CAST(0 AS BIGINT) AS n_unknown_ids,
+         |       CAST(0 AS BIGINT) AS n_isometry_violations
          |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
     ("knn_hnsw_routed" ->
       s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,

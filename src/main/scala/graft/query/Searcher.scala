@@ -21,6 +21,10 @@ final case class PqKind(model: PqModel, codes: DataFrame) extends IndexKind
   * the kind between flat and PQ the reference roadmap never reached. */
 final case class Sq8Kind(model: Sq8Model, codes: DataFrame) extends IndexKind
 final case class IvfPqKind(model: IvfPqModel, codes: DataFrame) extends IndexKind
+/** OPQ — orthogonal rotation + PQ ([[graft.index.OpqIndex]]; beyond the
+  * reference, which has no rotation stage). Search rotates the query
+  * batch and runs the PQ ADC kernel unchanged. */
+final case class OpqKind(model: OpqModel, codes: DataFrame) extends IndexKind
 /** Sign-LSH — the engine's high-throughput ANN kind (SURVEY.md §7 M5;
   * the reference's *default* index is HNSW (search.go:220-228); a gofaiss
   * user's `build`/`open` lands here. `indexed` is the (id, vec, bucket)
@@ -76,6 +80,8 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
       Sq8Index.knnBlocked(codes, model, queries, opts.k)
     case IvfPqKind(model, codes) =>
       IvfPqIndex.searchBlocked(codes, model, queries, opts.k, opts.nprobe)
+    case OpqKind(model, codes) =>
+      OpqIndex.knnBlocked(codes, model, queries, opts.k)
     case LshKind(planes, indexed, metric) =>
       LshIndex.knnBlocked(indexed, queries, opts.k, planes, metric,
         hamming = if (opts.efSearch >= 1) 1 else 0)
@@ -97,6 +103,7 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
       case PqKind(_, codes) => codes
       case Sq8Kind(_, codes) => codes
       case IvfPqKind(_, codes) => codes
+      case OpqKind(_, codes) => codes
       case LshKind(_, indexed, _) => indexed
       case HnswKind(graph, _, _) => graph
       case RoutedHnswKind(_, graph) => graph
@@ -166,6 +173,10 @@ final class IndexBuilder private (
       case "pq" =>
         val model = PqIndex.train(vectors, opt("M", 8), opt("nbits", 8), metric)
         PqKind(model, PqIndex.encode(vectors, model))
+      case "opq" =>
+        val model = OpqIndex.train(vectors, opt("M", 8), opt("nbits", 8), metric,
+          opqIters = opt("opqIters", 6))
+        OpqKind(model, OpqIndex.encode(vectors, model))
       case "sq8" =>
         val model = Sq8Index.train(vectors, metric)
         Sq8Kind(model, Sq8Index.encode(vectors, model))
@@ -208,6 +219,7 @@ object Searcher {
       case "pq" => val (m, c) = IndexIO.loadPq(spark, path); PqKind(m, c.cache())
       case "sq8" => val (m, c) = IndexIO.loadSq8(spark, path); Sq8Kind(m, c.cache())
       case "ivfpq" => val (m, c) = IndexIO.loadIvfPq(spark, path); IvfPqKind(m, c.cache())
+      case "opq" => val (m, c) = IndexIO.loadOpq(spark, path); OpqKind(m, c.cache())
       case "lsh" => val (p, m, i) = IndexIO.loadLsh(spark, path); LshKind(p, i.cache(), m)
       case "hnsw" =>
         val (m, g) = IndexIO.loadHnsw(spark, path)

@@ -117,6 +117,40 @@ object EventPipeline {
     graft.index.Sq8Index.encode(batch, model)
       .write.mode("append").parquet(s"$indexPath/codes")
 
+  /** Continuous OPQ maintenance: new vectors encode with the FROZEN
+    * rotation + codebooks (the add-after-train rule) — a stateless pure
+    * projection like [[appendBatchToSq8]], idempotent per batch. */
+  def appendBatchToOpq(model: graft.index.OpqModel, indexPath: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.index.OpqIndex.encode(batch, model)
+      .write.mode("append").parquet(s"$indexPath/codes")
+
+  /** Continuous routed-HNSW maintenance: the frozen routing model places
+    * each new vector in its k-means region's sub-shard
+    * ([[graft.index.RoutedHnswIndex.shardExpr]]); only the AFFECTED
+    * shards are re-read (partition-pruned) and rebuilt, then dynamically
+    * overwritten — same touched-fraction cost bound and bit-identical
+    * result as [[appendBatchToHnsw]], with routing intact for serving. */
+  def appendBatchToRoutedHnsw(model: graft.index.RoutedHnswModel, indexPath: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.index.{HnswIndex, RoutedHnswIndex}
+    val spark = batch.sparkSession
+    val withShard = batch.select(RoutedHnswIndex.shardExpr(model),
+      col("id").cast("long").as("id"), col("vec"))
+    val affected = withShard.select(col("shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val existing = spark.read.parquet(s"$indexPath/graph")
+      .withColumn("shard", col("shard").cast("int"))
+      .where(col("shard").isin(affected: _*)) // pruned scan
+      .select(col("shard"), col("id"), col("vec"))
+    HnswIndex.buildFromShardCol(
+        existing.unionByName(withShard), model.numShards, model.metric,
+        HnswIndex.M, HnswIndex.EfConstruction)
+      .repartition(col("shard"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard").parquet(s"$indexPath/graph")
+  }
+
   /** Continuous HNSW maintenance: each micro-batch routes its vectors to
     * their shards (HnswIndex.shardCol) and rebuilds ONLY those shards —
     * the affected-shard read is partition-pruned (the graph is stored

@@ -77,6 +77,60 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(snap(incremental) == snap(full))
   }
 
+  test("OPQ append (frozen rotation+codebooks) + re-open: appended vector served back") {
+    import spark.implicits._
+    val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val model = OpqIndex.train(corpus, 8, nbits = 4, Metric.L2)
+    val path = Files.createTempDirectory("graft_opq_maint").toString
+    IndexIO.saveOpq(spark, path, model, OpqIndex.encode(corpus, model))
+
+    val maxId = corpus.agg(max(col("id"))).first().getLong(0)
+    val fresh = corpus.limit(5).select((col("id") + maxId + 1).as("id"), col("vec"))
+    graft.streaming.EventPipeline.appendBatchToOpq(model, path)(fresh, 0L)
+
+    val (loaded, codes) = IndexIO.loadOpq(spark, path)
+    assert(loaded == model, "append must not alter the frozen model")
+    assert(codes.count() == corpus.count() + 5)
+    // the appended row duplicates an original vector (same vec, new id):
+    // identical codes → identical ADC distance → the original's lower id
+    // wins rank 1, so the appended id must appear in the top-2 tie pair
+    val probe = fresh.limit(1).first()
+    val qdf = Seq((probe.getLong(0), probe.getSeq[Double](1))).toDF("query_id", "qvec")
+    val top2 = OpqIndex.knnBlocked(codes, loaded, qdf, 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top2.contains(probe.getLong(0)),
+      s"appended vector not served back in the duplicate tie pair: $top2")
+  }
+
+  test("routed-HNSW append rebuilds only the routed shards, search serves the new rows") {
+    import spark.implicits._
+    val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val maxId = corpus.agg(max(col("id"))).first().getLong(0)
+    val base = corpus.where(col("id") <= maxId - 10)
+    val fresh = corpus.where(col("id") > maxId - 10)
+    val model = RoutedHnswIndex.train(base, nlist = 4, Metric.L2, targetShardRows = 64)
+    val path = Files.createTempDirectory("graft_routed_maint").toString
+    IndexIO.saveRoutedHnsw(spark, path, model, RoutedHnswIndex.build(base, model))
+
+    graft.streaming.EventPipeline.appendBatchToRoutedHnsw(model, path)(fresh, 0L)
+
+    val (loaded, graph) = IndexIO.loadRoutedHnsw(spark, path)
+    assert(loaded == model)
+    assert(graph.count() == corpus.count())
+    // incremental result is bit-identical to a full routed build (shard
+    // graphs depend only on their own rows + deterministic levels)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("id"), col("level"), col("edges"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(snap(graph) == snap(RoutedHnswIndex.build(corpus, model)))
+    // appended vectors are served back through the routed query path
+    val probe = fresh.limit(1).first()
+    val qdf = Seq((probe.getLong(0), probe.getSeq[Double](1))).toDF("query_id", "qvec")
+    val hit = RoutedHnswIndex.knn(graph, loaded, qdf, 1, probeRegions = 1).first()
+    assert(hit.getLong(1) == probe.getLong(0),
+      s"appended vector not found by routed search: $hit")
+  }
+
   test("HNSW remove drops nodes and dangling edges; search skips them") {
     import spark.implicits._
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)

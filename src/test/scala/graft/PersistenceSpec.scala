@@ -70,6 +70,23 @@ class PersistenceSpec extends AnyFunSuite {
     assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
   }
 
+  test("opq round-trip via Searcher.open: rotation, codebooks, and ranks survive") {
+    val (corpus, queries) = vecs
+    val model = OpqIndex.train(corpus, 8, nbits = 4, Metric.L2)
+    val codes = OpqIndex.encode(corpus, model)
+    val path = tmp()
+    IndexIO.saveOpq(spark, path, model, codes)
+    assert(IndexIO.readMeta(path)("index_type") == "opq")
+    val (loaded, _) = IndexIO.loadOpq(spark, path)
+    assert(loaded == model, "OPQ model not value-identical after round trip")
+    val s = Searcher.open(spark, path).withK(10)
+    val after = s.search(queries).select("query_id", "neighbor_id", "rank")
+    val before = OpqIndex.knnBlocked(codes, model, queries, 10)
+      .select("query_id", "neighbor_id", "rank")
+    assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
+    s.close()
+  }
+
   test("lsh round-trip via Searcher.open is rank-identical to knnBlocked") {
     val (corpus, queries) = vecs
     val planes = 8
