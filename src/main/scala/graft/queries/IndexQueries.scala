@@ -420,6 +420,18 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // Refine over the SQ8 candidates — the rerank stage composed with a
+    // second index family (hash-matched end-to-end like knn_pq_rerank:
+    // the SQ8 quantizer is SQL-replicated, so the candidate cut + exact
+    // re-rank is too)
+    "knn_sq8_rerank" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = Sq8Index.train(corpus, Metric.L2)
+      val cands = Sq8Index.knn(Sq8Index.encode(corpus, model), model, queries, Kprime)
+      Refine.rerank(cands, corpus, queries, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     // Same oracle through the blocked serving kernel AND the persisted
     // facade: save → Searcher.open (kind-dispatch on metadata) → search —
     // result-identity of the whole IO + facade + kernel stack is
@@ -614,6 +626,22 @@ object IndexQueries extends QueryProvider {
          |SELECT id, CAST(pos - 1 AS INT) AS m, CAST(cd AS INT) AS code FROM encl""".stripMargin) +
     ("knn_sq8" -> sq8KnnSql) +
     ("knn_sq8_open" -> sq8KnnSql) +
+    ("knn_sq8_rerank" ->
+      s"""WITH $sq8Ctes,
+         |d AS (SELECT q.query_id, r.id AS neighbor_id, ${sqlL2SqG("qv", "rv")} AS d2
+         |      FROM q CROSS JOIN rec r),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+         |  FROM d) WHERE rn <= $Kprime),
+         |ex AS (SELECT c.query_id, c.neighbor_id, ${sqlL2SqG("qv", "ev")} AS ed2
+         |       FROM cand c JOIN v ON v.id = c.neighbor_id
+         |       JOIN q ON q.query_id = c.query_id),
+         |rr AS (SELECT query_id, neighbor_id, ed2,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY ed2, neighbor_id) AS rank
+         |       FROM ex)
+         |SELECT query_id, neighbor_id, round(sqrt(ed2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM rr WHERE rank <= $K""".stripMargin) +
     ("range_search_sq8" ->
       s"""WITH $sq8Ctes,
          |d AS (SELECT q.query_id, rec.id AS neighbor_id, ${sqlL2SqG("qv", "rv")} AS d2
