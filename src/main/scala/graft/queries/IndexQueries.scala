@@ -306,6 +306,33 @@ object IndexQueries extends QueryProvider {
           sum(when(abs(col("raw_d") - col("rot_d")) > 1e-9, 1).otherwise(0))
             .as("n_isometry_violations"))
     }),
+    // Refine composed with OPQ (rotation not SQL-expressible → literal
+    // oracle). Because the rerank stage recomputes EXACT L2, the strong
+    // gates apply: rank-wise the reranked distance can never beat the
+    // flat k-th (subset selection), and every reported distance must
+    // equal the true exact distance recomputed from the raw vectors.
+    "knn_opq_rerank_invariants" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = OpqIndex.train(corpus, M, nbits = 4, Metric.L2)
+      val cands = OpqIndex.knn(OpqIndex.encode(corpus, model), model, queries, Kprime)
+      val approx = Refine.rerank(cands, corpus, queries, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      val flat = FlatIndex.knn(corpus, queries, K, Metric.L2)
+        .select(col("query_id").as("fq"), col("rank").as("frank"),
+          col("distance").as("flat_distance"))
+      approx
+        .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+          Seq("neighbor_id"))
+        .join(queries, Seq("query_id"))
+        .withColumn("true_dist", graft.functions.VectorFunctions.l2(col("qvec"), col("nvec")))
+        .join(flat, col("query_id") === col("fq") && col("rank") === col("frank"))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("distance") < col("flat_distance") - 1e-9, 1).otherwise(0))
+            .as("n_rank_violations"),
+          sum(when(abs(col("distance") - col("true_dist")) > 1e-6, 1).otherwise(0))
+            .as("n_dist_mismatch"))
+    }),
     // Same invariant discipline for the approximate HNSW row (its three
     // *_exact siblings hash-verify the machinery; this bounds the
     // DEFAULT-config row the driver could previously only count): HNSW
@@ -702,6 +729,11 @@ object IndexQueries extends QueryProvider {
          |       CAST(0 AS BIGINT) AS n_unknown_ids,
          |       CAST(0 AS BIGINT) AS n_code_range_violations,
          |       CAST(1 AS BIGINT) AS found_wide
+         |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
+    ("knn_opq_rerank_invariants" ->
+      s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_rank_violations,
+         |       CAST(0 AS BIGINT) AS n_dist_mismatch
          |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
     ("knn_opq_invariants" ->
       s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,

@@ -277,6 +277,20 @@ object TextQueries extends QueryProvider {
         contamGrams(d.where(col("doc_id") >= EvalCap), "doc_id"),
         contamGrams(d.where(col("doc_id") < EvalCap), "eval_id"))
     }),
+    // The streaming decontamination operator's single-batch form
+    // (graft.streaming.StreamingDecontamination — bloom-prefiltered
+    // ingest-time screen), against the SAME oracle SQL as
+    // contamination_8gram: the split-stream ≡ batch property is
+    // StreamingSpec's assert; this row driver-verifies the screen itself.
+    "contamination_stream" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val eval = graft.streaming.StreamingDecontamination
+        .evalSide(d.where(col("doc_id") < EvalCap))
+      val out = graft.streaming.StreamingDecontamination
+        .screenBatch(d.where(col("doc_id") >= EvalCap), eval)
+      eval.grams.unpersist()
+      out
+    }),
     // Bloom-prefiltered decontamination — the shape that replaces the
     // broadcast gram SET at 100 TB: the eval grams aggregate into one
     // native bloom sketch (BloomFilterAggregate, ~10 bits/item — a fixed
@@ -799,7 +813,8 @@ object TextQueries extends QueryProvider {
     // bloom prefilter + exact confirm ≡ the exact join (no false
     // negatives; positives re-verified) — same oracle, blocked-variant
     // style
-    Map("contamination_bloom" -> oraclesBase("contamination_8gram")) ++ oraclesBase
+    Map("contamination_bloom" -> oraclesBase("contamination_8gram"),
+      "contamination_stream" -> oraclesBase("contamination_8gram")) ++ oraclesBase
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "mixture_plan" ->

@@ -123,6 +123,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination over a split stream equals the batch 8-gram overlap") {
+    import graft.streaming.StreamingDecontamination
+    val d = Tables.load(spark, TestSession.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val evalDocs = d.where(col("doc_id") < 20) // the batch queries' EvalCap
+    val corpus = d.where(col("doc_id") >= 20 && col("doc_id") < 300)
+    val eval = StreamingDecontamination.evalSide(evalDocs)
+    // batch truth: the same screen run once over the whole corpus slice —
+    // identical semantics to the oracle-verified contamination_8gram
+    val expected = StreamingDecontamination.screenBatch(corpus, eval)
+      .collect().map(_.toString).sorted.toSeq
+    assert(expected.nonEmpty, "test slice should contain contamination")
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_decon_src")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_decon_out").resolve("t")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_decon_ck").resolve("t")
+    corpus.where(col("doc_id") < 150).coalesce(1)
+      .write.parquet(srcDir.resolve("a").toString)
+    corpus.where(col("doc_id") >= 150).coalesce(1)
+      .write.parquet(srcDir.resolve("b").toString)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", 1) // force >= 2 micro-batches
+      .parquet(srcDir.toString + "/*")
+    val q = StreamingDecontamination.stream(stream, eval,
+      outDir.toString, ckDir.toString)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir.toString)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == expected,
+        s"stream flagged ${streamed.size} overlap rows, batch ${expected.size}")
+    } finally { q.stop(); eval.grams.unpersist() }
+  }
+
   test("incremental connected components over a split stream equals batch labeling " +
       "(stream ≡ batch for any micro-batch split)") {
     import graft.streaming.{IncrementalComponents, IncrementalNearDup}
