@@ -445,6 +445,23 @@ object Bench {
       results("opq_search_sec") = opqSec
       results("opq_qps") = benchQ / opqSec
       results("opq_recall") = recallVs(aFlat, opqRes)
+      // the OPQ×IVFPQ composite vs plain IVFPQ, same anisotropic data,
+      // same nlist/m/nbits — the delta is the rotation
+      val (ivfpqA, _) = time(IvfPqIndex.train(aTrain, nlist, m = 16, nbits = 8, Metric.L2))
+      val (ivfpqARes, _) = searchBest2(() =>
+        IvfPqIndex.searchBlocked(IvfPqIndex.encode(av, ivfpqA), ivfpqA, aq, K, nprobe = 10))
+      results("ivfpq_aniso_recall") = recallVs(aFlat, ivfpqARes)
+      val (compModel, compBuild) = time(
+        OpqIvfPqIndex.train(aTrain, nlist, m = 16, nbits = 8, Metric.L2))
+      val (compCodes, compEncode) = time {
+        val c = OpqIvfPqIndex.encode(av, compModel).cache(); c.count(); c
+      }
+      val (compRes, compSec) = searchBest2(() =>
+        OpqIvfPqIndex.searchBlocked(compCodes, compModel, aq, K, nprobe = 10))
+      results("opq_ivfpq_build_sec") = compBuild + compEncode
+      results("opq_ivfpq_qps") = benchQ / compSec
+      results("opq_ivfpq_recall") = recallVs(aFlat, compRes)
+      compRes.unpersist(); compCodes.unpersist(); ivfpqARes.unpersist()
       opqRes.unpersist(); pqARes.unpersist()
       if (serveQ > 0) {
         val aSingles = aq.limit(serveQ).collect().map(_.getSeq[Double](1).toArray)
@@ -774,6 +791,7 @@ object Bench {
       "ivf_np50_qps", "ivf_np50_recall",
       "pq_build_sec", "pq_search_sec", "pq_qps", "pq_recall",
       "pq_aniso_recall", "opq_build_sec", "opq_qps", "opq_recall",
+      "ivfpq_aniso_recall", "opq_ivfpq_qps", "opq_ivfpq_recall",
       "sq8_build_sec", "sq8_search_sec", "sq8_qps", "sq8_recall",
       "sq8_d768_build_sec", "sq8_d768_qps", "sq8_d768_recall",
       "ivfpq_build_sec", "ivfpq_search_sec", "ivfpq_qps", "ivfpq_recall",

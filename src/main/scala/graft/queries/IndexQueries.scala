@@ -306,6 +306,38 @@ object IndexQueries extends QueryProvider {
           sum(when(abs(col("raw_d") - col("rot_d")) > 1e-9, 1).otherwise(0))
             .as("n_isometry_violations"))
     }),
+    // OPQ×IVFPQ composite (rotation → coarse → residual ADC; pure
+    // composition of verified pieces). ADC distances are approximate →
+    // structural gates, PLUS the isometry check through the composite's
+    // own rotation (the orthogonality claim on real data).
+    "knn_opqivfpq_invariants" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = OpqIvfPqIndex.train(corpus, Nlist, M, nbits = 4, Metric.L2)
+      val approx = OpqIvfPqIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      val rotLit = typedLit(model.rotation)
+      val w = Window.partitionBy("query_id").orderBy("rank")
+      approx
+        .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+          Seq("neighbor_id"), "left")
+        .join(queries, Seq("query_id"))
+        .withColumn("raw_d",
+          graft.functions.VectorFunctions.l2(col("qvec"), col("nvec")))
+        .withColumn("rot_d",
+          graft.functions.VectorFunctions.l2(
+            graft.functions.VectorFunctions.matVec(rotLit, col("qvec")),
+            graft.functions.VectorFunctions.matVec(rotLit, col("nvec"))))
+        .withColumn("prev_dist", lag(col("distance"), 1).over(w))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("distance") < 0.0, 1).otherwise(0)).as("n_negative"),
+          sum(when(col("prev_dist") > col("distance") + 1e-12, 1).otherwise(0))
+            .as("n_nonmonotone"),
+          (count(lit(1)) - countDistinct(col("neighbor_id"))).as("n_dup_neighbors"),
+          sum(when(col("nvec").isNull, 1).otherwise(0)).as("n_unknown_ids"),
+          sum(when(abs(col("raw_d") - col("rot_d")) > 1e-9, 1).otherwise(0))
+            .as("n_isometry_violations"))
+    }),
     // Refine composed with OPQ (rotation not SQL-expressible → literal
     // oracle). Because the rerank stage recomputes EXACT L2, the strong
     // gates apply: rank-wise the reranked distance can never beat the
@@ -729,6 +761,14 @@ object IndexQueries extends QueryProvider {
          |       CAST(0 AS BIGINT) AS n_unknown_ids,
          |       CAST(0 AS BIGINT) AS n_code_range_violations,
          |       CAST(1 AS BIGINT) AS found_wide
+         |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
+    ("knn_opqivfpq_invariants" ->
+      s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_negative,
+         |       CAST(0 AS BIGINT) AS n_nonmonotone,
+         |       CAST(0 AS BIGINT) AS n_dup_neighbors,
+         |       CAST(0 AS BIGINT) AS n_unknown_ids,
+         |       CAST(0 AS BIGINT) AS n_isometry_violations
          |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
     ("knn_opq_rerank_invariants" ->
       s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
