@@ -537,6 +537,26 @@ object Bench {
       logSection(results, "sq8_d768")
     }
 
+    // BQ — 1-bit Hamming scan (32× smaller than float32) and the
+    // BQ+rescore pipeline (Hamming top-10·K → exact re-rank)
+    val (bqModel, bqBuild) = time(BqIndex.train(vectors, Metric.L2))
+    val (bqCodes, bqEncode) = time {
+      val c = BqIndex.encode(vectors, bqModel).cache(); c.count(); c
+    }
+    val (bqRes, bqSec) = searchBest2(() =>
+      BqIndex.knnBlocked(bqCodes, bqModel, queries, K))
+    results("bq_build_sec") = bqBuild + bqEncode
+    results("bq_search_sec") = bqSec
+    results("bq_qps") = benchQ / bqSec
+    results("bq_recall") = recallVs(flatRes, bqRes)
+    val (bqRR, bqRRSec) = searchBest2(() =>
+      Refine.rerank(BqIndex.knnBlocked(bqCodes, bqModel, queries, 10 * K),
+        vectors, queries, K, Metric.L2))
+    results("bq_rerank_qps") = benchQ / bqRRSec
+    results("bq_rerank_recall") = recallVs(flatRes, bqRR)
+    bqRR.unpersist(); bqRes.unpersist(); bqCodes.unpersist()
+    logSection(results, "bq")
+
     // IVFPQ
     val (ivfpqModel, ivfpqBuild) = time(
       IvfPqIndex.train(trainSet, nlist, m = 8, nbits = 8, Metric.L2))
@@ -794,6 +814,7 @@ object Bench {
       "ivfpq_aniso_recall", "opq_ivfpq_qps", "opq_ivfpq_recall",
       "sq8_build_sec", "sq8_search_sec", "sq8_qps", "sq8_recall",
       "sq8_d768_build_sec", "sq8_d768_qps", "sq8_d768_recall",
+      "bq_build_sec", "bq_qps", "bq_recall", "bq_rerank_qps", "bq_rerank_recall",
       "ivfpq_build_sec", "ivfpq_search_sec", "ivfpq_qps", "ivfpq_recall",
       "ivfpq_rerank_qps", "ivfpq_rerank_recall",
       "lsh_build_sec", "lsh_qps", "lsh_recall", "lsh_mp_qps", "lsh_mp_recall",

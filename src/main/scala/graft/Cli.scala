@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.core.{GraftSession, Metric, VectorGen}
 import graft.index._
 import graft.io.{GofaissImport, IndexIO}
-import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, LshKind, OpqKind, PqKind, RoutedHnswKind, Searcher, Sq8Kind}
+import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, BqKind, LshKind, OpqKind, PqKind, RoutedHnswKind, Searcher, Sq8Kind}
 
 /** Command-line lifecycle surface (reference: cmd/cli/main.go:17-73 —
   * bench/build/search subcommands; generate/info/import added for the
@@ -14,10 +14,10 @@ import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, LshKind, OpqKind, Pq
   * files).
   *
   *   generate -n N -dim D -seed S -output DIR        seeded vector table
-  *   build    -type flat|ivf|pq|opq|sq8|ivfpq|lsh|hnsw|hnsw_routed -input DIR -output DIR
+  *   build    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -input DIR -output DIR
   *            [-metric l2|cosine|dot] [-nlist NL] [-m M] [-nbits B] [-planes P]
   *   search   -index DIR -query DIR -k K [-nprobe NP] [-limit L]
-  *   bench    -type flat|ivf|pq|opq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors N -dim D -queries Q
+  *   bench    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors N -dim D -queries Q
   *   info     -index DIR                              meta echo
   *   import   -input gofaiss.json[.gz] -output DIR [-metric l2] [-gzip]
   *
@@ -36,11 +36,11 @@ object Cli {
     System.err.println(
       """graft-cli — Spark vector index lifecycle
         |  generate -n 10000 -dim 128 -seed 42 -output /tmp/vecs
-        |  build    -type flat|ivf|pq|opq|sq8|ivfpq|lsh|hnsw|hnsw_routed -input /tmp/vecs -output /tmp/idx
+        |  build    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -input /tmp/vecs -output /tmp/idx
         |           [-metric l2] [-nlist 100] [-m 16] [-nbits 8] [-planes 8]
         |           [-ef 200] [-shards 32]
         |  search   -index /tmp/idx -query /tmp/vecs -k 10 -nprobe 10 -limit 5
-        |  bench    -type flat|ivf|pq|opq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors 10000 -dim 128 -queries 100
+        |  bench    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors 10000 -dim 128 -queries 100
         |  info     -index /tmp/idx
         |  import   -input index.json -output /tmp/idx -metric l2 [-gzip true]""".stripMargin)
     sys.exit(1)
@@ -89,6 +89,9 @@ object Cli {
             val nbits = flags.getOrElse("nbits", "8").toInt
             val model = OpqIndex.train(vectors, m, nbits, metric)
             IndexIO.saveOpq(spark, out, model, OpqIndex.encode(vectors, model))
+          case "bq" =>
+            val model = BqIndex.train(vectors, metric)
+            IndexIO.saveBq(spark, out, model, BqIndex.encode(vectors, model))
           case "ivfpq" =>
             val nlist = flags.getOrElse("nlist", "100").toInt
             val m = flags.getOrElse("m", "8").toInt
@@ -158,6 +161,9 @@ object Cli {
           case "opq" =>
             val model = OpqIndex.train(vectors, 16, 8, Metric.L2)
             OpqKind(model, OpqIndex.encode(vectors, model).cache())
+          case "bq" =>
+            val model = BqIndex.train(vectors, Metric.L2)
+            BqKind(model, BqIndex.encode(vectors, model).cache())
           case "ivfpq" =>
             val nlist = math.max(16, math.sqrt(n.toDouble).toInt)
             val model = IvfPqIndex.train(vectors, nlist, 8, 8, Metric.L2)

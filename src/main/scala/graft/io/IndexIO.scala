@@ -142,6 +142,23 @@ object IndexIO {
     (IvfPqModel(coarse, pq), spark.read.parquet(s"$path/codes"))
   }
 
+  // ---- BQ (1-bit binary quantization, graft.index.BqIndex) ----
+  def saveBq(spark: SparkSession, path: String, model: BqModel, codes: DataFrame): Unit = {
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$path/codes")
+    model.thresholds.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("pos", "th").write.mode("overwrite").parquet(s"$path/thresholds")
+    writeMeta(path, Map(
+      "index_type" -> "bq", "metric" -> model.metric.name,
+      "dim" -> model.dim.toString))
+  }
+  def loadBq(spark: SparkSession, path: String): (BqModel, DataFrame) = {
+    val meta = loadChecked(path, "bq")
+    val th = spark.read.parquet(s"$path/thresholds").orderBy("pos").collect()
+      .map(_.getDouble(1)).toVector
+    (BqModel(th, Metric(meta("metric"))), spark.read.parquet(s"$path/codes"))
+  }
+
   // ---- OPQ (orthogonal rotation + PQ, graft.index.OpqIndex) ----
   def saveOpq(spark: SparkSession, path: String, model: OpqModel, codes: DataFrame): Unit = {
     import spark.implicits._

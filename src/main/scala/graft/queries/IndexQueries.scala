@@ -306,6 +306,34 @@ object IndexQueries extends QueryProvider {
           sum(when(abs(col("raw_d") - col("rot_d")) > 1e-9, 1).otherwise(0))
             .as("n_isometry_violations"))
     }),
+    // BQ — 1-bit binary quantization (BqIndex.scala): Hamming scan over
+    // packed sign bits, plus the modern BQ+rescore pipeline (Hamming
+    // overfetch → exact re-rank). The midrange trainer is min/max-based
+    // and therefore oracle-reproducible: all four rows hash-match.
+    "bq_encode" -> ((s, dir) => {
+      val (corpus, _) = vecTables(s, dir)
+      val model = BqIndex.train(corpus, Metric.L2)
+      BqIndex.encode(corpus, model)
+        .select(col("id"), posexplode(col("code")).as(Seq("w", "word")))
+    }),
+    "knn_bq" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = BqIndex.train(corpus, Metric.L2)
+      BqIndex.knn(BqIndex.encode(corpus, model), model, queries, K)
+    }),
+    "knn_bq_blocked" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = BqIndex.train(corpus, Metric.L2)
+      BqIndex.knnBlocked(BqIndex.encode(corpus, model), model, queries, K)
+    }),
+    "knn_bq_rerank" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = BqIndex.train(corpus, Metric.L2)
+      val cands = BqIndex.knn(BqIndex.encode(corpus, model), model, queries, Kprime)
+      Refine.rerank(cands, corpus, queries, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     // OPQ×IVFPQ composite (rotation → coarse → residual ADC; pure
     // composition of verified pieces). ADC distances are approximate →
     // structural gates, PLUS the isometry check through the composite's
@@ -669,6 +697,43 @@ object IndexQueries extends QueryProvider {
        |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
        |$sq8Quantizer""".stripMargin
 
+  /** BQ packing fold for one 32-bit word over list column `lv` and the
+    * threshold list `th` — the exact `acc·2 + bit` fold of
+    * [[graft.index.BqIndex.encodeCol]]. */
+  private def bqWord(lv: String, lo: Int, hi: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range($lo, ${hi + 1}),
+       |    i -> CAST(CASE WHEN $lv[i] > th[i] THEN 1 ELSE 0 END AS BIGINT))),
+       |  (acc, b) -> acc * 2 + b)""".stripMargin
+
+  /** Shared BQ CTEs: midrange thresholds (min/max per dim — the SAME
+    * arithmetic order as the Spark trainer: mn + ((mx-mn)/255)·255/2),
+    * packed corpus + query codes at dim 64 → two 32-bit words. */
+  private val bqCtes: String =
+    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+       |vx AS (SELECT id, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x FROM v),
+       |scc AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM vx GROUP BY pos),
+       |thv AS (SELECT list(mn + ((mx - mn) / 255.0) * 255.0 / 2.0 ORDER BY pos) AS th
+       |        FROM scc),
+       |enc AS (SELECT id, [${bqWord("ev", 1, 32)}, ${bqWord("ev", 33, 64)}] AS code
+       |        FROM v, thv),
+       |qenc AS (SELECT query_id, [${bqWord("qv", 1, 32)}, ${bqWord("qv", 33, 64)}] AS code
+       |         FROM q, thv),
+       |hd AS (SELECT qe.query_id, e.id AS neighbor_id,
+       |       CAST(bit_count(xor(e.code[1], qe.code[1]))
+       |          + bit_count(xor(e.code[2], qe.code[2])) AS BIGINT) AS hamming
+       |       FROM qenc qe CROSS JOIN enc e)""".stripMargin
+
+  private val bqKnnSql: String =
+    s"""WITH $bqCtes,
+       |r AS (SELECT query_id, neighbor_id, hamming,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+       |      FROM hd)
+       |SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $K""".stripMargin
+
   private val sq8KnnSql: String =
     s"""WITH $sq8Ctes,
        |d AS (SELECT q.query_id, r.id AS neighbor_id, ${sqlL2SqG("qv", "rv")} AS d2
@@ -683,6 +748,27 @@ object IndexQueries extends QueryProvider {
     ("sq8_encode" ->
       s"""WITH $sq8Ctes
          |SELECT id, CAST(pos - 1 AS INT) AS m, CAST(cd AS INT) AS code FROM encl""".stripMargin) +
+    ("bq_encode" ->
+      s"""WITH $bqCtes
+         |SELECT id, CAST(generate_subscripts(code, 1) - 1 AS INT) AS w,
+         |       unnest(code) AS word
+         |FROM enc""".stripMargin) +
+    ("knn_bq" -> bqKnnSql) +
+    ("knn_bq_blocked" -> bqKnnSql) +
+    ("knn_bq_rerank" ->
+      s"""WITH $bqCtes,
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+         |  FROM hd) WHERE rn <= $Kprime),
+         |ex AS (SELECT c.query_id, c.neighbor_id, ${sqlL2SqG("qv", "ev")} AS ed2
+         |       FROM cand c JOIN v ON v.id = c.neighbor_id
+         |       JOIN q ON q.query_id = c.query_id),
+         |rr AS (SELECT query_id, neighbor_id, ed2,
+         |       row_number() OVER (PARTITION BY query_id ORDER BY ed2, neighbor_id) AS rank
+         |       FROM ex)
+         |SELECT query_id, neighbor_id, round(sqrt(ed2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM rr WHERE rank <= $K""".stripMargin) +
     ("knn_sq8" -> sq8KnnSql) +
     ("knn_sq8_open" -> sq8KnnSql) +
     ("knn_sq8_rerank" ->

@@ -25,6 +25,10 @@ final case class IvfPqKind(model: IvfPqModel, codes: DataFrame) extends IndexKin
   * reference, which has no rotation stage). Search rotates the query
   * batch and runs the PQ ADC kernel unchanged. */
 final case class OpqKind(model: OpqModel, codes: DataFrame) extends IndexKind
+/** BQ — 1-bit binary quantization ([[graft.index.BqIndex]]): Hamming
+  * scan over packed sign bits. The facade reports the Hamming count as
+  * the `distance` column (it IS the metric of this kind). */
+final case class BqKind(model: BqModel, codes: DataFrame) extends IndexKind
 /** Sign-LSH — the engine's high-throughput ANN kind (SURVEY.md §7 M5;
   * the reference's *default* index is HNSW (search.go:220-228); a gofaiss
   * user's `build`/`open` lands here. `indexed` is the (id, vec, bucket)
@@ -82,6 +86,11 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
       IvfPqIndex.searchBlocked(codes, model, queries, opts.k, opts.nprobe)
     case OpqKind(model, codes) =>
       OpqIndex.knnBlocked(codes, model, queries, opts.k)
+    case BqKind(model, codes) =>
+      import org.apache.spark.sql.functions.col
+      BqIndex.knnBlocked(codes, model, queries, opts.k)
+        .withColumn("distance", col("hamming").cast("double"))
+        .select("query_id", "neighbor_id", "distance", "rank")
     case LshKind(planes, indexed, metric) =>
       LshIndex.knnBlocked(indexed, queries, opts.k, planes, metric,
         hamming = if (opts.efSearch >= 1) 1 else 0)
@@ -104,6 +113,7 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
       case Sq8Kind(_, codes) => codes
       case IvfPqKind(_, codes) => codes
       case OpqKind(_, codes) => codes
+      case BqKind(_, codes) => codes
       case LshKind(_, indexed, _) => indexed
       case HnswKind(graph, _, _) => graph
       case RoutedHnswKind(_, graph) => graph
@@ -177,6 +187,9 @@ final class IndexBuilder private (
         val model = OpqIndex.train(vectors, opt("M", 8), opt("nbits", 8), metric,
           opqIters = opt("opqIters", 6))
         OpqKind(model, OpqIndex.encode(vectors, model))
+      case "bq" =>
+        val model = BqIndex.train(vectors, metric)
+        BqKind(model, BqIndex.encode(vectors, model))
       case "sq8" =>
         val model = Sq8Index.train(vectors, metric)
         Sq8Kind(model, Sq8Index.encode(vectors, model))
@@ -220,6 +233,7 @@ object Searcher {
       case "sq8" => val (m, c) = IndexIO.loadSq8(spark, path); Sq8Kind(m, c.cache())
       case "ivfpq" => val (m, c) = IndexIO.loadIvfPq(spark, path); IvfPqKind(m, c.cache())
       case "opq" => val (m, c) = IndexIO.loadOpq(spark, path); OpqKind(m, c.cache())
+      case "bq" => val (m, c) = IndexIO.loadBq(spark, path); BqKind(m, c.cache())
       case "lsh" => val (p, m, i) = IndexIO.loadLsh(spark, path); LshKind(p, i.cache(), m)
       case "hnsw" =>
         val (m, g) = IndexIO.loadHnsw(spark, path)

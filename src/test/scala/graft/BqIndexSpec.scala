@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Metric
+import graft.index._
+import graft.queries.VectorQueries
+
+/** BQ (1-bit binary quantization) invariants: packing parity between
+  * the codegen'd fold and the driver-side packer, Hamming metric
+  * properties, blocked ≡ plan kernel identity, the BQ+rescore recall
+  * recovery, and the persisted-facade round trip.
+  */
+class BqIndexSpec extends AnyFunSuite {
+
+  lazy val spark = TestSession.spark
+  private val K = 10
+
+  private def vecs = VectorQueries.vecTables(spark, TestSession.Sf0001)
+
+  test("plan packing equals driver packing bit-for-bit; words cover dim") {
+    val (corpus, _) = vecs
+    val model = BqIndex.train(corpus, Metric.L2)
+    val th = model.thresholdArray
+    val rows = corpus.select(col("id"),
+        BqIndex.encodeCol(col("vec"), model).as("code"), col("vec"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val planCode = r.getSeq[Long](1).toArray
+      val local = BqIndex.packLocal(r.getSeq[Double](2).toArray, th)
+      assert(planCode.sameElements(local), s"packing mismatch for id ${r.getLong(0)}")
+      assert(planCode.length == model.words)
+    }
+  }
+
+  test("hamming: zero on self, symmetric, bounded by dim") {
+    val (corpus, _) = vecs
+    val model = BqIndex.train(corpus, Metric.L2)
+    val codes = BqIndex.encode(corpus, model)
+    val a = codes.select(col("id").as("id_a"), col("code").as("ca"))
+    val b = codes.select(col("id").as("id_b"), col("code").as("cb"))
+    val d = a.crossJoin(b)
+      .select(col("id_a"), col("id_b"),
+        BqIndex.hammingCol(col("ca"), col("cb")).as("h"))
+      .cache()
+    assert(d.where(col("id_a") === col("id_b") && col("h") =!= 0).count() == 0)
+    assert(d.where(col("h") < 0 || col("h") > model.dim).count() == 0)
+    val asym = d.as("x").join(d.as("y"),
+        col("x.id_a") === col("y.id_b") && col("x.id_b") === col("y.id_a"))
+      .where(col("x.h") =!= col("y.h"))
+    assert(asym.count() == 0, "hamming not symmetric")
+    d.unpersist()
+  }
+
+  test("blocked kernel is result-identical to the plan form") {
+    val (corpus, queries) = vecs
+    val model = BqIndex.train(corpus, Metric.L2)
+    val codes = BqIndex.encode(corpus, model)
+    val a = BqIndex.knn(codes, model, queries, K)
+      .collect().map(_.toString).sorted
+    val b = BqIndex.knnBlocked(codes, model, queries, K)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("BQ+rescore: rerank over Hamming candidates beats raw BQ recall, " +
+    "and reranked distances are exact") {
+    val (corpus, queries) = vecs
+    val flat = FlatIndex.knn(corpus, queries, K, Metric.L2).cache()
+    def recall(approx: org.apache.spark.sql.DataFrame): Double = {
+      val hits = approx.select("query_id", "neighbor_id")
+        .join(flat.select("query_id", "neighbor_id"), Seq("query_id", "neighbor_id"))
+        .count()
+      hits.toDouble / flat.count()
+    }
+    val model = BqIndex.train(corpus, Metric.L2)
+    val codes = BqIndex.encode(corpus, model).cache()
+    val raw = recall(BqIndex.knn(codes, model, queries, K))
+    val rescored = Refine.rerank(
+      BqIndex.knn(codes, model, queries, 5 * K), corpus, queries, K, Metric.L2)
+    assert(recall(rescored) >= raw, "rescore must not reduce recall")
+    // reranked distances are true L2
+    val exact = FlatIndex.distanceJoin(corpus, queries, Metric.L2)
+      .select(col("query_id"), col("neighbor_id"),
+        Metric.L2.finishRank(col("rank_key")).as("exact_d"))
+    val mism = rescored.join(exact, Seq("query_id", "neighbor_id"))
+      .where(abs(col("distance") - col("exact_d")) > 1e-9).count()
+    assert(mism == 0)
+    codes.unpersist(); flat.unpersist()
+  }
+
+  test("save -> open -> facade search round trip equals knnBlocked") {
+    val (corpus, queries) = vecs
+    val model = BqIndex.train(corpus, Metric.L2)
+    val codes = BqIndex.encode(corpus, model)
+    val dir = java.nio.file.Files.createTempDirectory("graft-bq").toString
+    graft.io.IndexIO.saveBq(spark, dir, model, codes)
+    assert(graft.io.IndexIO.readMeta(dir)("index_type") == "bq")
+    val (loaded, _) = graft.io.IndexIO.loadBq(spark, dir)
+    assert(loaded == model)
+    val s = graft.query.Searcher.open(spark, dir).withK(K)
+    val got = s.search(queries)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toString).sorted
+    val want = BqIndex.knnBlocked(codes, model, queries, K)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toString).sorted
+    assert(got.sameElements(want))
+    s.close()
+  }
+}
