@@ -582,6 +582,17 @@ object Bench {
     results("ivfpq_rerank_qps") = benchQ / rrSec
     results("ivfpq_rerank_recall") = recallVs(flatRes, rrRes)
     rrRes.unpersist()
+    // overfetch dial: recall/QPS at 3× and 30× (10× is the row above) —
+    // maps the rerank trade the way the ivf_np50 row maps nprobe
+    Seq(3, 30).foreach { f =>
+      val (r, sec) = searchBest2(() =>
+        Refine.rerank(
+          IvfPqIndex.searchBlocked(ivfpqCodes, ivfpqModel, queries, f * K, nprobe = 10),
+          vectors, queries, K, Metric.L2))
+      results(s"ivfpq_rerank_x${f}_qps") = benchQ / sec
+      results(s"ivfpq_rerank_x${f}_recall") = recallVs(flatRes, r)
+      r.unpersist()
+    }
     logSection(results, "ivfpq")
     if (serveQ > 0) {
       val server = new graft.query.IvfPqServer(ivfpqCodes, ivfpqModel).warm()

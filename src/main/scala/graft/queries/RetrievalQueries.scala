@@ -48,6 +48,12 @@ object RetrievalQueries extends QueryProvider {
   private val FuseTop = 10
   private val FuseQueries = VectorQueries.QueryIds
 
+  /** MMR pool width / picks / relevance-diversity trade (0.7 is the
+    * common default). */
+  private val MmrN = 20
+  private val MmrK = 10
+  private val MmrLambda = 0.7
+
   /** DSIR feature-hash bucket count, the target-domain predicate, and the
     * selected-set size. */
   private val DsirBuckets = 128
@@ -143,6 +149,17 @@ object RetrievalQueries extends QueryProvider {
         .where(col("rank") <= BatchTop)
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("bm25"),
           col("n_terms"), col("rank"))
+    }),
+    // MMR diversified retrieval (operators.Mmr): top-MmrN cosine pool,
+    // greedy λ·rel − (1−λ)·max-sim-to-picked selection of MmrK. Output
+    // carries NO floats — (query_id, neighbor_id, pick_order) — and the
+    // DuckDB oracle replays the greedy EXACTLY via a recursive CTE with
+    // a struct-argmax (same clamped-cosine folds, same smaller-id
+    // tie-break), so the row is a full hash-match on a sequential
+    // algorithm, not an invariants gate.
+    "mmr_diversify" -> ((s, dir) => {
+      val (corpus, queries) = VectorQueries.vecTables(s, dir)
+      graft.operators.Mmr.diversify(corpus, queries, MmrN, MmrK, MmrLambda)
     }),
     // Hybrid retrieval via reciprocal rank fusion: per query doc, the
     // bigram-Jaccard lexical top-N over `documents` fuses with the
@@ -257,7 +274,48 @@ object RetrievalQueries extends QueryProvider {
     .map { case (qid, ts) => s"($qid, [${ts.map(t => s"'$t'").mkString(", ")}])" }
     .mkString(", ")
 
+  /** The MMR oracle: identical clamped-cosine folds, then the greedy
+    * replayed by a recursive CTE — per step, the argmax over unpicked
+    * candidates is a lexicographic struct max on (score, −id), which is
+    * exactly the engine's (score desc, id asc) tie rule. */
+  private val mmrSql: String = {
+    val relSim = VectorQueries.sqlCosineSimG("qv", "ev")
+    val pairSim = VectorQueries.sqlCosineSimG("av", "bv")
+    s"""WITH RECURSIVE
+       |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+       |cr AS (SELECT q.query_id, v.id, v.ev, $relSim AS rel FROM q CROSS JOIN v),
+       |cand AS (SELECT query_id, id, ev, rel FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+       |  FROM cr) WHERE rn <= $MmrN),
+       |pair AS (SELECT a.query_id, a.id AS ia, b.id AS ib, $pairSim AS s
+       |         FROM (SELECT query_id, id, ev AS av FROM cand) a
+       |         JOIN (SELECT query_id, id, ev AS bv FROM cand) b
+       |           ON a.query_id = b.query_id AND a.id <> b.id),
+       |sel AS (
+       |  SELECT query_id, CAST([] AS BIGINT[]) AS picked, 0 AS step
+       |  FROM (SELECT DISTINCT query_id FROM cand)
+       |  UNION ALL
+       |  SELECT query_id, list_append(picked, CAST(-bst.nid AS BIGINT)), step + 1
+       |  FROM (
+       |    SELECT s.query_id, s.picked, s.step,
+       |           max(struct_pack(sc := $MmrLambda * c.rel - ${1.0 - MmrLambda} * COALESCE(
+       |             (SELECT max(p.s) FROM pair p
+       |              WHERE p.query_id = s.query_id AND p.ia = c.id
+       |                AND list_contains(s.picked, p.ib)), 0.0),
+       |             nid := -c.id)) AS bst
+       |    FROM sel s JOIN cand c
+       |      ON c.query_id = s.query_id AND NOT list_contains(s.picked, c.id)
+       |    WHERE s.step < $MmrK
+       |    GROUP BY s.query_id, s.picked, s.step) t)
+       |SELECT query_id, unnest(picked) AS neighbor_id,
+       |       CAST(generate_subscripts(picked, 1) AS INT) AS pick_order
+       |FROM sel WHERE step = $MmrK""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "mmr_diversify" -> mmrSql,
     "bm25_batch" ->
       s"""WITH qt AS (SELECT * FROM (VALUES $batchValuesSql) t(query_id, terms)),
          |qterms AS (SELECT query_id, unnest(terms) AS term FROM qt),

@@ -125,6 +125,14 @@ object EventPipeline {
     graft.index.OpqIndex.encode(batch, model)
       .write.mode("append").parquet(s"$indexPath/codes")
 
+  /** Continuous BQ maintenance: new vectors pack with the FROZEN
+    * midrange thresholds — stateless pure projection, idempotent per
+    * batch, same add-after-train rule as [[appendBatchToSq8]]. */
+  def appendBatchToBq(model: graft.index.BqModel, indexPath: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.index.BqIndex.encode(batch, model)
+      .write.mode("append").parquet(s"$indexPath/codes")
+
   /** Continuous routed-HNSW maintenance: the frozen routing model places
     * each new vector in its k-means region's sub-shard
     * ([[graft.index.RoutedHnswIndex.shardExpr]]); only the AFFECTED

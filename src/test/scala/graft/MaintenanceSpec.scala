@@ -102,6 +102,28 @@ class MaintenanceSpec extends AnyFunSuite {
       s"appended vector not served back in the duplicate tie pair: $top2")
   }
 
+  test("BQ append (frozen thresholds) + re-open: appended vector in the duplicate tie pair") {
+    import spark.implicits._
+    val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val model = BqIndex.train(corpus, Metric.L2)
+    val path = Files.createTempDirectory("graft_bq_maint").toString
+    IndexIO.saveBq(spark, path, model, BqIndex.encode(corpus, model))
+
+    val maxId = corpus.agg(max(col("id"))).first().getLong(0)
+    val fresh = corpus.limit(5).select((col("id") + maxId + 1).as("id"), col("vec"))
+    graft.streaming.EventPipeline.appendBatchToBq(model, path)(fresh, 0L)
+
+    val (loaded, codes) = IndexIO.loadBq(spark, path)
+    assert(loaded == model)
+    assert(codes.count() == corpus.count() + 5)
+    val probe = fresh.limit(1).first()
+    val qdf = Seq((probe.getLong(0), probe.getSeq[Double](1))).toDF("query_id", "qvec")
+    val top2 = BqIndex.knnBlocked(codes, loaded, qdf, 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top2.contains(probe.getLong(0)),
+      s"appended vector not served back in the duplicate tie pair: $top2")
+  }
+
   test("routed-HNSW append rebuilds only the routed shards, search serves the new rows") {
     import spark.implicits._
     val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
