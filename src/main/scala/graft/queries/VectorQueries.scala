@@ -133,6 +133,29 @@ object VectorQueries extends QueryProvider {
     }),
     // F13 + F14: matrix·vector projection and pairwise distance matrix
     // (simd.go:105-115, simd.go:119-136) over a bounded id prefix
+    // PCA pre-index transform (operators.Pca): the eigendecomposition
+    // is not SQL-expressible, so the gate is the literal-oracle
+    // invariants style. Contraction is the strong per-row check —
+    // orthonormal components make ‖P(x−μ)‖ ≤ ‖x−μ‖ for EVERY row, which
+    // fails for any non-orthonormal matrix; centering gates the mean.
+    "pca_project_invariants" -> ((s, dir) => {
+      val (corpus, _) = vecTables(s, dir)
+      val model = graft.operators.Pca.train(corpus, k = 16)
+      val cn = graft.functions.VectorFunctions.norm(
+        graft.functions.VectorFunctions.vecSub(col("vec"), typedlit(model.mean)))
+      val projected = corpus.select(col("id"),
+        graft.operators.Pca.projectCol(col("vec"), model).as("pv"), cn.as("cn"))
+      val contraction = projected.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(graft.functions.VectorFunctions.norm(col("pv")) > col("cn") + 1e-9, 1)
+          .otherwise(0)).as("n_contraction_violations"))
+      val centering = projected
+        .select(posexplode(col("pv")).as(Seq("c", "y")))
+        .groupBy("c").agg(avg(col("y")).as("m"))
+        .agg(sum(when(abs(col("m")) > 1e-6, 1).otherwise(0))
+          .as("n_centering_violations"))
+      contraction.crossJoin(centering)
+    }),
     "pairwise_matvec" -> ((s, dir) => {
       val v = Tables.vectors(s, dir).where(col("id") < 20)
         .select(col("id"), col("vec"))
@@ -179,6 +202,10 @@ object VectorQueries extends QueryProvider {
   )
 
   def oracles: Map[String, String] = Map(
+    "pca_project_invariants" ->
+      s"""SELECT (SELECT count(*) FROM embeddings) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_contraction_violations,
+         |       CAST(0 AS BIGINT) AS n_centering_violations""".stripMargin,
     "knn_flat_l2" -> knnOracleSql(sqlL2),
     "knn_flat_cosine" -> knnOracleSql(sqlCosine),
     "knn_flat_dot" -> knnOracleSql(s"-($sqlDot)"),

@@ -43,6 +43,27 @@ class CliSpec extends AnyFunSuite {
       Map("type" -> "hnsw", "vectors" -> "200", "dim" -> "8", "queries" -> "10", "shards" -> "2"))
   }
 
+  test("build bq / opq / hnsw_routed -> info -> search lifecycles (round-8 kinds)") {
+    val vecs = Files.createTempDirectory("cli_vecs_r8").toString
+    Cli.run(spark, "generate",
+      Map("n" -> "300", "dim" -> "8", "seed" -> "11", "output" -> vecs))
+    Seq(
+      ("bq", Map.empty[String, String], Map("index_type" -> "bq")),
+      ("opq", Map("m" -> "4", "nbits" -> "4"), Map("index_type" -> "opq", "m" -> "4")),
+      ("hnsw_routed", Map("nlist" -> "4", "shardrows" -> "64"),
+        Map("index_type" -> "hnsw_routed", "nlist" -> "4"))
+    ).foreach { case (tpe, extra, expect) =>
+      val idx = Files.createTempDirectory(s"cli_idx_$tpe").toString
+      Cli.run(spark, "build",
+        Map("type" -> tpe, "input" -> vecs, "output" -> idx) ++ extra)
+      val meta = graft.io.IndexIO.readMeta(idx)
+      expect.foreach { case (k, v) => assert(meta(k) == v, s"$tpe meta $k") }
+      Cli.run(spark, "info", Map("index" -> idx)) // stats resolve the codes/graph table
+      Cli.run(spark, "search",
+        Map("index" -> idx, "query" -> vecs, "k" -> "3", "nprobe" -> "2", "limit" -> "3"))
+    }
+  }
+
   test("build lsh -> search lifecycle") {
     val vecs = Files.createTempDirectory("cli_vecs4").toString
     val idx = Files.createTempDirectory("cli_idx4").toString
