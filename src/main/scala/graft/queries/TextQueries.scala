@@ -31,6 +31,12 @@ object TextQueries extends QueryProvider {
   /** pack_sequences training-sequence length. */
   private val SeqLen = 32
 
+  /** training_shard_plan: tokens per output shard, and the number of
+    * hash ranges the distributed prefix sum splits into (the scale knob
+    * — one range per executor group at cluster scale). */
+  private val ShardBudget = 2000L
+  private val HashRanges = 8
+
   /** mixture_sample's token-budget fraction of the whole corpus. */
   private val MixBudgetFrac = 0.4
 
@@ -483,6 +489,37 @@ object TextQueries extends QueryProvider {
           pmod(col("gpos"), lit(SeqLen)).cast("int").as("pos"),
           col("doc_id"), col("token"))
     }),
+    // Training-shard plan: deterministic pseudo-shuffle (Knuth
+    // multiplicative hash of doc_id — engine-portable integer
+    // arithmetic, unlike xxhash64 which DuckDB lacks) + token-budget
+    // packing into output shards. The global running token count is a
+    // TWO-PHASE distributed prefix sum: per-hash-range windows plus a
+    // driver scanLeft of the R range totals broadcast back as a literal
+    // — the scale-correct form of the global cumsum (pack_sequences'
+    // single unpartitioned window is the 100 TB anti-pattern this
+    // replaces for corpus-wide plans; ranges partition h monotonically,
+    // so range-local cumsum + offset ≡ the global cumsum the oracle
+    // computes directly). Output is all-integer → robust hash-match.
+    "training_shard_plan" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val n = size(toks(lower(col("text")))).cast("long")
+      val h = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val rangeWidth = 4294967296L / HashRanges
+      val base = d.select(col("doc_id"), n.as("n_tokens"), h.as("h"))
+        .withColumn("hr", (col("h") / rangeWidth).cast("int"))
+      val totals = base.groupBy("hr").agg(sum("n_tokens").as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until HashRanges)
+        .scanLeft(0L)((acc, r) => acc + totals.getOrElse(r, 0L)).init
+      val offCol = element_at(array(offsets.map(lit): _*), col("hr") + 1)
+      val wIn = Window.partitionBy("hr").orderBy(col("h"), col("doc_id"))
+      base.withColumn("cum", offCol + sum(col("n_tokens")).over(wIn))
+        .select(col("doc_id"),
+          floor((col("cum") - col("n_tokens")).cast("double") / ShardBudget)
+            .cast("int").as("shard_idx"),
+          (col("cum") - col("n_tokens")).as("start_token"),
+          col("n_tokens"))
+    }),
     // The composed curation pass — every stage is an operator verified
     // on its own elsewhere; this row proves they COMPOSE into the
     // "which docs survive curation" decision with per-stage
@@ -814,7 +851,21 @@ object TextQueries extends QueryProvider {
     // negatives; positives re-verified) — same oracle, blocked-variant
     // style
     Map("contamination_bloom" -> oraclesBase("contamination_8gram"),
-      "contamination_stream" -> oraclesBase("contamination_8gram")) ++ oraclesBase
+      "contamination_stream" -> oraclesBase("contamination_8gram"),
+      // the oracle computes the SAME plan with one global cumsum — the
+      // two-phase range split must be exactly equivalent to it
+      "training_shard_plan" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+           |  (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+           |c AS (SELECT doc_id, n_tokens,
+           |      sum(n_tokens) OVER (ORDER BY h, doc_id
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |      FROM d)
+           |SELECT doc_id,
+           |       CAST(floor(CAST(cum - n_tokens AS DOUBLE) / $ShardBudget) AS INT) AS shard_idx,
+           |       CAST(cum - n_tokens AS BIGINT) AS start_token, n_tokens
+           |FROM c""".stripMargin) ++ oraclesBase
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "mixture_plan" ->

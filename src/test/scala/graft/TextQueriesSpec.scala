@@ -15,6 +15,34 @@ class TextQueriesSpec extends AnyFunSuite {
 
   lazy val spark = TestSession.spark
 
+  test("training_shard_plan: spans tile the token stream exactly in hash order, " +
+      "and every shard holds at most one budget of starts") {
+    val rows = graft.queries.TextQueries.queries("training_shard_plan")(
+        spark, TestSession.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // spans are contiguous and non-overlapping in hash order: sort by
+    // start_token, each start equals the previous end
+    val sorted = rows.sortBy(_._3)
+    assert(sorted.head._3 == 0L)
+    sorted.sliding(2).foreach {
+      case Array((_, _, s0, n0), (_, _, s1, _)) => assert(s1 == s0 + n0)
+      case _ =>
+    }
+    // shard assignment recomputes from the span start and the budget
+    rows.foreach { case (_, shard, start, _) =>
+      assert(shard == (start / 2000L).toInt)
+    }
+    // hash order is the plan's order: doc at smaller knuth-hash starts earlier
+    def kh(id: Long) = (id * 2654435761L) % 4294967296L
+    sorted.sliding(2).foreach {
+      case Array((a, _, _, _), (b, _, _, _)) =>
+        assert(kh(a) < kh(b) || (kh(a) == kh(b) && a < b))
+      case _ =>
+    }
+  }
+
   test("line_dedup: rebuild preserves untouched docs exactly; dropped lines repeat " +
       "corpus-wide; kept text is the in-order concatenation of surviving lines") {
     val out = graft.queries.DedupQueries.queries("line_dedup")(spark, TestSession.Sf0001)
