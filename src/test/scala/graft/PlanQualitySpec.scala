@@ -343,4 +343,49 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"fusion must not cartesian-join:\n$plan")
   }
+
+  test("training_shard_plan: prefix-sum windows are hash-range partitioned — " +
+      "no all-to-one-partition exchange (the pack_sequences anti-pattern fixed)") {
+    val plan = planOf(
+      graft.queries.TextQueries.queries("training_shard_plan")(spark, TestSession.Sf0001))
+    assert(!plan.contains("SinglePartition"),
+      s"corpus-wide cumsum must not serialize to one partition:\n$plan")
+    assert(plan.contains("Window"), s"expected the range-local prefix-sum window:\n$plan")
+  }
+
+  test("mmr_diversify: one broadcast candidate join, no corpus-x-corpus product, " +
+      "pool ranking is a partial WindowGroupLimit") {
+    val plan = planOf(graft.queries.RetrievalQueries.queries("mmr_diversify")(
+      spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query batch must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-N pool cut should be a partial group limit:\n$plan")
+  }
+
+  test("knn_bq: codes scan joins the broadcast encoded queries — never a sort-merge " +
+      "join, and the Hamming fold stays in the projection") {
+    val plan = planOf(graft.queries.IndexQueries.queries("knn_bq")(
+      spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"encoded query batch must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"codes table must not shuffle:\n$plan")
+  }
+
+  test("opq encode/search plans: the rotation is a projection — no extra shuffle vs " +
+      "plain PQ, and the rerank stage stays broadcast-only") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val model = graft.index.OpqIndex.train(corpus, 8, nbits = 4, Metric.L2)
+    val encPlan = planOf(graft.index.OpqIndex.encode(corpus, model))
+    assert(!encPlan.contains("Exchange"),
+      s"rotation+encode must be a pure projection:\n$encPlan")
+    val rr = graft.index.Refine.rerank(
+      graft.index.OpqIndex.knn(graft.index.OpqIndex.encode(corpus, model),
+        model, queries, 30),
+      corpus, queries, 10, Metric.L2)
+    val rrPlan = planOf(rr)
+    assert(!rrPlan.contains("SortMergeJoin"),
+      s"refine joins must broadcast, not shuffle the corpus:\n$rrPlan")
+  }
 }
