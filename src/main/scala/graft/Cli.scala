@@ -19,6 +19,7 @@ import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, BqKind, LshKind, Opq
   *   search   -index DIR -query DIR -k K [-nprobe NP] [-limit L]
   *   bench    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors N -dim D -queries Q
   *   info     -index DIR                              meta echo
+  *   merge    -a DIR -b DIR -output DIR               same-kind index union
   *   import   -input gofaiss.json[.gz] -output DIR [-metric l2] [-gzip]
   *
   * `search` opens the index via [[Searcher.open]] (type-detected from
@@ -42,6 +43,7 @@ object Cli {
         |  search   -index /tmp/idx -query /tmp/vecs -k 10 -nprobe 10 -limit 5
         |  bench    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors 10000 -dim 128 -queries 100
         |  info     -index /tmp/idx
+        |  merge    -a /tmp/idxA -b /tmp/idxB -output /tmp/idxM
         |  import   -input index.json -output /tmp/idx -metric l2 [-gzip true]""".stripMargin)
     sys.exit(1)
   }
@@ -201,6 +203,13 @@ object Cli {
         val idx = flags.getOrElse("index", usage())
         IndexIO.readMeta(idx).toSeq.sortBy(_._1)
           .foreach { case (k, v) => println(s"$k: $v") }
+
+      case "merge" =>
+        val a = flags.getOrElse("a", usage())
+        val b = flags.getOrElse("b", usage())
+        val out = flags.getOrElse("output", usage())
+        IndexIO.merge(spark, a, b, out)
+        println(s"merged $a + $b -> $out (${IndexIO.readMeta(out)("index_type")})")
 
       case "import" =>
         val in = flags.getOrElse("input", usage())

@@ -289,4 +289,108 @@ object IndexIO {
       s"index at $path is '${meta("index_type")}', expected '$expectedType'")
     meta
   }
+
+  // ---- Merge (lifecycle: combine two separately built indexes, e.g.
+  // monthly corpus increments, into one) ----
+
+  private def requireDisjoint(a: DataFrame, b: DataFrame): Unit = {
+    val overlap = a.select("id").join(b.select("id"), "id").count()
+    require(overlap == 0,
+      s"cannot merge: $overlap ids present in both indexes — " +
+        "dedup or re-id one side first")
+  }
+
+  /** Merge two persisted indexes of the same kind and configuration into
+    * `out`. Code-table kinds (flat/ivf/pq/opq/bq/sq8/ivfpq/lsh) require
+    * VALUE-IDENTICAL frozen models on both sides (the add-after-train
+    * staleness rule extended to merging: rows encoded under different
+    * models are not comparable) and union their code tables — one
+    * pass over each side, no recompute. Graph kinds (hnsw/hnsw_routed)
+    * rebuild the per-shard graphs from the union of raw vectors under
+    * side A's config — build determinism makes the result bit-identical
+    * to indexing the union from scratch (MaintenanceSpec's incremental
+    * ≡ full property, applied at merge scope). Ids must be disjoint. */
+  def merge(spark: SparkSession, pathA: String, pathB: String, out: String): Unit = {
+    val ma = readMeta(pathA)
+    val mb = readMeta(pathB)
+    checkCompatible(ma("version")); checkCompatible(mb("version"))
+    require(ma("index_type") == mb("index_type"),
+      s"kind mismatch: ${ma("index_type")} vs ${mb("index_type")}")
+    Seq("metric", "dim", "nlist", "m", "ksub", "planes", "num_shards",
+      "ef_construction").foreach { k =>
+      require(ma.get(k) == mb.get(k),
+        s"config mismatch on '$k': ${ma.get(k)} vs ${mb.get(k)}")
+    }
+    ma("index_type") match {
+      case "flat" =>
+        val (va, metric) = loadFlat(spark, pathA)
+        val (vb, _) = loadFlat(spark, pathB)
+        requireDisjoint(va, vb)
+        saveFlat(spark, out, va.unionByName(vb), metric)
+      case "ivf" =>
+        val (modelA, ca) = loadIvf(spark, pathA)
+        val (modelB, cb) = loadIvf(spark, pathB)
+        require(modelA == modelB, "centroids differ — re-assign one side first")
+        requireDisjoint(ca, cb)
+        saveIvf(spark, out, modelA, ca.unionByName(cb))
+      case "pq" =>
+        val (modelA, ca) = loadPq(spark, pathA)
+        val (modelB, cb) = loadPq(spark, pathB)
+        require(modelA == modelB, "codebooks differ — re-encode one side first")
+        requireDisjoint(ca, cb)
+        savePq(spark, out, modelA, ca.unionByName(cb))
+      case "opq" =>
+        val (modelA, ca) = loadOpq(spark, pathA)
+        val (modelB, cb) = loadOpq(spark, pathB)
+        require(modelA == modelB, "rotation/codebooks differ — re-encode one side first")
+        requireDisjoint(ca, cb)
+        saveOpq(spark, out, modelA, ca.unionByName(cb))
+      case "bq" =>
+        val (modelA, ca) = loadBq(spark, pathA)
+        val (modelB, cb) = loadBq(spark, pathB)
+        require(modelA == modelB, "thresholds differ — re-encode one side first")
+        requireDisjoint(ca, cb)
+        saveBq(spark, out, modelA, ca.unionByName(cb))
+      case "sq8" =>
+        val (modelA, ca) = loadSq8(spark, pathA)
+        val (modelB, cb) = loadSq8(spark, pathB)
+        require(modelA == modelB, "quantizer differs — re-encode one side first")
+        requireDisjoint(ca, cb)
+        saveSq8(spark, out, modelA, ca.unionByName(cb))
+      case "ivfpq" =>
+        val (modelA, ca) = loadIvfPq(spark, pathA)
+        val (modelB, cb) = loadIvfPq(spark, pathB)
+        require(modelA == modelB, "centroids/codebooks differ — re-encode one side first")
+        requireDisjoint(ca, cb)
+        saveIvfPq(spark, out, modelA, ca.unionByName(cb))
+      case "lsh" =>
+        val (planes, metric, ca) = loadLsh(spark, pathA)
+        val (_, _, cb) = loadLsh(spark, pathB)
+        requireDisjoint(ca, cb)
+        saveLsh(spark, out, ca.unionByName(cb), planes, metric)
+      case "hnsw" =>
+        val (metric, ga) = loadHnsw(spark, pathA)
+        val (_, gb) = loadHnsw(spark, pathB)
+        requireDisjoint(ga, gb)
+        val union = ga.select(col("id"), col("vec"))
+          .unionByName(gb.select(col("id"), col("vec")))
+        val m = ma("m").toInt
+        val ef = ma("ef_construction").toInt
+        saveHnsw(spark, out,
+          HnswIndex.build(union, ma("num_shards").toInt, metric, m, ef),
+          metric, m, ef)
+      case "hnsw_routed" =>
+        val (modelA, ga) = loadRoutedHnsw(spark, pathA)
+        val (modelB, gb) = loadRoutedHnsw(spark, pathB)
+        require(modelA == modelB, "routing models differ — retrain before merging")
+        requireDisjoint(ga, gb)
+        val union = ga.select(col("id"), col("vec"))
+          .unionByName(gb.select(col("id"), col("vec")))
+        val m = ma("m").toInt
+        val ef = ma("ef_construction").toInt
+        saveRoutedHnsw(spark, out,
+          modelA, RoutedHnswIndex.build(union, modelA, m, ef), m, ef)
+      case t => throw new IllegalArgumentException(s"unmergeable index type '$t'")
+    }
+  }
 }
