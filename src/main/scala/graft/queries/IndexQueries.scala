@@ -334,6 +334,26 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // IVF×BQ composite: coarse probe pruning + Hamming scan of only the
+    // probed clusters' bit codes — the cheapest probe-resident kernel
+    // that exists (dim/8 bytes XOR+popcount per row). Pure composition
+    // of the det-IVF probe machinery and the BQ codes; hash-matched.
+    "knn_ivfbq_det" -> ((s, dir) => {
+      val (corpus, queries, model) = detIvf(s, dir)
+      val bq = BqIndex.train(corpus, Metric.L2)
+      val codes = BqIndex.encode(corpus, bq)
+        .join(IvfIndex.assign(corpus, model).select(col("id"), col("cluster_id")), "id")
+      val p = IvfIndex.probes(queries, model, Nprobe)
+        .select(col("query_id"), col("cluster_id"),
+          BqIndex.encodeCol(col("qvec"), bq).as("qcode"))
+      codes.join(broadcast(p), Seq("cluster_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          BqIndex.hammingCol(col("code"), col("qcode")).as("hamming"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))))
+        .where(col("rank") <= K)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"), col("rank"))
+    }),
     // OPQ×IVFPQ composite (rotation → coarse → residual ADC; pure
     // composition of verified pieces). ADC distances are approximate →
     // structural gates, PLUS the isometry check through the composite's
@@ -706,24 +726,31 @@ object IndexQueries extends QueryProvider {
        |    i -> CAST(CASE WHEN $lv[i] > th[i] THEN 1 ELSE 0 END AS BIGINT))),
        |  (acc, b) -> acc * 2 + b)""".stripMargin
 
-  /** Shared BQ CTEs: midrange thresholds (min/max per dim — the SAME
-    * arithmetic order as the Spark trainer: mn + ((mx-mn)/255)·255/2),
-    * packed corpus + query codes at dim 64 → two 32-bit words. */
-  private val bqCtes: String =
-    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
-       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-       |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
-       |vx AS (SELECT id, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x FROM v),
+  /** BQ quantizer + packed corpus/query codes over `v`/`q`: midrange
+    * thresholds (min/max per dim — the SAME arithmetic order as the
+    * Spark trainer: mn + ((mx-mn)/255)·255/2), dim 64 → two 32-bit
+    * words. Shared by the flat-BQ rows and the IVF×BQ composite. */
+  private val bqEncCtes: String =
+    s"""vx AS (SELECT id, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x FROM v),
        |scc AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM vx GROUP BY pos),
        |thv AS (SELECT list(mn + ((mx - mn) / 255.0) * 255.0 / 2.0 ORDER BY pos) AS th
        |        FROM scc),
        |enc AS (SELECT id, [${bqWord("ev", 1, 32)}, ${bqWord("ev", 33, 64)}] AS code
        |        FROM v, thv),
        |qenc AS (SELECT query_id, [${bqWord("qv", 1, 32)}, ${bqWord("qv", 33, 64)}] AS code
-       |         FROM q, thv),
+       |         FROM q, thv)""".stripMargin
+
+  private def bqHamming(a: String, b: String): String =
+    s"""CAST(bit_count(xor($a[1], $b[1])) + bit_count(xor($a[2], $b[2])) AS BIGINT)"""
+
+  /** Shared BQ CTEs for the flat rows: all-pairs Hamming over v × q. */
+  private val bqCtes: String =
+    s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+       |$bqEncCtes,
        |hd AS (SELECT qe.query_id, e.id AS neighbor_id,
-       |       CAST(bit_count(xor(e.code[1], qe.code[1]))
-       |          + bit_count(xor(e.code[2], qe.code[2])) AS BIGINT) AS hamming
+       |       ${bqHamming("e.code", "qe.code")} AS hamming
        |       FROM qenc qe CROSS JOIN enc e)""".stripMargin
 
   private val bqKnnSql: String =
@@ -769,6 +796,20 @@ object IndexQueries extends QueryProvider {
          |       FROM ex)
          |SELECT query_id, neighbor_id, round(sqrt(ed2), 4) AS distance, CAST(rank AS INT) AS rank
          |FROM rr WHERE rank <= $K""".stripMargin) +
+    ("knn_ivfbq_det" ->
+      s"""WITH $base,
+         |$probeCtes,
+         |$bqEncCtes,
+         |hd AS (SELECT p.query_id, a.id AS neighbor_id,
+         |       ${bqHamming("e.code", "qe.code")} AS hamming
+         |       FROM probes p JOIN assign a ON a.cluster_id = p.bucket
+         |       JOIN enc e ON e.id = a.id
+         |       JOIN qenc qe ON qe.query_id = p.query_id),
+         |r AS (SELECT query_id, neighbor_id, hamming,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+         |      FROM hd)
+         |SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $K""".stripMargin) +
     ("knn_sq8" -> sq8KnnSql) +
     ("knn_sq8_open" -> sq8KnnSql) +
     ("knn_sq8_rerank" ->
