@@ -96,13 +96,18 @@ object Sq8Index {
     * model rides as foldable literals, no UDF, no shuffle. (array<tinyint>
     * rather than a packed binary blob: element-wise decode stays a codegen
     * `transform`, and parquet's byte packing already gets the 4× on disk.) */
-  def encode(vectors: DataFrame, model: Sq8Model): DataFrame = {
+  def encode(vectors: DataFrame, model: Sq8Model): DataFrame =
+    vectors.select(col("id"), encodeExpr(col("vec"), model).as("code"))
+
+  /** Column form of [[encode]] — lets a caller keep sibling columns in
+    * the same projection (e.g. the reconstruction-error contract, which
+    * needs `vec` and `decode(encode(vec))` side by side in ONE scan). */
+  def encodeExpr(vec: Column, model: Sq8Model): Column = {
     val mn = array(model.mins.map(lit): _*)
     val sc = array(model.scales.map(lit): _*)
-    vectors.select(col("id"),
-      transform(col("vec"), (x, i) =>
-        (codeExpr(x, element_at(mn, i + 1), element_at(sc, i + 1)) - lit(128.0))
-          .cast("tinyint")).as("code"))
+    transform(vec, (x, i) =>
+      (codeExpr(x, element_at(mn, i + 1), element_at(sc, i + 1)) - lit(128.0))
+        .cast("tinyint"))
   }
 
   /** Dequantize: `min_d + code_d · scale_d` as a double array column. */

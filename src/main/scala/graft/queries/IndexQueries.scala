@@ -520,6 +520,30 @@ object IndexQueries extends QueryProvider {
         .select(col("id"), col("m"),
           (col("code").cast("int") + 128).as("code"))
     }),
+    // Reconstruction-error contract for the SQ8 quantizer — the lossy-kind
+    // analogue of the reference's GetVectors surface (flat returns stored
+    // vectors verbatim; for a quantized kind the encode→decode round-trip
+    // error IS the fidelity surface a user audits before trusting the
+    // index). Per dimension: mean and max |x − decode(encode(x))|, which
+    // the affine quantizer bounds by scale_d/2; the oracle re-derives
+    // train → encode → decode in SQL, so the bound is hash-verified, not
+    // asserted. ONE corpus scan (encode+decode side by side via
+    // encodeExpr), then a 64-group aggregate — map-side partial, no join.
+    "sq8_recon_error" -> ((s, dir) => {
+      val (corpus, _) = vecTables(s, dir)
+      val model = Sq8Index.train(corpus, Metric.L2)
+      corpus
+        .select(
+          Sq8Index.decode(Sq8Index.encodeExpr(col("vec"), model), model).as("rv"),
+          col("vec"))
+        .select(posexplode(zip_with(col("vec"), col("rv"), (x, r) => abs(x - r)))
+          .as(Seq("d", "e")))
+        .groupBy("d").agg(
+          round(avg("e"), 4).as("avg_abs_err"),
+          round(max("e"), 4).as("max_abs_err"))
+        .select(col("d").cast("int").as("d"),
+          col("avg_abs_err"), col("max_abs_err"))
+    }),
     "knn_sq8" -> ((s, dir) => {
       val (corpus, queries) = vecTables(s, dir)
       val model = Sq8Index.train(corpus, Metric.L2)
@@ -703,7 +727,7 @@ object IndexQueries extends QueryProvider {
     s"""vx AS (SELECT id, generate_subscripts(ev, 1) AS pos, unnest(ev) AS x FROM v),
        |sc AS (SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS s
        |       FROM vx GROUP BY pos),
-       |encl AS (SELECT t.id, t.pos,
+       |encl AS (SELECT t.id, t.pos, t.x,
        |         CASE WHEN s.s > 0 THEN least(255.0, greatest(0.0,
        |              floor((t.x - s.mn) / s.s + 0.5))) ELSE 0.0 END AS cd,
        |         s.mn, s.s
@@ -775,6 +799,13 @@ object IndexQueries extends QueryProvider {
     ("sq8_encode" ->
       s"""WITH $sq8Ctes
          |SELECT id, CAST(pos - 1 AS INT) AS m, CAST(cd AS INT) AS code FROM encl""".stripMargin) +
+    ("sq8_recon_error" ->
+      s"""WITH $sq8Ctes,
+         |err AS (SELECT pos, abs(x - (mn + cd * s)) AS e FROM encl)
+         |SELECT CAST(pos - 1 AS INT) AS d,
+         |       round(avg(e), 4) AS avg_abs_err,
+         |       round(max(e), 4) AS max_abs_err
+         |FROM err GROUP BY pos""".stripMargin) +
     ("bq_encode" ->
       s"""WITH $bqCtes
          |SELECT id, CAST(generate_subscripts(code, 1) - 1 AS INT) AS w,

@@ -40,6 +40,11 @@ object TextQueries extends QueryProvider {
   /** mixture_sample's token-budget fraction of the whole corpus. */
   private val MixBudgetFrac = 0.4
 
+  /** mixture_temperature's exponent α: p_s ∝ tokens_s^α (α = 0.3 is the
+    * mT5/XLM-R multilingual-sampling default — α→1 is natural
+    * proportions, α→0 is uniform over sources). */
+  private val MixAlpha = 0.3
+
   /** Per-source sampling plan: target weight w = 1 + (source number % 4)
     * (a stand-in for a configured weight table — swapping in real weights
     * is a literal-map change), source token mass, and the integer accept
@@ -270,6 +275,65 @@ object TextQueries extends QueryProvider {
         .join(broadcast(plan), Seq("source"))
         .where(col("fp") % lit(1000000L) < col("thresh"))
         .select(col("doc_id"), col("source"))
+    }),
+    // Temperature-scaled source mixture — the multilingual/multi-source
+    // sampling rule (p_s ∝ tokens_s^α, α = 0.3): per source the natural
+    // token share, the temperature share, and the implied up/down-sampling
+    // boost p_temp/p_nat (>1 = upsample small sources). ONE corpus scan:
+    // the per-source token mass is a map-side-partial aggregate (≤ one
+    // row per source); the α-powered normalizer folds over those ~|S|
+    // rows, broadcast back as a 1-row literal. pow/round parity follows
+    // the ln-based LM scores' discipline: both engines do ≤1-ulp double
+    // libm math, then round(…, 4).
+    "mixture_temperature" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val perSrc = d.groupBy("source")
+        .agg(sum(size(toks(col("text")))).as("src_tokens"))
+      val tot = perSrc.agg(
+        sum(col("src_tokens")).cast("double").as("total"),
+        sum(pow(col("src_tokens").cast("double"), lit(MixAlpha))).as("ptot"))
+      val pNat = col("src_tokens") / col("total")
+      val pTemp = pow(col("src_tokens").cast("double"), lit(MixAlpha)) / col("ptot")
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("src_tokens"),
+          round(pNat, 4).as("p_nat"),
+          round(pTemp, 4).as("p_temp"),
+          round(pTemp / pNat, 4).as("boost"))
+    }),
+    // Per-source quality-quantile gate: keep the top quartile of docs by
+    // quality score WITHIN each source (per-source, not global — a clean
+    // source must not crowd out a noisy one entirely). The score is exact
+    // integer micro-units (stopword density − punctuation density, each
+    // floor(ratio·1e6)) so the histogram key is bit-stable across
+    // engines. Scale shape: this is the histogram-CDF quantile, NOT a
+    // corpus-wide rank window — pass 1 aggregates a (source, score)
+    // histogram (map-side partial, |S|·|distinct scores| rows), the CDF
+    // and per-source totals are windows over that TINY frame, and pass 2
+    // re-scans the corpus once with the CDF broadcast. No WindowExec ever
+    // sees a corpus-sized partition (the dup_span_stats de-skew lesson),
+    // and the keep rule below·4 ≥ n·3 is integer-exact — ties at the
+    // quartile boundary share a bucket, so the verdict is deterministic.
+    "quality_quantile_filter" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val txt = lower(col("text"))
+      val t = toks(txt)
+      val nTok = size(t)
+      val punct = length(txt) - length(regexp_replace(txt, "[.,!?;:]", ""))
+      val en = hits(t, enWords)
+      val scored = d.select(col("doc_id"), col("source"),
+        (floor(en.cast("double") * lit(1000000.0) / nTok).cast("long")
+          - floor(punct.cast("double") * lit(1000000.0) / length(txt)).cast("long"))
+          .as("score"))
+      val bySrc = Window.partitionBy("source")
+      val cdf = scored.groupBy("source", "score").agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(sum("cnt").over(
+          bySrc.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_src", sum("cnt").over(bySrc))
+        .select("source", "score", "below", "n_src")
+      scored.join(broadcast(cdf), Seq("source", "score"))
+        .where(col("below") * 4 >= col("n_src") * 3)
+        .select(col("doc_id"), col("source"), col("score"),
+          round(col("below").cast("double") / col("n_src"), 4).as("pct_below"))
     }),
     // Benchmark decontamination: corpus documents sharing any rolling
     // 8-gram with the eval set (doc_id < EvalCap stands in for the
@@ -879,6 +943,36 @@ object TextQueries extends QueryProvider {
          |JOIN mplan ON d.source = mplan.source
          |WHERE fp % 1000000 < thresh""".stripMargin
     },
+    "mixture_temperature" ->
+      s"""WITH s AS (SELECT source,
+         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tokens
+         |           FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(src_tokens) AS DOUBLE) AS total,
+         |             sum(pow(CAST(src_tokens AS DOUBLE), $MixAlpha)) AS ptot FROM s)
+         |SELECT source, src_tokens,
+         |       round(src_tokens / total, 4) AS p_nat,
+         |       round(pow(CAST(src_tokens AS DOUBLE), $MixAlpha) / ptot, 4) AS p_temp,
+         |       round((pow(CAST(src_tokens AS DOUBLE), $MixAlpha) / ptot)
+         |             / (src_tokens / total), 4) AS boost
+         |FROM s, t""".stripMargin,
+    "quality_quantile_filter" ->
+      s"""WITH b AS (SELECT doc_id, source, lower(text) AS text FROM documents),
+         |s AS (SELECT doc_id, source,
+         |        CAST(floor(${sqlHits(enWords)} * 1000000.0
+         |                   / len(string_split(text, ' '))) AS BIGINT)
+         |      - CAST(floor((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+         |                   * 1000000.0 / length(text)) AS BIGINT) AS score
+         |      FROM b),
+         |h AS (SELECT source, score, count(*) AS cnt FROM s GROUP BY source, score),
+         |c AS (SELECT source, score,
+         |        CAST(coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below,
+         |        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |      FROM h)
+         |SELECT s.doc_id, s.source, s.score,
+         |       round(CAST(below AS DOUBLE) / n_src, 4) AS pct_below
+         |FROM s JOIN c ON c.source = s.source AND c.score = s.score
+         |WHERE below * 4 >= n_src * 3""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |       CAST(length(text) AS INT) AS n_chars_m,

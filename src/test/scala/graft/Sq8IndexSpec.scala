@@ -46,6 +46,23 @@ class Sq8IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("sq8_recon_error query: one row per dim, avg ≤ max ≤ scale/2, and the " +
+      "error stats recompute from encodeExpr∘decode") {
+    val (corpus, _) = vecs
+    val model = Sq8Index.train(corpus, Metric.L2)
+    val rows = graft.queries.IndexQueries.queries("sq8_recon_error")(
+        spark, TestSession.Sf0001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == model.dim)
+    assert(rows.map(_._1).sorted.toSeq == (0 until model.dim))
+    rows.foreach { case (d, avg, mx) =>
+      assert(avg <= mx + 1e-9, s"dim $d avg $avg > max $mx")
+      // affine quantizer bound: |x − decode(encode(x))| ≤ scale/2 (+ the
+      // 4-dp rounding the oracle applies)
+      assert(mx <= model.scales(d) / 2 + 5e-5, s"dim $d max $mx vs scale ${model.scales(d)}")
+    }
+  }
+
   test("constant dimension gets scale 0, code 0, exact reconstruction") {
     import spark.implicits._
     val rows = Seq(

@@ -43,6 +43,66 @@ class TextQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture_temperature: both shares sum to 1, p_temp flattens toward uniform " +
+      "(order-preserving), and boost is monotone-decreasing in source size") {
+    val rows = TextQueries.queries("mixture_temperature")(spark, TestSession.Sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-2) // 4-dp rounding × |S|
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-2)
+    val bySize = rows.sortBy(_._2)
+    // temperature preserves the size ordering but compresses it: shares
+    // stay monotone, and the ratio p_temp/p_nat (boost) strictly falls
+    // as sources get bigger — small sources are upsampled.
+    bySize.sliding(2).foreach {
+      case Array(a, b) if a._2 < b._2 =>
+        assert(a._4 <= b._4 + 1e-9, s"p_temp not monotone: $a vs $b")
+        assert(a._5 >= b._5 - 1e-9, s"boost not decreasing: $a vs $b")
+      case _ =>
+    }
+    // flattening: the max/min p_temp ratio is strictly inside the natural ratio
+    val natSpread = bySize.last._3 / bySize.head._3
+    val tempSpread = bySize.last._4 / bySize.head._4
+    assert(tempSpread < natSpread)
+  }
+
+  test("quality_quantile_filter: exact set equality with a driver-side recount " +
+      "of the per-source histogram-CDF quartile rule") {
+    val out = TextQueries.queries("quality_quantile_filter")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val docs = spark.read.parquet(TestSession.Sf0001 + "/documents.parquet")
+      .select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val enWords = Set("the", "and", "is", "of", "to", "a")
+    val scored = docs.map { case (id, src, text) =>
+      val lower = text.toLowerCase
+      val toks = lower.split(" ", -1)
+      val en = toks.count(enWords)
+      val punct = lower.count(".,!?;:".contains(_))
+      val score = math.floor(en * 1000000.0 / toks.length).toLong -
+        math.floor(punct * 1000000.0 / lower.length).toLong
+      (id, src, score)
+    }
+    val expected = scored.groupBy(_._2).iterator.flatMap { case (src, ds) =>
+      val n = ds.length.toLong
+      ds.flatMap { case (id, _, sc) =>
+        val below = ds.count(_._3 < sc).toLong
+        if (below * 4 >= n * 3)
+          Some((id, src, sc, java.math.BigDecimal.valueOf(below.toDouble / n)
+            .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue))
+        else None
+      }
+    }.toSet
+    assert(out.toSet == expected)
+    assert(out.nonEmpty)
+    // kept fraction per source is at most a quarter
+    out.groupBy(_._2).foreach { case (src, kept) =>
+      val n = scored.count(_._2 == src)
+      assert(kept.length * 4 <= n, s"$src kept ${kept.length} of $n")
+    }
+  }
+
   test("line_dedup: rebuild preserves untouched docs exactly; dropped lines repeat " +
       "corpus-wide; kept text is the in-order concatenation of surviving lines") {
     val out = graft.queries.DedupQueries.queries("line_dedup")(spark, TestSession.Sf0001)
