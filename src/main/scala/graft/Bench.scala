@@ -261,7 +261,13 @@ object Bench {
       // round-7 retrieval/selection operators
       "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",
       "distinct_tokens_sketch", "knn_sq8", "knn_ivfsq8_det",
-      "contamination_bloom", "heavy_hitters_sketch")
+      "contamination_bloom", "heavy_hitters_sketch",
+      // round-8 operators: batched retrieval, diversified rerank, shard
+      // planning, chunking, binary quantization, refine stage, mixture
+      // temperature, quantile quality gate, quantization fidelity
+      "bm25_batch", "mmr_diversify", "training_shard_plan", "doc_chunks",
+      "knn_bq", "knn_sq8_rerank", "mixture_temperature",
+      "quality_quantile_filter", "sq8_recon_error")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

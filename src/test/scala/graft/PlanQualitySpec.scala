@@ -271,6 +271,39 @@ class PlanQualitySpec extends AnyFunSuite {
       s"mixture sample must not shuffle-join the corpus:\n$plan")
   }
 
+  test("mixture_temperature: the corpus aggregates once during construction; the " +
+      "returned plan is a driver literal (no second corpus subtree)") {
+    val df = graft.queries.TextQueries.queries("mixture_temperature")(
+      spark, TestSession.Sf0001)
+    val plan = finalPlanOf(df)
+    assert(!plan.contains("Scan parquet"),
+      s"normalizers must not re-aggregate the corpus (dsir multi-scan trap):\n$plan")
+    assert(plan.contains("LocalTableScan"), s"expected a literal plan frame:\n$plan")
+  }
+
+  test("quality_quantile_filter: CDF windows run over the aggregated histogram " +
+      "only (never corpus rows), and the corpus joins the CDF by broadcast") {
+    val df = graft.queries.TextQueries.queries("quality_quantile_filter")(
+      spark, TestSession.Sf0001)
+    df.collect()
+    val plan = finalPlanOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the CDF must broadcast to the corpus side:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"unpartitioned window moves data to one partition:\n$plan")
+    // the window's subtree must contain the histogram aggregate before it
+    // reaches a scan — a window fed raw corpus rows would sort a whole
+    // source in one task (the AQE wrapper hides WindowExec from collect,
+    // so walk the printed final plan: Window … HashAggregate … Scan)
+    val lines = plan.linesIterator.toVector
+    val wi = lines.indexWhere(_.contains("Window"))
+    assert(wi >= 0, s"expected a CDF window in the plan:\n$plan")
+    val si = lines.indexWhere(_.contains("Scan parquet"), wi)
+    assert(si > wi, s"expected a scan below the window:\n$plan")
+    assert(lines.slice(wi, si).exists(_.contains("HashAggregate")),
+      s"window over un-aggregated corpus rows:\n$plan")
+  }
+
   test("pii_scrub stays a pure per-row projection (no shuffle, no join)") {
     val plan = planOf(
       graft.queries.TextQueries.queries("pii_scrub")(spark, TestSession.Sf0001))
