@@ -15,6 +15,8 @@ object VectorQueries extends QueryProvider {
 
   val QueryIds = 8 // embeddings rows with vec_id < 8 act as the query batch
   val K = 10
+  /** knn_class_topk exemplars per (query, label). */
+  val PerClassK = 2
 
   /** (corpus, queries) in canonical shape from the embeddings table. */
   def vecTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -95,6 +97,49 @@ object VectorQueries extends QueryProvider {
     "knn_flat_dot" -> knnQuery(Metric.Dot),
     // the roadmap metric (docs/roadmap.md:89) the reference never shipped
     "knn_flat_manhattan" -> knnQuery(Metric.Manhattan),
+    // Hard-negative mining for embedding-model training: per query, the
+    // nearest corpus vectors with a DIFFERENT label. The label test
+    // references BOTH sides, so this is a predicated kNN join —
+    // knn_flat_filtered's static-pushdown shape can't express it. Plan:
+    // broadcast the (qvec, qlabel) batch, filter label ≠ qlabel BEFORE
+    // ranking (mismatched rows never reach the top-k buffers), then the
+    // usual rank-key kernel. Self-matches are excluded by construction
+    // (same label). Corpus side streams once, never shuffles wide rows.
+    "knn_hard_negatives" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir)
+      val queries = v.where(col("id") < QueryIds)
+        .select(col("id").as("query_id"), col("vec").as("qvec"),
+          col("label").as("qlabel"))
+      val distances = v.crossJoin(broadcast(queries))
+        .where(col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          Metric.L2.rankKey(col("qvec"), col("vec")).as("rank_key"))
+      FlatIndex.topK(distances, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Class-balanced retrieval (few-shot exemplar selection): the
+    // PerClassK nearest corpus rows from EVERY label, per query — the
+    // rank window partitions by (query_id, label), so Spark plans the
+    // same WindowGroupLimit partial top-k sample_stratified relies on:
+    // each partition keeps ≤ PerClassK candidates per (query, label)
+    // before the shuffle.
+    "knn_class_topk" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir)
+      val queries = v.where(col("id") < QueryIds)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      val distances = v.crossJoin(broadcast(queries))
+        .select(col("query_id"), col("label"), col("id").as("neighbor_id"),
+          Metric.L2.rankKey(col("qvec"), col("vec")).as("rank_key"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id", "label")
+        .orderBy(col("rank_key"), col("neighbor_id"))
+      distances.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= PerClassK)
+        .select(col("query_id"), col("label"), col("neighbor_id"),
+          round(Metric.L2.finishRank(col("rank_key")), 4).as("distance"),
+          col("rank").cast("int").as("rank"))
+    }),
     // P3: range search as exact filter (search.go:165-189)
     "range_search_l2" -> ((s, dir) => {
       val (corpus, queries) = vecTables(s, dir)
@@ -207,6 +252,35 @@ object VectorQueries extends QueryProvider {
          |       CAST(0 AS BIGINT) AS n_contraction_violations,
          |       CAST(0 AS BIGINT) AS n_centering_violations""".stripMargin,
     "knn_flat_l2" -> knnOracleSql(sqlL2),
+    "knn_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < $QueryIds),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings),
+         |d AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id, $sqlL2 AS dist
+         |  FROM q CROSS JOIN v WHERE v.label <> q.ql),
+         |r AS (
+         |  SELECT query_id, neighbor_id, dist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |  FROM d)
+         |SELECT query_id, neighbor_id, round(dist, 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $K""".stripMargin,
+    "knn_class_topk" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $QueryIds),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings),
+         |d AS (
+         |  SELECT q.query_id, v.label, v.vec_id AS neighbor_id, $sqlL2 AS dist
+         |  FROM q CROSS JOIN v),
+         |r AS (
+         |  SELECT query_id, label, neighbor_id, dist,
+         |         row_number() OVER (PARTITION BY query_id, label
+         |                            ORDER BY dist, neighbor_id) AS rank
+         |  FROM d)
+         |SELECT query_id, label, neighbor_id, round(dist, 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $PerClassK""".stripMargin,
     "knn_flat_cosine" -> knnOracleSql(sqlCosine),
     "knn_flat_dot" -> knnOracleSql(s"-($sqlDot)"),
     "knn_flat_manhattan" -> knnOracleSql(sqlL1),

@@ -38,6 +38,48 @@ class FlatIndexSpec extends AnyFunSuite {
     assert(r1.where(col("query_id") =!= col("neighbor_id") || col("distance") > 1e-9).count() == 0)
   }
 
+  test("knn_hard_negatives: every neighbor's label differs from the query's, " +
+      "K dense ranks per query, and each distance ≥ the unrestricted flat kNN's") {
+    val dir = TestSession.Sf0001
+    val out = VectorQueries.queries("knn_hard_negatives")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val labels = graft.core.Tables.vectors(spark, dir)
+      .select("id", "label").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val k = VectorQueries.K
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length == k && rows.map(_._4).sorted.toSeq == (1 to k))
+      rows.foreach { case (_, nid, _, _) =>
+        assert(labels(nid) != labels(qid), s"same-label neighbor $nid for query $qid")
+      }
+    }
+    // removing same-label candidates can only push distances up, rank by rank
+    val flat = VectorQueries.queries("knn_flat_l2")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getInt(3)), r.getDouble(2))).toMap
+    out.foreach { case (qid, _, d, rk) =>
+      assert(d >= flat((qid, rk)) - 1e-9, s"hard-negative rank $rk closer than flat for $qid")
+    }
+  }
+
+  test("knn_class_topk: exactly PerClassK dense-ranked rows per (query, label), " +
+      "covering every label, each list ascending") {
+    val dir = TestSession.Sf0001
+    val out = VectorQueries.queries("knn_class_topk")(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getDouble(3), r.getInt(4))))
+    val nLabels = graft.core.Tables.vectors(spark, dir)
+      .select("label").distinct().count()
+    val groups = out.groupBy(_._1)
+    val nq = out.map(_._1._1).distinct.length
+    assert(groups.size.toLong == nq * nLabels, "every (query, label) pair present")
+    groups.foreach { case ((qid, lbl), rows) =>
+      val rs = rows.map(_._2).sortBy(_._3)
+      assert(rs.map(_._3).toSeq == (1 to VectorQueries.PerClassK), s"ranks for ($qid,$lbl)")
+      rs.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 <= b._2 + 1e-12)
+        case _ =>
+      }
+    }
+  }
+
   test("k clamp: k > n returns n results (flat.go:82-84)") {
     val (corpus, queries) = vecs
     val n = corpus.count()

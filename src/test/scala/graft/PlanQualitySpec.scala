@@ -242,6 +242,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"tf⋈df must stay an equi-join:\n$plan")
   }
 
+  test("knn_hard_negatives: broadcast predicated join (label test never becomes " +
+      "a shuffle or nested loop); knn_class_topk rank-limit plans WindowGroupLimit") {
+    val hn = planOf(graft.queries.VectorQueries.queries("knn_hard_negatives")(
+      spark, TestSession.Sf0001))
+    assert(hn.contains("BroadcastNestedLoopJoin") || hn.contains("BroadcastHashJoin"),
+      s"query batch must broadcast:\n$hn")
+    assert(!hn.contains("SortMergeJoin") && !hn.contains("CartesianProduct"),
+      s"corpus must not shuffle for the predicated join:\n$hn")
+    val ct = planOf(graft.queries.VectorQueries.queries("knn_class_topk")(
+      spark, TestSession.Sf0001))
+    assert(ct.contains("WindowGroupLimit"),
+      s"per-(query,label) rank filter must prune partially before the shuffle:\n$ct")
+  }
+
   test("knn_flat_filtered pushes the label predicate into the parquet scan") {
     val plan = planOf(
       graft.queries.VectorQueries.queries("knn_flat_filtered")(spark, TestSession.Sf0001))
