@@ -26,6 +26,8 @@ object DedupQueries extends QueryProvider {
   private val HammingMax = 8
   private val PairCap = 100 // id prefix bound for brute-force pair baselines
   private val MinhashDocCap = 1000
+  /** contamination_fuzzy: doc_id < this is the eval set. */
+  private val FuzzyEvalCap = 20
   private val NdePlanes = 4 // sign-LSH candidate buckets for near_dup_embedding
   /** semdedup_prune: cluster count and the within-cluster cosine
     * similarity above which the larger-id doc of a pair is pruned. */
@@ -167,6 +169,39 @@ object DedupQueries extends QueryProvider {
     "near_dup_keepers" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents").where(col("doc_id") < MinhashDocCap)
       graft.streaming.IncrementalNearDup.keepers(d).select(col("doc_id"))
+    }),
+    // Fuzzy decontamination: corpus docs matched against the eval set
+    // (doc_id < FuzzyEvalCap) by MinHash band collision + exact-Jaccard
+    // confirm — catches PARAPHRASED or partially-rewritten eval leakage
+    // that exact rolling-8-gram decontamination (contamination_8gram)
+    // cannot see. Scale shape: the eval band table is tiny by
+    // construction and BROADCASTS, so the corpus computes signatures in
+    // one scan and never shuffles — unlike near-dup's band SELF-join,
+    // the candidate set here is bounded by |eval| per band bucket.
+    // Verdict per corpus doc: how many eval docs it collides with and
+    // the worst (max) verified Jaccard.
+    "contamination_fuzzy" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").where(col("doc_id") < MinhashDocCap)
+        .select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"),
+          minhashSig(col("text")).as("sig"))
+      def bandsOf(f: DataFrame, idAs: String): DataFrame = f
+        .select(col("doc_id").as(idAs),
+          explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
+        .select(col(idAs), col("band"), bandKey(col("sig"), col("band")).as("key"))
+      val evalD = d.where(col("doc_id") < FuzzyEvalCap)
+      val corp = d.where(col("doc_id") >= FuzzyEvalCap)
+      val cand = bandsOf(corp, "doc_id")
+        .join(broadcast(bandsOf(evalD, "eval_id")), Seq("band", "key"))
+        .select(col("doc_id"), col("eval_id")).distinct()
+      cand
+        .join(corp.select(col("doc_id"), col("ts")), Seq("doc_id"))
+        .join(broadcast(evalD.select(col("doc_id").as("eval_id"), col("ts").as("ts_e"))),
+          Seq("eval_id"))
+        .withColumn("jaccard", jaccard(col("ts"), col("ts_e")))
+        .where(col("jaccard") >= JaccardThreshold)
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_eval_hits"),
+          round(max(col("jaccard")), 4).as("max_jaccard"))
     }),
     // SimHash fingerprints
     "simhash_fingerprint" -> ((s, dir) => {
@@ -374,6 +409,21 @@ object DedupQueries extends QueryProvider {
          |SELECT c.id_a, c.id_b, round(${sqlJaccard("ta.ts", "tb.ts")}, 4) AS jaccard
          |FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
          |WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= $JaccardThreshold""".stripMargin,
+    "contamination_fuzzy" ->
+      s"""WITH $tCteCapped,
+         |s AS (SELECT doc_id, ts, ${sqlMinhashSig("ts")} AS sig FROM t),
+         |be AS (SELECT doc_id AS eval_id, b AS band, ${sqlBandKey("sig", "b")} AS key
+         |       FROM s, range(0, $Bands) AS r(b) WHERE doc_id < $FuzzyEvalCap),
+         |bc AS (SELECT doc_id, b AS band, ${sqlBandKey("sig", "b")} AS key
+         |       FROM s, range(0, $Bands) AS r(b) WHERE doc_id >= $FuzzyEvalCap),
+         |cand AS (SELECT DISTINCT bc.doc_id, be.eval_id
+         |         FROM bc JOIN be ON bc.band = be.band AND bc.key = be.key),
+         |ver AS (SELECT c.doc_id, ${sqlJaccard("tc.ts", "te.ts")} AS j
+         |        FROM cand c JOIN t tc ON tc.doc_id = c.doc_id
+         |                    JOIN t te ON te.doc_id = c.eval_id
+         |        WHERE ${sqlJaccard("tc.ts", "te.ts")} >= $JaccardThreshold)
+         |SELECT doc_id, count(*) AS n_eval_hits, round(max(j), 4) AS max_jaccard
+         |FROM ver GROUP BY doc_id""".stripMargin,
     "dedup_components" ->
       s"""WITH RECURSIVE $tCteCapped,
          |s AS (SELECT doc_id, ts, ${sqlMinhashSig("ts")} AS sig FROM t),

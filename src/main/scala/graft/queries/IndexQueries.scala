@@ -27,6 +27,8 @@ object IndexQueries extends QueryProvider {
   private val Ksub = 16
   private val K = 10
   private val Kprime = 30 // refine overfetch: ADC top-k' before exact re-rank
+  private val BqRadius = 16 // range_search_bq Hamming radius (of dim=64 bits)
+  private val BqRangeMax = 50 // range_search_bq per-query result cap
 
   import VectorQueries.{vecTables, sqlL2SqG}
 
@@ -333,6 +335,26 @@ object IndexQueries extends QueryProvider {
       Refine.rerank(cands, corpus, queries, K, Metric.L2)
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // P3 range search carried to the Hamming kind: every code within
+    // BqRadius bits, ranked (hamming, id), capped at BqRangeMax — the
+    // radius form a filter-by-similarity user wants when "how many near
+    // things exist" matters more than a fixed k. Integer distances, so
+    // the oracle is exact with no rounding discipline at all.
+    "range_search_bq" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = BqIndex.train(corpus, Metric.L2)
+      val q = queries.select(col("query_id"),
+        BqIndex.encodeCol(col("qvec"), model).as("qcode"))
+      BqIndex.encode(corpus, model).crossJoin(broadcast(q))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          BqIndex.hammingCol(col("code"), col("qcode")).as("hamming"))
+        .where(col("hamming") <= BqRadius)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("hamming"), col("neighbor_id"))))
+        .where(col("rank") <= BqRangeMax)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          col("rank").cast("int").as("rank"))
     }),
     // IVF×BQ composite: coarse probe pruning + Hamming scan of only the
     // probed clusters' bit codes — the cheapest probe-resident kernel
@@ -813,6 +835,13 @@ object IndexQueries extends QueryProvider {
          |FROM enc""".stripMargin) +
     ("knn_bq" -> bqKnnSql) +
     ("knn_bq_blocked" -> bqKnnSql) +
+    ("range_search_bq" ->
+      s"""WITH $bqCtes,
+         |r AS (SELECT query_id, neighbor_id, hamming,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+         |      FROM hd WHERE hamming <= $BqRadius)
+         |SELECT query_id, neighbor_id, hamming, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $BqRangeMax""".stripMargin) +
     ("knn_bq_rerank" ->
       s"""WITH $bqCtes,
          |cand AS (SELECT query_id, neighbor_id FROM (

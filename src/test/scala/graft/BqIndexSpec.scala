@@ -91,6 +91,31 @@ class BqIndexSpec extends AnyFunSuite {
     codes.unpersist(); flat.unpersist()
   }
 
+  test("range_search_bq: every row within the radius, dense ranks, per-query cap, " +
+      "and it contains every knn_bq row that falls inside the radius") {
+    val dir = TestSession.Sf0001
+    val rs = graft.queries.IndexQueries.queries("range_search_bq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(rs.nonEmpty)
+    rs.foreach { case (_, _, h, _) => assert(h <= 16) }
+    rs.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length <= 50)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length), s"ranks for $qid")
+    }
+    val inRange = rs.map(r => (r._1, r._2)).toSet
+    val perQ = rs.groupBy(_._1).view.mapValues(_.length).toMap
+    graft.queries.IndexQueries.queries("knn_bq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._3 <= 16)
+      .foreach { case (qid, nid, _) =>
+        // a top-10 neighbor inside the radius can only be missing if the
+        // 50-result cap was hit (it never is on this corpus, but keep the
+        // guard honest)
+        assert(inRange((qid, nid)) || perQ.getOrElse(qid, 0) == 50,
+          s"knn_bq row ($qid,$nid) missing from range result")
+      }
+  }
+
   test("save -> open -> facade search round trip equals knnBlocked") {
     val (corpus, queries) = vecs
     val model = BqIndex.train(corpus, Metric.L2)

@@ -394,6 +394,30 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
   }
 
+  test("contamination_fuzzy: no false positives vs a driver-side exact-Jaccard " +
+      "recount (banding may only UNDER-report), corpus ids only, stats consistent") {
+    val out = graft.queries.DedupQueries.queries("contamination_fuzzy")(
+        spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = spark.read.parquet(TestSession.Sf0001 + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).distinct.toSet))
+    val evalSets = docs.filter(_._1 < 20)
+    def jac(a: Set[String], b: Set[String]): Double =
+      if (a.isEmpty && b.isEmpty) 1.0 else a.intersect(b).size.toDouble / a.union(b).size
+    val truth = docs.filter(_._1 >= 20).map { case (id, ts) =>
+      val js = evalSets.map { case (_, te) => jac(ts, te) }.filter(_ >= 0.6)
+      id -> ((js.length, if (js.isEmpty) 0.0 else js.max))
+    }.toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, hits, mj) =>
+      assert(id >= 20, s"eval doc $id leaked into the corpus side")
+      val (trueHits, trueMax) = truth(id)
+      assert(hits <= trueHits, s"doc $id reports $hits hits, only $trueHits exist")
+      assert(mj >= 0.6 && mj <= trueMax + 5e-5, s"doc $id max_jaccard $mj vs true $trueMax")
+    }
+  }
+
   test("contamination_8gram finds the planted near-dup overlaps and nothing self-paired") {
     val c = graft.queries.TextQueries.queries("contamination_8gram")(spark, TestSession.Sf0001)
       .collect()
