@@ -560,8 +560,16 @@ object Bench {
         vectors, queries, K, Metric.L2))
     results("bq_rerank_qps") = benchQ / bqRRSec
     results("bq_rerank_recall") = recallVs(flatRes, bqRR)
-    bqRR.unpersist(); bqRes.unpersist(); bqCodes.unpersist()
+    bqRR.unpersist(); bqRes.unpersist()
     logSection(results, "bq")
+    if (serveQ > 0) {
+      // cheapest serving-resident state of any kind: dim/8 B per row
+      val server = new graft.query.BqServer(bqCodes, bqModel).warm()
+      timeSingles(results, "serve_bq", singles, 1000.0 * bqSec / benchQ,
+        floor = Some(() => server.floorProbe()))(q => server.search(q, K))
+      server.unpersist()
+    }
+    bqCodes.unpersist()
 
     // IVFPQ
     val (ivfpqModel, ivfpqBuild) = time(
@@ -845,7 +853,7 @@ object Bench {
       "hnsw_routed_c_r2_qps", "hnsw_routed_c_r2_recall",
       "hnsw_routed_c_r4_qps", "hnsw_routed_c_r4_recall",
       "serve_p50_ms", "serve_pq_p50_ms", "serve_sq8_p50_ms", "serve_ivfsq8_p50_ms",
-      "serve_ivfpq_p50_ms", "serve_lsh_p50_ms", "serve_hnsw_p50_ms",
+      "serve_ivfpq_p50_ms", "serve_lsh_p50_ms", "serve_hnsw_p50_ms", "serve_bq_p50_ms",
       "searcher_open_search_sec", "jvm_gc_total_ms",
       // round-7 operator rows — parsed driver evidence, not just BENCH_OUT
       "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",

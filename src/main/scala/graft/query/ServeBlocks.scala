@@ -33,6 +33,12 @@ private[query] final case class CodeBlock(
 private[query] final case class ByteBlock(
     ids: Array[Long], tags: Array[Long], codes: Array[Byte], dim: Int)
 
+/** Long-word sibling for BQ: row r's packed sign words sit at offset
+  * r·words in one flat long array — dim/8 BYTES per row, the cheapest
+  * serving-resident state of any kind (2 longs at dim=64). */
+private[query] final case class WordBlock(
+    ids: Array[Long], words: Array[Long], nWords: Int)
+
 private[query] object ServeBlocks {
 
   /** Serving partition count: enough for parallel scan, few enough that
@@ -61,6 +67,8 @@ private[query] object ServeBlocks {
           tags += tag
           val v = vseq
           if (dim < 0) dim = v.length
+          require(v.length == dim,
+            s"pack: ragged vector for id=$id: length ${v.length} != $dim")
           var i = 0
           while (i < dim) { data += v(i); i += 1 }
         }
@@ -94,6 +102,8 @@ private[query] object ServeBlocks {
           ids += id
           tags += tag
           if (m < 0) m = codeSeq.length
+          require(codeSeq.length == m,
+            s"packCodes: ragged code for id=$id: length ${codeSeq.length} != $m")
           var i = 0
           while (i < m) { codes += codeSeq(i); i += 1 }
         }
@@ -136,6 +146,34 @@ private[query] object ServeBlocks {
         }
         if (dim < 0) Iterator.empty
         else Iterator.single(ByteBlock(ids.result(), tags.result(), codes.result(), dim))
+      }
+      .cache()
+  }
+
+  /** Pack (id, code: array<bigint>) BQ word rows into one [[WordBlock]]
+    * per partition — same contract as the other packers. */
+  def packWords(df: DataFrame): RDD[WordBlock] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("id").cast("long"), col("code"))
+      .as[(Long, Seq[Long])]
+      .rdd
+      .coalesce(ServePartitions, shuffle = false)
+      .mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuilder.make[Long]
+        val words = scala.collection.mutable.ArrayBuilder.make[Long]
+        var n = -1
+        while (it.hasNext) {
+          val (id, w) = it.next()
+          ids += id
+          if (n < 0) n = w.length
+          require(w.length == n,
+            s"packWords: ragged code for id=$id: ${w.length} words != $n")
+          var i = 0
+          while (i < n) { words += w(i); i += 1 }
+        }
+        if (n < 0) Iterator.empty
+        else Iterator.single(WordBlock(ids.result(), words.result(), n))
       }
       .cache()
   }

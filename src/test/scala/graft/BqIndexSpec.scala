@@ -116,6 +116,24 @@ class BqIndexSpec extends AnyFunSuite {
       }
   }
 
+  test("BqServer single-query results equal the batch kernel rows") {
+    val (corpus, queries) = vecs
+    val model = BqIndex.train(corpus, Metric.L2)
+    val codes = BqIndex.encode(corpus, model)
+    val server = new graft.query.BqServer(codes, model).warm()
+    val batch = BqIndex.knnBlocked(codes, model, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .groupBy(_._1)
+    queries.collect().foreach { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Double](1).toArray
+      val served = server.search(q, 10)
+      val expected = batch(qid).sortBy(_._4).map(t => (t._2, t._3, t._4))
+      assert(served.toSeq == expected.toSeq, s"query $qid")
+    }
+    server.unpersist()
+  }
+
   test("save -> open -> facade search round trip equals knnBlocked") {
     val (corpus, queries) = vecs
     val model = BqIndex.train(corpus, Metric.L2)
