@@ -368,6 +368,17 @@ object Bench {
       timeSingles(results, "serve", singles, 1000.0 * ivfSec / benchQ,
         floor = Some(() => server.floorProbe()))(q => server.search(q, K, 10))
       server.unpersist()
+      // -- in-process serving (the reference's deployment shape: heap-
+      // resident structures, zero scheduler in the hot path). Same packed
+      // blocks, same kernels, result-identical (LocalServeSpec); the delta
+      // vs serve_* rows IS the Spark job-dispatch floor. --
+      val localIvf = new graft.query.LocalIvfServer(assigned, ivfModel)
+      timeSingles(results, "serve_local_ivf", singles,
+        1000.0 * ivfSec / benchQ)(q => localIvf.search(q, K, 10))
+      val localFlat = new graft.query.LocalFlatServer(vectors, Metric.L2)
+      timeSingles(results, "serve_local_flat", singles,
+        1000.0 * flatSec / benchQ)(q => localFlat.search(q, K))
+      logSection(results, "serve_local")
     }
 
     // -- facade path: Searcher.open on a PERSISTED index. open() pins the
@@ -418,6 +429,9 @@ object Bench {
       timeSingles(results, "serve_pq", singles, 1000.0 * pqSec / benchQ,
         floor = Some(() => server.floorProbe()))(q => server.search(q, K))
       server.unpersist()
+      val local = new graft.query.LocalPqServer(pqCodes, pqModel)
+      timeSingles(results, "serve_local_pq", singles,
+        1000.0 * pqSec / benchQ)(q => local.search(q, K))
     }
     pqCodes.unpersist()
 
@@ -500,6 +514,9 @@ object Bench {
       timeSingles(results, "serve_sq8", singles, 1000.0 * sq8Sec / benchQ,
         floor = Some(() => server.floorProbe()))(q => server.search(q, K))
       server.unpersist()
+      val local = new graft.query.LocalSq8Server(sq8Codes, sq8Model)
+      timeSingles(results, "serve_local_sq8", singles,
+        1000.0 * sq8Sec / benchQ)(q => local.search(q, K))
       // IVF×SQ8 composite serving (round 8, VERDICT r7 #7): the probe
       // mask bounds the per-query resident scan to ~nprobe/nlist of the
       // byte-packed rows — serve_sq8 is the exhaustive-scan upper bound,
@@ -568,6 +585,11 @@ object Bench {
       timeSingles(results, "serve_bq", singles, 1000.0 * bqSec / benchQ,
         floor = Some(() => server.floorProbe()))(q => server.search(q, K))
       server.unpersist()
+      // whole BQ index is n·dim/8 B — megabytes; the in-process scan is
+      // the closest thing to the reference's sub-ms rows the engine has
+      val local = new graft.query.LocalBqServer(bqCodes, bqModel)
+      timeSingles(results, "serve_local_bq", singles,
+        1000.0 * bqSec / benchQ)(q => local.search(q, K))
     }
     bqCodes.unpersist()
 
@@ -654,6 +676,9 @@ object Bench {
       timeSingles(results, "serve_lsh", singles, 1000.0 * mpSec / benchQ,
         floor = Some(() => lshServer.floorProbe()))(q => lshServer.search(q, K))
       lshServer.unpersist()
+      val local = new graft.query.LocalLshServer(mpIdx, mpPlanes, Metric.L2)
+      timeSingles(results, "serve_local_lsh", singles,
+        1000.0 * mpSec / benchQ)(q => local.search(q, K))
     }
     mpIdx.unpersist()
 
@@ -854,6 +879,9 @@ object Bench {
       "hnsw_routed_c_r4_qps", "hnsw_routed_c_r4_recall",
       "serve_p50_ms", "serve_pq_p50_ms", "serve_sq8_p50_ms", "serve_ivfsq8_p50_ms",
       "serve_ivfpq_p50_ms", "serve_lsh_p50_ms", "serve_hnsw_p50_ms", "serve_bq_p50_ms",
+      // in-process mode: the reference-shape rows (no scheduler floor)
+      "serve_local_flat_p50_ms", "serve_local_ivf_p50_ms", "serve_local_pq_p50_ms",
+      "serve_local_sq8_p50_ms", "serve_local_bq_p50_ms", "serve_local_lsh_p50_ms",
       "searcher_open_search_sec", "jvm_gc_total_ms",
       // round-7 operator rows — parsed driver evidence, not just BENCH_OUT
       "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",

@@ -1,0 +1,213 @@
+package graft.query
+
+import java.util.stream.IntStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.core.Metric
+import graft.index.{BoundedTopK, BqIndex, BqModel, IvfIndex, IvfModel, LshIndex, PqIndex, PqModel, Sq8Model}
+
+/** In-process single-query serving: the SAME packed blocks the
+  * distributed servers scan, collected to the driver ONCE, scanned with
+  * the SAME scalar kernels — zero Spark jobs per query.
+  *
+  * This is the reference's deployment shape: its facade serves queries
+  * against heap-resident structures in-process (pkg/search/search.go —
+  * no scheduler in the hot path), which is why its single-query
+  * latencies are micro-to-milliseconds while every Spark job pays a
+  * ~10-20 ms scheduling floor (the floorProbe rows prove the floor is
+  * dispatch, not scan). The split is deliberate:
+  *
+  *  - `ServingRdd` servers (IvfServer, PqServer, …) are the CLUSTER
+  *    path — resident state sharded across executors; the only shape
+  *    that exists at 100 TB.
+  *  - `Local*Server`s are the SINGLE-HEAP path for state that fits the
+  *    driver (the reference's only mode): flat doubles are n·dim·8 B,
+  *    SQ8 n·dim B, PQ n·M ints, BQ n·dim/8 B — at the reference's own
+  *    protocol (100k × 128d) that is 102 MB worst case and the scan
+  *    costs micro/milliseconds.
+  *
+  * Blocks scan on the JVM common pool (one task per block — same
+  * granularity as ServePartitions); the per-block bounded heaps merge
+  * under the same (rank_key, id) total order as the distributed merge,
+  * so every Local server is result-IDENTICAL to its ServingRdd sibling
+  * (spec-asserted in LocalServeSpec).
+  */
+private[graft] object LocalServe {
+
+  /** Collect packed blocks through the existing packer, then release the
+    * temporary RDD — the driver copy is the only resident state. */
+  def collect[B](packed: org.apache.spark.rdd.RDD[B])(
+      implicit ct: scala.reflect.ClassTag[B]): Array[B] = {
+    val blocks = packed.collect()
+    packed.unpersist()
+    blocks
+  }
+
+  /** Parallel per-block scan → merged (id, rank_key) candidates. */
+  def scan[B](blocks: Array[B], k: Int)(perBlock: (B, BoundedTopK) => Unit)
+      : BoundedTopK = {
+    val partials = new Array[Array[(Long, Double)]](blocks.length)
+    IntStream.range(0, blocks.length).parallel().forEach { bi =>
+      val merge = new BoundedTopK(k)
+      perBlock(blocks(bi), merge)
+      partials(bi) = merge.drainIterator.toArray
+    }
+    val top = new BoundedTopK(k)
+    partials.foreach(_.foreach { case (id, d) => top.insert(id, d) })
+    top
+  }
+}
+
+/** In-process exhaustive scan — the reference's flat kind served the
+  * reference's way. Result-identical to FlatIndex.knnBlocked's order. */
+final class LocalFlatServer(vectors: DataFrame, metric: Metric) {
+  private val blocks: Array[ServeBlock] =
+    LocalServe.collect(ServeBlocks.pack(vectors.withColumn("tag0", lit(0L)), "tag0"))
+
+  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.scan(blocks, k) { (blk, merge) =>
+      val dim = blk.dim
+      var r = 0
+      while (r < blk.ids.length) {
+        merge.insert(blk.ids(r), metric.rankKeyScalar(q, blk.data, r * dim, dim))
+        r += 1
+      }
+    }.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+  }
+}
+
+/** In-process IVF: driver probe ranking + mask-pruned local scan.
+  * Result-identical to [[IvfServer.search]]. */
+final class LocalIvfServer(assigned: DataFrame, model: IvfModel) {
+  private val metric = model.metric
+  private val cents = model.centroids.map(_.toArray).toArray
+  private val blocks: Array[ServeBlock] =
+    LocalServe.collect(ServeBlocks.pack(assigned, "cluster_id"))
+
+  def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val np = math.min(math.max(nprobe, 1), model.nlist)
+    val mask = new Array[Boolean](model.nlist)
+    IvfIndex.probeSet(q, cents, metric, np).foreach(mask(_) = true)
+    LocalServe.scan(blocks, k) { (blk, merge) =>
+      val dim = blk.dim
+      var r = 0
+      while (r < blk.ids.length) {
+        if (mask(blk.tags(r).toInt))
+          merge.insert(blk.ids(r), metric.rankKeyScalar(q, blk.data, r * dim, dim))
+        r += 1
+      }
+    }.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+  }
+}
+
+/** In-process sign-LSH: bucket + Hamming-1 probes, binary-searched per
+  * row. Result-identical to [[LshServer.search]]. */
+final class LocalLshServer(indexed: DataFrame, planes: Int, metric: Metric) {
+  private val blocks: Array[ServeBlock] =
+    LocalServe.collect(ServeBlocks.pack(indexed, "bucket"))
+
+  def search(q: Array[Double], k: Int, hamming: Int = 1): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    require(hamming >= 0 && hamming <= 1, s"hamming radius must be 0 or 1, got $hamming")
+    val qb = LshIndex.bucketScalar(q, planes)
+    val probes: Array[Long] =
+      if (hamming == 0) Array(qb)
+      else (qb +: Array.tabulate(planes)(p => qb ^ (1L << p))).sorted
+    LocalServe.scan(blocks, k) { (blk, merge) =>
+      val dim = blk.dim
+      var r = 0
+      while (r < blk.ids.length) {
+        if (java.util.Arrays.binarySearch(probes, blk.tags(r)) >= 0)
+          merge.insert(blk.ids(r), metric.rankKeyScalar(q, blk.data, r * dim, dim))
+        r += 1
+      }
+    }.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+  }
+}
+
+/** In-process PQ ADC: driver distance table, M int lookups per row.
+  * Result-identical to [[PqServer.search]]. */
+final class LocalPqServer(codes: DataFrame, model: PqModel) {
+  private val blocks: Array[CodeBlock] =
+    LocalServe.collect(ServeBlocks.packCodes(codes, None))
+
+  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val tab = PqIndex.adcTable(q, model)
+    val ksub = model.ksub
+    LocalServe.scan(blocks, k) { (blk, merge) =>
+      val m = blk.m
+      var r = 0
+      while (r < blk.ids.length) {
+        val off = r * m
+        var d = 0.0
+        var mi = 0
+        while (mi < m) { d += tab(mi * ksub + blk.codes(off + mi)); mi += 1 }
+        merge.insert(blk.ids(r), d)
+        r += 1
+      }
+    }.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+}
+
+/** In-process SQ8: inline dequantize scan.
+  * Result-identical to [[Sq8Server.search]]. */
+final class LocalSq8Server(codes: DataFrame, model: Sq8Model) {
+  require(model.metric == Metric.L2,
+    s"LocalSq8Server serves the l2 kind; got ${model.metric.name}")
+  private val blocks: Array[ByteBlock] =
+    LocalServe.collect(ServeBlocks.packBytes(codes))
+
+  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val mins = model.minsArray
+    val scales = model.scalesArray
+    LocalServe.scan(blocks, k) { (blk, merge) =>
+      val dim = blk.dim
+      var r = 0
+      while (r < blk.ids.length) {
+        val off = r * dim
+        var d = 0.0
+        var i = 0
+        while (i < dim) {
+          val t = q(i) - (mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i))
+          d += t * t
+          i += 1
+        }
+        merge.insert(blk.ids(r), d)
+        r += 1
+      }
+    }.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+}
+
+/** In-process BQ: XOR + popcount over packed sign words — at dim/8 bytes
+  * per row the whole index is megabytes; the scan is the cheapest of any
+  * kind. Result-identical to [[BqServer.search]]. */
+final class LocalBqServer(codes: DataFrame, model: BqModel) {
+  private val blocks: Array[WordBlock] =
+    LocalServe.collect(ServeBlocks.packWords(codes))
+
+  def search(q: Array[Double], k: Int): Array[(Long, Long, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val qc = BqIndex.packLocal(q, model.thresholdArray)
+    val nw = qc.length
+    LocalServe.scan(blocks, k) { (blk, merge) =>
+      require(blk.nWords == nw,
+        s"serving block has ${blk.nWords} words, query packs to $nw")
+      var r = 0
+      while (r < blk.ids.length) {
+        val off = r * nw
+        var d = 0L
+        var w = 0
+        while (w < nw) { d += java.lang.Long.bitCount(blk.words(off + w) ^ qc(w)); w += 1 }
+        merge.insert(blk.ids(r), d.toDouble)
+        r += 1
+      }
+    }.ranked.map { case (id, d, r) => (id, d.toLong, r) }
+  }
+}

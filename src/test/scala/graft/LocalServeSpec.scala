@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Metric
+import graft.index._
+import graft.query._
+import graft.queries.VectorQueries
+
+/** The in-process serving mode must be result-IDENTICAL to the
+  * distributed ServingRdd siblings for every kind it covers — the two
+  * paths share the packers and the scalar kernels; these specs pin that
+  * the collected-blocks scan and the common-pool parallel merge change
+  * nothing (same (rank_key, id) total order end to end).
+  */
+class LocalServeSpec extends AnyFunSuite {
+
+  lazy val spark = TestSession.spark
+  private def vecs = VectorQueries.vecTables(spark, TestSession.Sf0001)
+  private val K = 10
+
+  private def queriesArr = vecs._2.collect()
+    .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  test("LocalFlatServer ≡ FlatIndex.knnBlocked across all four metrics") {
+    val (corpus, queries) = vecs
+    for (m <- Seq(Metric.L2, Metric.Cosine, Metric.Dot, Metric.Manhattan)) {
+      val local = new LocalFlatServer(corpus, m)
+      val batch = FlatIndex.knnBlocked(corpus, queries, K, m)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getInt(3))))
+        .groupBy(_._1)
+      queriesArr.foreach { case (qid, q) =>
+        val served = local.search(q, K).toSeq
+        val expected = batch(qid).map(_._2).sortBy(_._3).toSeq
+        assert(served == expected, s"metric ${m.name} query $qid")
+      }
+    }
+  }
+
+  test("LocalIvfServer ≡ IvfServer") {
+    val (corpus, _) = vecs
+    val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
+    val assigned = IvfIndex.assign(corpus, model)
+    val dist = new IvfServer(assigned, model).warm()
+    val local = new LocalIvfServer(assigned, model)
+    queriesArr.foreach { case (qid, q) =>
+      assert(local.search(q, K, nprobe = 3).toSeq == dist.search(q, K, nprobe = 3).toSeq,
+        s"query $qid")
+    }
+    dist.unpersist()
+  }
+
+  test("LocalLshServer ≡ LshServer at both hamming radii") {
+    val (corpus, _) = vecs
+    val planes = 8
+    val indexed = LshIndex.index(corpus, planes)
+    val dist = new LshServer(indexed, planes, Metric.L2).warm()
+    val local = new LocalLshServer(indexed, planes, Metric.L2)
+    for (h <- Seq(0, 1); (qid, q) <- queriesArr)
+      assert(local.search(q, K, h).toSeq == dist.search(q, K, h).toSeq,
+        s"query $qid hamming $h")
+    dist.unpersist()
+  }
+
+  test("LocalPqServer ≡ PqServer") {
+    val (corpus, _) = vecs
+    val model = PqIndex.trainDeterministic(corpus, m = 4, ksub = 16, Metric.L2)
+    val codes = PqIndex.encode(corpus, model)
+    val dist = new PqServer(codes, model).warm()
+    val local = new LocalPqServer(codes, model)
+    queriesArr.foreach { case (qid, q) =>
+      assert(local.search(q, K).toSeq == dist.search(q, K).toSeq, s"query $qid")
+    }
+    dist.unpersist()
+  }
+
+  test("LocalSq8Server ≡ Sq8Server") {
+    val (corpus, _) = vecs
+    val model = Sq8Index.train(corpus, Metric.L2)
+    val codes = Sq8Index.encode(corpus, model)
+    val dist = new Sq8Server(codes, model).warm()
+    val local = new LocalSq8Server(codes, model)
+    queriesArr.foreach { case (qid, q) =>
+      assert(local.search(q, K).toSeq == dist.search(q, K).toSeq, s"query $qid")
+    }
+    dist.unpersist()
+  }
+
+  test("LocalBqServer ≡ BqServer") {
+    val (corpus, _) = vecs
+    val model = BqIndex.train(corpus, Metric.L2)
+    val codes = BqIndex.encode(corpus, model)
+    val dist = new BqServer(codes, model).warm()
+    val local = new LocalBqServer(codes, model)
+    queriesArr.foreach { case (qid, q) =>
+      assert(local.search(q, K).toSeq == dist.search(q, K).toSeq, s"query $qid")
+    }
+    dist.unpersist()
+  }
+}
