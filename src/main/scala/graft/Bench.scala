@@ -716,6 +716,11 @@ object Bench {
       timeSingles(results, "serve_hnsw", singles, 1000.0 * hnswSec / benchQ,
         floor = Some(() => hnswServer.floorProbe()))(
         q => hnswServer.search(q, K, efSearch = 50))
+      // in-process graph walks — the row to hold against the reference's
+      // sub-ms HNSW serving (its search IS this: an in-memory walk)
+      val local = new graft.query.LocalHnswServer(hnswGraph, Metric.L2, hnswShards)
+      timeSingles(results, "serve_local_hnsw", singles,
+        1000.0 * hnswSec / benchQ)(q => local.search(q, K, efSearch = 50))
     }
     hnswServer.unpersist()
     hnswGraph.unpersist()
@@ -882,6 +887,7 @@ object Bench {
       // in-process mode: the reference-shape rows (no scheduler floor)
       "serve_local_flat_p50_ms", "serve_local_ivf_p50_ms", "serve_local_pq_p50_ms",
       "serve_local_sq8_p50_ms", "serve_local_bq_p50_ms", "serve_local_lsh_p50_ms",
+      "serve_local_hnsw_p50_ms",
       "searcher_open_search_sec", "jvm_gc_total_ms",
       // round-7 operator rows — parsed driver evidence, not just BENCH_OUT
       "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",

@@ -185,6 +185,38 @@ final class LocalSq8Server(codes: DataFrame, model: Sq8Model) {
   }
 }
 
+/** In-process sharded HNSW — the reference's flagship serving shape:
+  * its search IS an in-memory graph walk (pkg/index/hnsw/hnsw.go), which
+  * is where its sub-ms serving rows come from. All shard graphs build
+  * driver-side ONCE (same [[graft.index.LocalHnsw]] structures the
+  * executors hold); per query every shard's logarithmic walk runs on
+  * the common pool and merges under the same (rank_key, id) order as
+  * [[HnswServer]] — result-identical. 32 graph walks of a 3k-node shard
+  * are microseconds each; the distributed sibling pays the job-dispatch
+  * floor on exactly the same walks. */
+final class LocalHnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1) {
+  import graft.index.{HnswIndex, LocalHnsw}
+
+  private val graphs: Array[LocalHnsw] = {
+    val nShards =
+      if (numShards > 0) numShards
+      else graph.agg(org.apache.spark.sql.functions.max(col("shard"))).head.getInt(0) + 1
+    HnswIndex.shardGrouped(graph, nShards).collect()
+      .groupBy(_._1).values
+      .map(rs => LocalHnsw.fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), metric))
+      .toArray
+  }
+
+  def search(q: Array[Double], k: Int,
+      efSearch: Int = graft.index.HnswIndex.EfSearch): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val ef = math.max(efSearch, k)
+    LocalServe.scan(graphs, k) { (g, merge) =>
+      g.knn(q, k, ef).foreach { case (id, d) => merge.insert(id, d) }
+    }.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+  }
+}
+
 /** In-process BQ: XOR + popcount over packed sign words — at dim/8 bytes
   * per row the whole index is megabytes; the scan is the cheapest of any
   * kind. Result-identical to [[BqServer.search]]. */

@@ -86,6 +86,19 @@ class LocalServeSpec extends AnyFunSuite {
     dist.unpersist()
   }
 
+  test("LocalHnswServer ≡ HnswServer (same walks, same merge order)") {
+    val (corpus, _) = vecs
+    val shards = 8
+    val graph = HnswIndex.build(corpus, shards, Metric.L2)
+    val dist = new HnswServer(graph, Metric.L2, shards).warm()
+    val local = new LocalHnswServer(graph, Metric.L2, shards)
+    queriesArr.foreach { case (qid, q) =>
+      assert(local.search(q, K, efSearch = 50).toSeq ==
+        dist.search(q, K, efSearch = 50).toSeq, s"query $qid")
+    }
+    dist.unpersist()
+  }
+
   test("LocalBqServer ≡ BqServer") {
     val (corpus, _) = vecs
     val model = BqIndex.train(corpus, Metric.L2)
