@@ -6,7 +6,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, lit}
 
 import graft.core.Metric
-import graft.index.{BoundedTopK, BqIndex, BqModel, IvfIndex, IvfModel, LshIndex, PqIndex, PqModel, Sq8Model}
+import graft.index.{BoundedTopK, BqIndex, BqModel, IvfIndex, IvfModel, IvfPqModel, LshIndex, OpqIndex, OpqModel, PqIndex, PqModel, RoutedHnswIndex, RoutedHnswModel, Sq8Model}
+
+/** Kind-erased in-process serving handle — what [[Searcher.localServer]]
+  * returns: one query in, (id, distance, rank) out, with the facade's
+  * options (nprobe/efSearch) already applied. */
+trait LocalServer {
+  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)]
+}
 
 /** In-process single-query serving: the SAME packed blocks the
   * distributed servers scan, collected to the driver ONCE, scanned with
@@ -182,6 +189,120 @@ final class LocalSq8Server(codes: DataFrame, model: Sq8Model) {
         r += 1
       }
     }.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+}
+
+/** In-process OPQ: driver-side query rotation (one dim² matVec,
+  * microseconds) in front of the PQ scan — same layering as
+  * [[OpqServer]], result-identical to it. */
+final class LocalOpqServer(codes: DataFrame, model: OpqModel) {
+  private val rot = model.rotation.map(_.toArray).toArray
+  private val inner = new LocalPqServer(codes, model.pq)
+  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] =
+    inner.search(OpqIndex.rotateLocal(rot, q), k)
+}
+
+/** In-process IVFPQ: driver probe ranking + hoisted per-cluster residual
+  * ADC tables + tag-masked code scan. Result-identical to
+  * [[IvfPqServer.search]]. */
+final class LocalIvfPqServer(codes: DataFrame, model: IvfPqModel) {
+  private val cents = model.coarse.centroids.map(_.toArray).toArray
+  private val blocks: Array[CodeBlock] =
+    LocalServe.collect(ServeBlocks.packCodes(codes, Some("cluster_id")))
+
+  def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val np = math.min(math.max(nprobe, 1), model.coarse.nlist)
+    val tables = new Array[Array[Double]](model.coarse.nlist)
+    val ksub = model.pq.ksub
+    IvfIndex.probeSet(q, cents, model.coarse.metric, np).foreach { c =>
+      val cent = cents(c)
+      val r = new Array[Double](q.length)
+      var i = 0
+      while (i < q.length) { r(i) = q(i) - cent(i); i += 1 }
+      tables(c) = PqIndex.adcTable(r, model.pq)
+    }
+    LocalServe.scan(blocks, k) { (blk, merge) =>
+      val m = blk.m
+      var r = 0
+      while (r < blk.ids.length) {
+        val tab = tables(blk.tags(r).toInt)
+        if (tab != null) {
+          val off = r * m
+          var d = 0.0
+          var mi = 0
+          while (mi < m) { d += tab(mi * ksub + blk.codes(off + mi)); mi += 1 }
+          merge.insert(blk.ids(r), d)
+        }
+        r += 1
+      }
+    }.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+}
+
+/** In-process IVF×SQ8 composite: probe mask over byte-packed codes.
+  * Result-identical to [[IvfSq8Server.search]]. */
+final class LocalIvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel) {
+  require(sq8.metric == Metric.L2 && ivf.metric == Metric.L2,
+    s"LocalIvfSq8Server serves the l2 kind; got ${sq8.metric.name}/${ivf.metric.name}")
+  private val cents = ivf.centroids.map(_.toArray).toArray
+  private val blocks: Array[ByteBlock] =
+    LocalServe.collect(ServeBlocks.packBytes(codes, Some("cluster_id")))
+
+  def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val np = math.min(math.max(nprobe, 1), ivf.nlist)
+    val mask = new Array[Boolean](ivf.nlist)
+    IvfIndex.probeSet(q, cents, Metric.L2, np).foreach(mask(_) = true)
+    val mins = sq8.minsArray
+    val scales = sq8.scalesArray
+    LocalServe.scan(blocks, k) { (blk, merge) =>
+      val dim = blk.dim
+      var r = 0
+      while (r < blk.ids.length) {
+        if (mask(blk.tags(r).toInt)) {
+          val off = r * dim
+          var d = 0.0
+          var i = 0
+          while (i < dim) {
+            val t = q(i) - (mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i))
+            d += t * t
+            i += 1
+          }
+          merge.insert(blk.ids(r), d)
+        }
+        r += 1
+      }
+    }.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+}
+
+/** In-process routed sharded HNSW — the engine's 100 TB ANN shape served
+  * the reference's way: region probe on the driver, then ONLY the probed
+  * regions' graphs walk. Result-identical to [[graft.index
+  * .RoutedHnswIndex.knn]] (same probe order, same walks, same merge). */
+final class LocalRoutedHnswServer(graph: DataFrame, model: RoutedHnswModel) {
+  import graft.index.{HnswIndex, LocalHnsw}
+
+  // indexed by physical shard id; empty shards stay null
+  private val graphs: Array[LocalHnsw] = {
+    val arr = new Array[LocalHnsw](model.numShards)
+    HnswIndex.shardGrouped(graph, model.numShards).collect()
+      .groupBy(_._1).foreach { case (s, rs) =>
+        arr(s) = LocalHnsw.fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), model.metric)
+      }
+    arr
+  }
+
+  def search(q: Array[Double], k: Int, probeRegions: Int,
+      efSearch: Int = graft.index.HnswIndex.EfSearch): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val ef = math.max(efSearch, k)
+    val probed = RoutedHnswIndex.probeShards(q, model, probeRegions)
+      .map(graphs(_)).filter(_ != null)
+    LocalServe.scan(probed, k) { (g, merge) =>
+      g.knn(q, k, ef).foreach { case (id, d) => merge.insert(id, d) }
+    }.ranked.map { case (id, d, r) => (id, model.metric.finishRankScalar(d), r) }
   }
 }
 

@@ -102,6 +102,49 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
         probeRegions = opts.nprobe, efSearch = opts.efSearch)
   }
 
+  /** In-process serving handle over this index — the reference's
+    * deployment shape (heap-resident structures, zero scheduler in the
+    * hot path; pkg/search/search.go serves exactly this way). Collects
+    * the packed state to the driver ONCE at construction; use when the
+    * packed index fits one heap (see [[LocalServe]]'s scaladoc for
+    * per-kind footprints) — the DataFrame [[search]] stays the cluster
+    * path. Honors this Searcher's nprobe/efSearch; k is per call. Every
+    * kind's local handle is result-identical to its distributed sibling
+    * (LocalServeSpec), with BQ's integer Hamming count reported through
+    * the `distance` slot exactly like the batch facade does. */
+  def localServer(): LocalServer = kind match {
+    case FlatKind(vectors, metric) =>
+      val s = new LocalFlatServer(vectors, metric)
+      (q, k) => s.search(q, k)
+    case IvfKind(model, assigned) =>
+      val s = new LocalIvfServer(assigned, model)
+      (q, k) => s.search(q, k, opts.nprobe)
+    case PqKind(model, codes) =>
+      val s = new LocalPqServer(codes, model)
+      (q, k) => s.search(q, k)
+    case Sq8Kind(model, codes) =>
+      val s = new LocalSq8Server(codes, model)
+      (q, k) => s.search(q, k)
+    case IvfPqKind(model, codes) =>
+      val s = new LocalIvfPqServer(codes, model)
+      (q, k) => s.search(q, k, opts.nprobe)
+    case OpqKind(model, codes) =>
+      val s = new LocalOpqServer(codes, model)
+      (q, k) => s.search(q, k)
+    case BqKind(model, codes) =>
+      val s = new LocalBqServer(codes, model)
+      (q, k) => s.search(q, k).map { case (id, h, r) => (id, h.toDouble, r) }
+    case LshKind(planes, indexed, metric) =>
+      val s = new LocalLshServer(indexed, planes, metric)
+      (q, k) => s.search(q, k, if (opts.efSearch >= 1) 1 else 0)
+    case HnswKind(graph, metric, numShards) =>
+      val s = new LocalHnswServer(graph, metric, numShards)
+      (q, k) => s.search(q, k, opts.efSearch)
+    case RoutedHnswKind(model, graph) =>
+      val s = new LocalRoutedHnswServer(graph, model)
+      (q, k) => s.search(q, k, opts.nprobe, opts.efSearch)
+  }
+
   /** Release the cached table a [[Searcher.open]] call pinned. Idempotent;
     * a Searcher built over caller-owned frames (the [[IndexBuilder]] path)
     * leaves caching to the caller and this is a no-op on uncached input. */

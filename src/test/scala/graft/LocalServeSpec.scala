@@ -86,6 +86,29 @@ class LocalServeSpec extends AnyFunSuite {
     dist.unpersist()
   }
 
+  test("Searcher.localServer() ≡ Searcher.search() for every buildable kind " +
+      "(adapter + option mapping, end to end through the facade)") {
+    val (corpus, queries) = vecs
+    val qArr = queriesArr
+    for (t <- Seq("flat", "ivf", "pq", "sq8", "ivfpq", "opq", "bq", "lsh",
+        "hnsw", "hnsw_routed")) {
+      val s = IndexBuilder()
+        .withIndexType(t)
+        .withIndexOption("nlist", 8).withIndexOption("M", 4)
+        .withIndexOption("shards", 8)
+        .build(corpus).withK(K).withNprobe(4)
+      val batch = s.search(queries)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getInt(3))))
+        .groupBy(_._1)
+      val local = s.localServer()
+      qArr.foreach { case (qid, q) =>
+        val served = local.search(q, K).toSeq
+        val expected = batch(qid).map(_._2).sortBy(_._3).toSeq
+        assert(served == expected, s"kind $t query $qid")
+      }
+    }
+  }
+
   test("LocalHnswServer ≡ HnswServer (same walks, same merge order)") {
     val (corpus, _) = vecs
     val shards = 8
