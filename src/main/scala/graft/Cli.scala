@@ -40,7 +40,7 @@ object Cli {
         |  build    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -input /tmp/vecs -output /tmp/idx
         |           [-metric l2] [-nlist 100] [-m 16] [-nbits 8] [-planes 8]
         |           [-ef 200] [-shards 32]
-        |  search   -index /tmp/idx -query /tmp/vecs -k 10 -nprobe 10 -limit 5
+        |  search   -index /tmp/idx -query /tmp/vecs -k 10 -nprobe 10 -limit 5 [-local true]
         |  bench    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors 10000 -dim 128 -queries 100
         |  info     -index /tmp/idx
         |  merge    -a /tmp/idxA -b /tmp/idxB -output /tmp/idxM
@@ -136,9 +136,25 @@ object Cli {
         flags.get("nprobe").foreach(np => searcher = searcher.withNprobe(np.toInt))
         val queries = spark.read.parquet(qPath)
           .select(col("id").as("query_id"), col("vec").as("qvec"))
-        val (res, n, ms) = searcher.searchTimed(queries)
-        println(s"$n results in ${ms} ms")
-        res.orderBy("query_id", "rank").show(limit, truncate = false)
+        if (flags.contains("local")) {
+          // in-process mode: index collected to the driver once, each
+          // query is a heap-resident scan/walk — no Spark job per query
+          val server = searcher.localServer()
+          val qRows = queries.orderBy("query_id").limit(limit).collect()
+          val t0 = System.nanoTime()
+          val out = qRows.map { r =>
+            (r.getLong(0), server.search(r.getSeq[Double](1).toArray, k))
+          }
+          val ms = (System.nanoTime() - t0) / 1000000L
+          println(s"${out.map(_._2.length).sum} results in ${ms} ms (local mode)")
+          out.foreach { case (qid, rows) =>
+            rows.foreach { case (id, d, rk) => println(f"$qid%8d $id%8d $d%12.4f $rk%4d") }
+          }
+        } else {
+          val (res, n, ms) = searcher.searchTimed(queries)
+          println(s"$n results in ${ms} ms")
+          res.orderBy("query_id", "rank").show(limit, truncate = false)
+        }
 
       case "bench" =>
         val tpe = flags.getOrElse("type", "flat")

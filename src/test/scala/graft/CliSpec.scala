@@ -23,6 +23,10 @@ class CliSpec extends AnyFunSuite {
     Cli.run(spark, "info", Map("index" -> idx))
     Cli.run(spark, "search",
       Map("index" -> idx, "query" -> vecs, "k" -> "3", "nprobe" -> "2", "limit" -> "3"))
+    // in-process serving mode through the same persisted index
+    Cli.run(spark, "search",
+      Map("index" -> idx, "query" -> vecs, "k" -> "3", "nprobe" -> "2",
+        "limit" -> "3", "local" -> "true"))
   }
 
   test("build hnsw (reference default type) -> search lifecycle") {
