@@ -282,6 +282,9 @@ object Bench {
     val queries = syntheticVectors(spark, benchQ, dim, 7777777L, "query_id", "qvec").cache()
     queries.count()
     val serveQ = sys.env.getOrElse("SPARK_GRAFT_BENCH_SERVE", "100").toInt
+    // raw-vector local serving collects benchN·dim·8 B to the driver;
+    // cap well under the 1 GiB spark.driver.maxResultSize default
+    val localVecOk = benchN * dim * 8L <= 700L * 1024 * 1024
     val singles: Array[Array[Double]] =
       if (serveQ > 0) queries.limit(serveQ).collect().map(_.getSeq[Double](1).toArray)
       else Array.empty
@@ -371,14 +374,23 @@ object Bench {
       // -- in-process serving (the reference's deployment shape: heap-
       // resident structures, zero scheduler in the hot path). Same packed
       // blocks, same kernels, result-identical (LocalServeSpec); the delta
-      // vs serve_* rows IS the Spark job-dispatch floor. --
-      val localIvf = new graft.query.LocalIvfServer(assigned, ivfModel)
-      timeSingles(results, "serve_local_ivf", singles,
-        1000.0 * ivfSec / benchQ)(q => localIvf.search(q, K, 10))
-      val localFlat = new graft.query.LocalFlatServer(vectors, Metric.L2)
-      timeSingles(results, "serve_local_flat", singles,
-        1000.0 * flatSec / benchQ)(q => localFlat.search(q, K))
-      logSection(results, "serve_local")
+      // vs serve_* rows IS the Spark job-dispatch floor. The raw-vector
+      // kinds (flat/ivf/lsh/hnsw) collect n·dim·8 B to the driver — the
+      // local mode's documented single-heap contract — so they only run
+      // when that fits under spark.driver.maxResultSize (1M×128d is
+      // 1.02 GiB and aborts the collect); the code-packed kinds (pq/sq8/
+      // bq) are 8-64× smaller and always run. --
+      if (localVecOk) {
+        val localIvf = new graft.query.LocalIvfServer(assigned, ivfModel)
+        timeSingles(results, "serve_local_ivf", singles,
+          1000.0 * ivfSec / benchQ)(q => localIvf.search(q, K, 10))
+        val localFlat = new graft.query.LocalFlatServer(vectors, Metric.L2)
+        timeSingles(results, "serve_local_flat", singles,
+          1000.0 * flatSec / benchQ)(q => localFlat.search(q, K))
+        logSection(results, "serve_local")
+      } else System.err.println(
+        s"[bench] serve_local_{flat,ivf,lsh,hnsw} skipped: $benchN x $dim " +
+          "doubles exceed the driver-resident budget (single-heap contract)")
     }
 
     // -- facade path: Searcher.open on a PERSISTED index. open() pins the
@@ -676,9 +688,11 @@ object Bench {
       timeSingles(results, "serve_lsh", singles, 1000.0 * mpSec / benchQ,
         floor = Some(() => lshServer.floorProbe()))(q => lshServer.search(q, K))
       lshServer.unpersist()
-      val local = new graft.query.LocalLshServer(mpIdx, mpPlanes, Metric.L2)
-      timeSingles(results, "serve_local_lsh", singles,
-        1000.0 * mpSec / benchQ)(q => local.search(q, K))
+      if (localVecOk) {
+        val local = new graft.query.LocalLshServer(mpIdx, mpPlanes, Metric.L2)
+        timeSingles(results, "serve_local_lsh", singles,
+          1000.0 * mpSec / benchQ)(q => local.search(q, K))
+      }
     }
     mpIdx.unpersist()
 
@@ -718,9 +732,11 @@ object Bench {
         q => hnswServer.search(q, K, efSearch = 50))
       // in-process graph walks — the row to hold against the reference's
       // sub-ms HNSW serving (its search IS this: an in-memory walk)
-      val local = new graft.query.LocalHnswServer(hnswGraph, Metric.L2, hnswShards)
-      timeSingles(results, "serve_local_hnsw", singles,
-        1000.0 * hnswSec / benchQ)(q => local.search(q, K, efSearch = 50))
+      if (localVecOk) {
+        val local = new graft.query.LocalHnswServer(hnswGraph, Metric.L2, hnswShards)
+        timeSingles(results, "serve_local_hnsw", singles,
+          1000.0 * hnswSec / benchQ)(q => local.search(q, K, efSearch = 50))
+      }
     }
     hnswServer.unpersist()
     hnswGraph.unpersist()

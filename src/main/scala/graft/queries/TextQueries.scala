@@ -45,6 +45,11 @@ object TextQueries extends QueryProvider {
     * proportions, α→0 is uniform over sources). */
   private val MixAlpha = 0.3
 
+  /** span_corruption_plan: tokens per block (one span masked per full
+    * block) and the max span length. Mask rate ≈ mean_len/block = 10%. */
+  private val SpanBlock = 20
+  private val SpanMaxLen = 3
+
   /** Per-source sampling plan: target weight w = 1 + (source number % 4)
     * (a stand-in for a configured weight table — swapping in real weights
     * is a literal-map change), source token mass, and the integer accept
@@ -338,6 +343,32 @@ object TextQueries extends QueryProvider {
         .where(col("below") * 4 >= col("n_src") * 3)
         .select(col("doc_id"), col("source"), col("score"),
           round(col("below").cast("double") / col("n_src"), 4).as("pct_below"))
+    }),
+    // T5/UL2-style span-corruption PLAN, deterministic: partition each
+    // doc's token stream into fixed SpanBlock-token blocks and mask ONE
+    // pseudo-random span inside every full block. Span starts/lengths
+    // derive from the content fingerprint in pure integer arithmetic,
+    // so a task retry or engine swap cannot move a mask (the doc_split/
+    // mixture_sample RNG-free discipline), and duplicate texts get
+    // identical masks. Blocks make spans non-overlapping BY
+    // CONSTRUCTION — no sequential conflict resolution, so the op is a
+    // projection + explode: embarrassingly parallel at 100 TB. The
+    // short tail block of each doc simply gets no span; the mask rate
+    // is governed by SpanMaxLen/SpanBlock.
+    "span_corruption_plan" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val n = size(toks(col("text")))
+      val nb = floor(n / lit(SpanBlock)).cast("long")
+      val base = d
+        .select(col("doc_id"), docFingerprint(col("text")).as("fp"), nb.as("nb"))
+        .where(col("nb") > 0)
+        .select(col("doc_id"), col("fp"),
+          explode(sequence(lit(0L), col("nb") - 1)).as("b"))
+      val len = lit(1L) + (col("fp") + col("b") * 31L) % lit(SpanMaxLen.toLong)
+      val start = col("b") * SpanBlock +
+        (col("fp") + col("b") * 7L) % (lit(SpanBlock.toLong) - len)
+      base.select(col("doc_id"), col("b").cast("int").as("span_idx"),
+        start.cast("long").as("start_pos"), len.cast("int").as("span_len"))
     }),
     // Benchmark decontamination: corpus documents sharing any rolling
     // 8-gram with the eval set (doc_id < EvalCap stands in for the
@@ -946,6 +977,21 @@ object TextQueries extends QueryProvider {
          |FROM (SELECT doc_id, source, $fp AS fp FROM documents) d
          |JOIN mplan ON d.source = mplan.source
          |WHERE fp % 1000000 < thresh""".stripMargin
+    },
+    "span_corruption_plan" -> {
+      val fp = graft.functions.TextFunctions.sqlDocFingerprint
+      s"""WITH d AS (SELECT doc_id, $fp AS fp,
+         |             CAST(floor(len(string_split(text, ' ')) / $SpanBlock.0) AS BIGINT) AS nb
+         |           FROM documents),
+         |b AS (SELECT doc_id, fp, unnest(range(0, nb)) AS b FROM d WHERE nb > 0),
+         |sp AS (SELECT doc_id, b,
+         |              1 + ((fp + b * 31) % $SpanMaxLen) AS len,
+         |              b * $SpanBlock
+         |                + ((fp + b * 7) % ($SpanBlock - (1 + ((fp + b * 31) % $SpanMaxLen)))) AS st
+         |       FROM b)
+         |SELECT doc_id, CAST(b AS INT) AS span_idx, CAST(st AS BIGINT) AS start_pos,
+         |       CAST(len AS INT) AS span_len
+         |FROM sp""".stripMargin
     },
     "mixture_temperature" ->
       s"""WITH s AS (SELECT source,

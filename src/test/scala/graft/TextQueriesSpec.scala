@@ -394,6 +394,36 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(split.exceptAll(again).isEmpty && again.exceptAll(split).isEmpty)
   }
 
+  test("span_corruption_plan: one span per full block, in-bounds, non-overlapping, " +
+      "and bit-stable against a driver-side fingerprint recount") {
+    val out = TextQueries.queries("span_corruption_plan")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.nonEmpty)
+    val docs = spark.read.parquet(TestSession.Sf0001 + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val Mod = 1000000007L
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % Mod)
+    def fingerprint(text: String): Long =
+      text.split(" ", -1).foldLeft(0L)((a, t) => (a * 31 + tokHash(t)) % Mod)
+    out.groupBy(_._1).foreach { case (id, spans) =>
+      val toks = docs(id).split(" ", -1)
+      val fp = fingerprint(docs(id))
+      val nb = toks.length / 20
+      assert(spans.length == nb, s"doc $id: ${spans.length} spans for $nb blocks")
+      spans.sortBy(_._2).zipWithIndex.foreach { case ((_, b, st, len), i) =>
+        assert(b == i)
+        val expLen = 1 + ((fp + b * 31) % 3)
+        val expSt = b * 20 + ((fp + b * 7) % (20 - expLen))
+        assert(len == expLen && st == expSt, s"doc $id block $b")
+        // span stays inside its own block → non-overlap by construction
+        assert(st >= b * 20 && st + len <= (b + 1) * 20)
+        assert(st + len <= toks.length)
+      }
+    }
+  }
+
   test("contamination_fuzzy: no false positives vs a driver-side exact-Jaccard " +
       "recount (banding may only UNDER-report), corpus ids only, stats consistent") {
     val out = graft.queries.DedupQueries.queries("contamination_fuzzy")(
