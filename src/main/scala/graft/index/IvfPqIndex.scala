@@ -60,6 +60,16 @@ object IvfPqIndex {
         model.pq).as("code"))
   }
 
+  /** Dequantize: coarse centroid + PQ-decoded residual (the inverse of
+    * [[encode]]'s residual quantization). */
+  def decode(clusterId: org.apache.spark.sql.Column,
+      code: org.apache.spark.sql.Column, model: IvfPqModel): org.apache.spark.sql.Column = {
+    val cents = org.apache.spark.sql.functions.typedlit(model.coarse.centroids)
+    org.apache.spark.sql.functions.zip_with(
+      org.apache.spark.sql.functions.element_at(cents, clusterId.cast("int") + 1),
+      PqIndex.decode(code, model.pq), (c, r) => c + r)
+  }
+
   /** Search: probe top-nprobe clusters, ADC against the *query residual*
     * w.r.t. each probed centroid (ivfpq.go:222-284). */
   def search(codes: DataFrame, model: IvfPqModel, queries: DataFrame,

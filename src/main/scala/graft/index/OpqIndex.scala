@@ -180,6 +180,14 @@ object OpqIndex {
     vectors.select(col("id"),
       PqIndex.encodeCol(rotateCol(col("vec"), model), model.pq).as("code"))
 
+  /** Dequantize back to the ORIGINAL space: PQ-decode in the rotated
+    * space, then apply R⁻¹ = Rᵀ (the rotation is orthonormal, so the
+    * original-space reconstruction error equals the rotated-space PQ
+    * error — the isometry ReconstructSpec asserts). */
+  def decode(code: Column, model: OpqModel): Column =
+    VectorFunctions.matVec(typedLit(model.rotation.transpose),
+      PqIndex.decode(code, model.pq))
+
   private def rotateQueries(queries: DataFrame, model: OpqModel): DataFrame =
     queries.select(col("query_id"), rotateCol(col("qvec"), model).as("qvec"))
 

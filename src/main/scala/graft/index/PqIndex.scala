@@ -246,6 +246,17 @@ object PqIndex {
   def encode(vectors: DataFrame, model: PqModel): DataFrame =
     vectors.select(col("id"), encodeCol(col("vec"), model).as("code"))
 
+  /** Dequantize: concatenate each subspace's selected centroid — the
+    * compressed-kind reconstruct (a codes-only index has nothing else to
+    * return for GetVectors; the round-trip error is the fidelity surface
+    * `pq_recon_error` hash-verifies). Codebooks ride as one plan literal;
+    * pure codegen'd projection. */
+  def decode(code: Column, model: PqModel): Column = {
+    val cb = typedLit(model.codebooks)
+    flatten(transform(code, (c, mi) =>
+      element_at(element_at(cb, mi + 1), c + 1)))
+  }
+
   /** ADC squared distance (pq.go:158-168 / ivfpq.go:533-539): Σ_m
     * ‖q_sub(m) − codebook[m][code[m]]‖²; sqrt deferred to the final
     * projection (SURVEY.md §4). */

@@ -85,6 +85,26 @@ object IndexQueries extends QueryProvider {
       PqIndex.encode(corpus, model)
         .select(col("id"), posexplode(col("code")).as(Seq("m", "code")))
     }),
+    // Reconstruction-error contract for the PQ quantizer — like
+    // sq8_recon_error but for the codes-only kind: per dimension, mean
+    // and max |x − decode(encode(x))| under the deterministic codebook.
+    // The oracle re-derives train → encode → decode in SQL, so
+    // PqIndex.decode's codebook concatenation is hash-verified.
+    "pq_recon_error" -> ((s, dir) => {
+      val (corpus, _) = vecTables(s, dir)
+      val model = PqIndex.trainDeterministic(corpus, M, Ksub, Metric.L2)
+      corpus
+        .select(
+          PqIndex.decode(PqIndex.encodeCol(col("vec"), model), model).as("rv"),
+          col("vec"))
+        .select(posexplode(zip_with(col("vec"), col("rv"), (x, r) => abs(x - r)))
+          .as(Seq("d", "e")))
+        .groupBy("d").agg(
+          round(avg("e"), 4).as("avg_abs_err"),
+          round(max("e"), 4).as("max_abs_err"))
+        .select(col("d").cast("int").as("d"),
+          col("avg_abs_err"), col("max_abs_err"))
+    }),
     // A7/A8: ADC search over the full codes table (pq.go:127-178)
     "knn_pq_det" -> ((s, dir) => {
       val (corpus, queries) = vecTables(s, dir)
@@ -1028,6 +1048,22 @@ object IndexQueries extends QueryProvider {
          |src AS (SELECT id, ev AS xv FROM v),
          |${pqCtes("src", carryCluster = false)}
          |SELECT id, CAST(m AS INT) AS m, CAST(code AS INT) AS code FROM enc""".stripMargin,
+    "pq_recon_error" -> {
+      val dsub = 64 / M
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |src AS (SELECT id, ev AS xv FROM v),
+         |${pqCtes("src", carryCluster = false)},
+         |vx AS (SELECT id, generate_subscripts(xv, 1) AS pos, unnest(xv) AS x FROM src),
+         |er AS (SELECT vx.pos,
+         |         abs(vx.x - cb.cbv[CAST((vx.pos - 1) % $dsub AS INT) + 1]) AS e
+         |       FROM vx
+         |       JOIN enc ON enc.id = vx.id AND enc.m = CAST((vx.pos - 1) // $dsub AS INT)
+         |       JOIN cb ON cb.m = enc.m AND cb.j = enc.code)
+         |SELECT CAST(pos - 1 AS INT) AS d,
+         |       round(avg(e), 4) AS avg_abs_err,
+         |       round(max(e), 4) AS max_abs_err
+         |FROM er GROUP BY pos""".stripMargin
+    },
     "knn_pq_det" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
          |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -102,6 +102,36 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
         probeRegions = opts.nprobe, efSearch = opts.efSearch)
   }
 
+  /** GetVectors counterpart (pkg/index flat GetVectors returns stored
+    * vectors verbatim): an (id, vec) frame for every indexed row — exact
+    * for the vector-holding kinds, DEQUANTIZED for the compressed kinds
+    * (the encode→decode round trip whose fidelity the
+    * `sq8_recon_error`/`pq_recon_error` oracle rows gate). BQ stores one
+    * sign bit per dimension — a bit has no magnitude to reconstruct, so
+    * the kind throws rather than invent values. */
+  def reconstruct(): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    kind match {
+      case FlatKind(vectors, _) => vectors.select(col("id"), col("vec"))
+      case IvfKind(_, assigned) => assigned.select(col("id"), col("vec"))
+      case LshKind(_, indexed, _) => indexed.select(col("id"), col("vec"))
+      case HnswKind(graph, _, _) => graph.select(col("id"), col("vec"))
+      case RoutedHnswKind(_, graph) => graph.select(col("id"), col("vec"))
+      case Sq8Kind(model, codes) =>
+        codes.select(col("id"), Sq8Index.decode(col("code"), model).as("vec"))
+      case PqKind(model, codes) =>
+        codes.select(col("id"), PqIndex.decode(col("code"), model).as("vec"))
+      case OpqKind(model, codes) =>
+        codes.select(col("id"), OpqIndex.decode(col("code"), model).as("vec"))
+      case IvfPqKind(model, codes) =>
+        codes.select(col("id"),
+          IvfPqIndex.decode(col("cluster_id"), col("code"), model).as("vec"))
+      case BqKind(_, _) =>
+        throw new UnsupportedOperationException(
+          "bq stores sign bits only — no magnitudes to reconstruct")
+    }
+  }
+
   /** In-process serving handle over this index — the reference's
     * deployment shape (heap-resident structures, zero scheduler in the
     * hot path; pkg/search/search.go serves exactly this way). Collects
