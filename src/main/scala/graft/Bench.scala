@@ -267,7 +267,9 @@ object Bench {
       // temperature, quantile quality gate, quantization fidelity
       "bm25_batch", "mmr_diversify", "training_shard_plan", "doc_chunks",
       "knn_bq", "knn_sq8_rerank", "mixture_temperature",
-      "quality_quantile_filter", "sq8_recon_error")
+      "quality_quantile_filter", "sq8_recon_error",
+      // round-8 session 2: collocation mining + one-pass rollup reporting
+      "pmi_topk", "corpus_rollup")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

@@ -37,6 +37,13 @@ object TextQueries extends QueryProvider {
   private val ShardBudget = 2000L
   private val HashRanges = 8
 
+  /** pmi_topk: co-occurrence window (partners within the next PmiWindow
+    * tokens), the count floor below which a pair is too rare to score,
+    * and the result size. */
+  private val PmiWindow = 2
+  private val PmiMinCount = 5
+  private val PmiTopK = 50
+
   /** mixture_sample's token-budget fraction of the whole corpus. */
   private val MixBudgetFrac = 0.4
 
@@ -807,6 +814,61 @@ object TextQueries extends QueryProvider {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           col("n_chars_t"), col("n_vocab"))
     }),
+    // Corpus reporting at every aggregation level in ONE pass:
+    // rollup(source, lang) computes (source, lang), (source), and ()
+    // grand-total rows in a single shuffle — the standard Spark
+    // GROUPING SETS expansion (each input row feeds all three levels
+    // map-side, so the corpus is scanned once, not three times). NULL
+    // rollup slots are labeled 'ALL'; the corpus has no NULL
+    // source/lang, so the coalesce is unambiguous.
+    "corpus_rollup" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      d.rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks(lower(col("text"))))).as("n_tokens"),
+          sum(length(col("text"))).as("n_chars_t"))
+        .select(coalesce(col("source"), lit("ALL")).as("source_r"),
+          coalesce(col("lang"), lit("ALL")).as("lang_r"),
+          col("n_docs"), col("n_tokens"), col("n_chars_t"))
+    }),
+    // PMI collocations (word2vec/phrase-mining prep): co-occurrence
+    // counts for unordered token pairs within a ±PmiWindow window,
+    // pointwise mutual information against unigram frequencies, top
+    // PmiTopK pairs above a count floor. The 100 TB shape: pair
+    // GENERATION is a pure per-row expression (slice over the token
+    // array — no positional self-join, which at corpus scale would
+    // shuffle every token twice and join on a hot doc_id key); the only
+    // shuffles are the (pair, count) and (token, count) aggregations,
+    // both map-side combined, both bounded by vocab², not corpus size.
+    // Hot pairs (stopword bigrams) are safe: counts combine
+    // associatively in the partial agg. Unigram counts and the two
+    // scalar totals ride back in as broadcasts.
+    "pmi_topk" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val t = toks(lower(col("text")))
+      // for token i (0-based), partners are the next PmiWindow tokens:
+      // slice is 1-based, so they start at position i+2
+      val pairs = d.select(explode(flatten(transform(t, (tok, i) =>
+        transform(slice(t, i + lit(2), lit(PmiWindow)),
+          nb => struct(least(tok, nb).as("tok_a"), greatest(tok, nb).as("tok_b"))))))
+        .as("pr"))
+        .select(col("pr.tok_a"), col("pr.tok_b"))
+      val pc = pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))
+      val uc = d.select(explode(t).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = pc.agg(sum(col("c_ab")).cast("double").as("p"))
+        .crossJoin(uc.agg(sum(col("c")).cast("double").as("t")))
+      pc.join(broadcast(uc.select(col("tok").as("tok_a"), col("c").as("c_a"))), Seq("tok_a"))
+        .join(broadcast(uc.select(col("tok").as("tok_b"), col("c").as("c_b"))), Seq("tok_b"))
+        .crossJoin(broadcast(tot))
+        .where(col("c_ab") >= PmiMinCount)
+        .select(col("tok_a"), col("tok_b"), col("c_ab"),
+          round(log(col("c_ab").cast("double") * col("t") * col("t") /
+            (col("p") * col("c_a").cast("double") * col("c_b").cast("double"))), 4)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+        .limit(PmiTopK)
+    }),
     // Sketch-based distinct counting with a bounded-accuracy oracle: at
     // 100 TB the exact per-source vocabulary count above shuffles every
     // (source, token) pair; HyperLogLog++ (approx_count_distinct) answers
@@ -1282,6 +1344,34 @@ object TextQueries extends QueryProvider {
         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens, n_chars_t,
         |       CAST(n_vocab AS BIGINT) AS n_vocab
         |FROM base JOIN v USING (source)""".stripMargin,
+    "corpus_rollup" ->
+      """SELECT coalesce(source, 'ALL') AS source_r,
+        |       coalesce(lang, 'ALL') AS lang_r,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_chars_t
+        |FROM documents
+        |GROUP BY ROLLUP (source, lang)""".stripMargin,
+    "pmi_topk" ->
+      s"""WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+         |pos AS (SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS tok FROM tk),
+         |pairs AS (SELECT least(a.tok, b.tok) AS tok_a, greatest(a.tok, b.tok) AS tok_b
+         |          FROM pos a JOIN pos b
+         |            ON a.doc_id = b.doc_id AND b.i > a.i AND b.i <= a.i + $PmiWindow),
+         |pc AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+         |uc AS (SELECT tok, count(*) AS c FROM pos GROUP BY 1),
+         |tot AS (SELECT CAST((SELECT count(*) FROM pairs) AS DOUBLE) AS p,
+         |               CAST((SELECT count(*) FROM pos) AS DOUBLE) AS t)
+         |SELECT pc.tok_a, pc.tok_b, CAST(pc.c_ab AS BIGINT) AS c_ab,
+         |       round(ln(CAST(pc.c_ab AS DOUBLE) * tot.t * tot.t /
+         |             (tot.p * CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE))), 4) AS pmi
+         |FROM pc
+         |JOIN uc ua ON ua.tok = pc.tok_a
+         |JOIN uc ub ON ub.tok = pc.tok_b
+         |CROSS JOIN tot
+         |WHERE pc.c_ab >= $PmiMinCount
+         |ORDER BY pmi DESC, pc.tok_a, pc.tok_b
+         |LIMIT $PmiTopK""".stripMargin,
     "distinct_tokens_sketch" ->
       """SELECT source, 1 AS within_5pct FROM documents GROUP BY source""",
     "length_quantiles_sketch" ->

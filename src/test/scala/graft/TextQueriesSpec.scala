@@ -585,4 +585,57 @@ class TextQueriesSpec extends AnyFunSuite {
           s"lang $lang: kept set is not a suffix of the rank order")
     }
   }
+
+  test("pmi_topk: pair counts recompute from a driver-side window sweep and the " +
+      "pmi formula recomputes from the counts") {
+    val out = TextQueries.queries("pmi_topk")(spark, TestSession.Sf0001).collect()
+    assert(out.length == 50)
+    // driver-side recount: unordered pairs within the next-2 window
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+    var totalPairs = 0L
+    val uniCounts = scala.collection.mutable.Map.empty[String, Long]
+    var totalToks = 0L
+    docs.foreach { text =>
+      val ts = text.toLowerCase.split(" ", -1)
+      totalToks += ts.length
+      ts.foreach(t => uniCounts(t) = uniCounts.getOrElse(t, 0L) + 1)
+      for (i <- ts.indices; j <- (i + 1) to math.min(i + 2, ts.length - 1)) {
+        val key = if (ts(i) <= ts(j)) (ts(i), ts(j)) else (ts(j), ts(i))
+        pairCounts(key) = pairCounts.getOrElse(key, 0L) + 1
+        totalPairs += 1
+      }
+    }
+    out.foreach { r =>
+      val (a, b, cab, pmi) = (r.getString(r.fieldIndex("tok_a")),
+        r.getString(r.fieldIndex("tok_b")), r.getLong(r.fieldIndex("c_ab")),
+        r.getDouble(r.fieldIndex("pmi")))
+      assert(a <= b, s"pair not normalized: ($a,$b)")
+      assert(cab >= 5 && pairCounts((a, b)) == cab, s"count mismatch for ($a,$b)")
+      val expect = math.log(cab.toDouble * totalToks * totalToks /
+        (totalPairs.toDouble * uniCounts(a) * uniCounts(b)))
+      assert(math.abs(pmi - expect) < 1e-3, s"pmi mismatch for ($a,$b): $pmi vs $expect")
+    }
+    // ranking: rounded pmi descending, ties by (tok_a, tok_b)
+    val keys = out.map(r => (-r.getDouble(r.fieldIndex("pmi")),
+      r.getString(r.fieldIndex("tok_a")), r.getString(r.fieldIndex("tok_b"))))
+    assert(keys.sameElements(keys.sorted), "rows must arrive in rank order")
+  }
+
+  test("corpus_rollup: ALL rows equal the sums of their children at every level") {
+    val rows = TextQueries.queries("corpus_rollup")(spark, TestSession.Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val leaf = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val bySource = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(grand.length == 1 && rows.length == leaf.length + bySource.length + 1)
+    bySource.foreach { case (src, _, nd, nt, nc) =>
+      val kids = leaf.filter(_._1 == src)
+      assert(kids.map(_._3).sum == nd && kids.map(_._4).sum == nt &&
+        kids.map(_._5).sum == nc, s"per-source rollup mismatch for $src")
+    }
+    assert(leaf.map(_._3).sum == grand.head._3 && leaf.map(_._4).sum == grand.head._4 &&
+      leaf.map(_._5).sum == grand.head._5, "grand-total mismatch")
+  }
 }
