@@ -503,6 +503,9 @@ object Bench {
         timeSingles(results, "serve_opq", aSingles, 1000.0 * opqSec / benchQ,
           floor = Some(() => server.floorProbe()))(q => server.search(q, K))
         server.unpersist()
+        val local = new graft.query.LocalOpqServer(opqCodes, opqModel)
+        timeSingles(results, "serve_local_opq", aSingles,
+          1000.0 * opqSec / benchQ)(q => local.search(q, K))
       }
       opqCodes.unpersist()
       aFlat.unpersist(); aTrain.unpersist(); av.unpersist(); aq.unpersist()
@@ -541,6 +544,9 @@ object Bench {
       timeSingles(results, "serve_ivfsq8", singles, 1000.0 * sq8Sec / benchQ,
         floor = Some(() => composite.floorProbe()))(q => composite.search(q, K, 10))
       composite.unpersist()
+      val localComposite = new graft.query.LocalIvfSq8Server(ivfSq8Codes, sq8Model, ivfModel)
+      timeSingles(results, "serve_local_ivfsq8", singles,
+        1000.0 * sq8Sec / benchQ)(q => localComposite.search(q, K, 10))
     }
     sq8Codes.unpersist()
 
@@ -649,6 +655,9 @@ object Bench {
       timeSingles(results, "serve_ivfpq", singles, 1000.0 * ivfpqSec / benchQ,
         floor = Some(() => server.floorProbe()))(q => server.search(q, K, 10))
       server.unpersist()
+      val local = new graft.query.LocalIvfPqServer(ivfpqCodes, ivfpqModel)
+      timeSingles(results, "serve_local_ivfpq", singles,
+        1000.0 * ivfpqSec / benchQ)(q => local.search(q, K, 10))
     }
     ivfpqCodes.unpersist()
 
@@ -905,7 +914,8 @@ object Bench {
       // in-process mode: the reference-shape rows (no scheduler floor)
       "serve_local_flat_p50_ms", "serve_local_ivf_p50_ms", "serve_local_pq_p50_ms",
       "serve_local_sq8_p50_ms", "serve_local_bq_p50_ms", "serve_local_lsh_p50_ms",
-      "serve_local_hnsw_p50_ms",
+      "serve_local_hnsw_p50_ms", "serve_local_opq_p50_ms",
+      "serve_local_ivfpq_p50_ms", "serve_local_ivfsq8_p50_ms",
       "searcher_open_search_sec", "jvm_gc_total_ms",
       // round-7 operator rows — parsed driver evidence, not just BENCH_OUT
       "bm25_topk", "hybrid_rrf", "dsir_topk", "semdedup_prune",
