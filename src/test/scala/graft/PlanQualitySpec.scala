@@ -435,4 +435,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!rrPlan.contains("SortMergeJoin"),
       s"refine joins must broadcast, not shuffle the corpus:\n$rrPlan")
   }
+
+  test("pmi_topk: pair generation is pure expression (no positional self-join), " +
+      "model joins broadcast, and the top-k is TakeOrdered (no global sort)") {
+    val plan = planOf(graft.queries.TextQueries.queries("pmi_topk")(
+      spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"unigram/total lookups must join by broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"pair counts must never shuffle-join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"ranked head must be TakeOrdered, not a global sort:\n$plan")
+  }
 }
