@@ -17,6 +17,10 @@ object VectorQueries extends QueryProvider {
   val K = 10
   /** knn_class_topk exemplars per (query, label). */
   val PerClassK = 2
+  /** knn_graph: node cap (keeps the oracle's all-pairs re-derivation
+    * tractable) and per-node degree. */
+  val KnnGraphCap = 256
+  val KnnGraphK = 5
 
   /** (corpus, queries) in canonical shape from the embeddings table. */
   def vecTables(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
@@ -139,6 +143,42 @@ object VectorQueries extends QueryProvider {
         .select(col("query_id"), col("label"), col("neighbor_id"),
           round(Metric.L2.finishRank(col("rank_key")), 4).as("distance"),
           col("rank").cast("int").as("rank"))
+    }),
+    // Corpus kNN GRAPH (the building block under semantic dedup /
+    // graph-based clustering): every capped node's k nearest OTHER
+    // nodes. Self-pairs are excluded BEFORE ranking (a predicated kNN
+    // join, like knn_hard_negatives — rank 1 must be the true nearest
+    // neighbor, not the node itself). The capped node set broadcasts as
+    // the query batch while the same rows stream as the corpus — the
+    // exact-graph shape; at 100 TB the graph goes through the LSH/IVF
+    // bucketed kinds instead (near_dup_embedding's gating), this row
+    // pins the exact contract they approximate.
+    "knn_graph" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir).where(col("id") < KnnGraphCap)
+      val queries = v.select(col("id").as("query_id"), col("vec").as("qvec"))
+      val distances = v.crossJoin(broadcast(queries))
+        .where(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          Metric.L2.rankKey(col("qvec"), col("vec")).as("rank_key"))
+      FlatIndex.topK(distances, KnnGraphK, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // Mutual-kNN edges from the graph above: (a, b) kept iff each is in
+    // the other's top-k — the symmetric edge set graph-clustering
+    // pipelines (and kNN-graph dedup) actually consume, since one-way
+    // edges into a hub node over-connect components. Self-join of the
+    // tiny graph result on the swapped key pair; canonical a < b.
+    "knn_graph_mutual" -> ((s, dir) => {
+      val g = queries("knn_graph")(s, dir)
+        .select(col("query_id"), col("neighbor_id"), col("distance"))
+      g.alias("f")
+        .join(g.alias("r"),
+          col("f.query_id") === col("r.neighbor_id") &&
+            col("f.neighbor_id") === col("r.query_id"))
+        .where(col("f.query_id") < col("f.neighbor_id"))
+        .select(col("f.query_id").as("id_a"), col("f.neighbor_id").as("id_b"),
+          col("f.distance"))
     }),
     // P3: range search as exact filter (search.go:165-189)
     "range_search_l2" -> ((s, dir) => {
@@ -299,6 +339,30 @@ object VectorQueries extends QueryProvider {
          |  FROM d)
          |SELECT query_id, neighbor_id, round(dist, 4) AS distance, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= $K""".stripMargin,
+    "knn_graph" ->
+      s"""WITH n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev0
+         |           FROM embeddings WHERE vec_id < $KnnGraphCap),
+         |p AS (SELECT a.id AS query_id, b.id AS neighbor_id, a.ev0 AS qv, b.ev0 AS ev
+         |      FROM n a JOIN n b ON a.id <> b.id),
+         |d AS (SELECT query_id, neighbor_id, sqrt($sqlL2Sq) AS dist FROM p),
+         |r AS (SELECT query_id, neighbor_id, dist,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |      FROM d)
+         |SELECT query_id, neighbor_id, round(dist, 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $KnnGraphK""".stripMargin,
+    "knn_graph_mutual" ->
+      s"""WITH n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev0
+         |           FROM embeddings WHERE vec_id < $KnnGraphCap),
+         |p AS (SELECT a.id AS query_id, b.id AS neighbor_id, a.ev0 AS qv, b.ev0 AS ev
+         |      FROM n a JOIN n b ON a.id <> b.id),
+         |d AS (SELECT query_id, neighbor_id, sqrt($sqlL2Sq) AS dist FROM p),
+         |r AS (SELECT query_id, neighbor_id, dist,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |      FROM d),
+         |g AS (SELECT query_id, neighbor_id, dist FROM r WHERE rank <= $KnnGraphK)
+         |SELECT f.query_id AS id_a, f.neighbor_id AS id_b, round(f.dist, 4) AS distance
+         |FROM g f JOIN g b ON f.query_id = b.neighbor_id AND f.neighbor_id = b.query_id
+         |WHERE f.query_id < f.neighbor_id""".stripMargin,
     "range_search_l2" ->
       s"""WITH $sqlVecCtes,
          |d AS (
