@@ -858,10 +858,16 @@ object TextQueries extends QueryProvider {
         .groupBy("tok").agg(count(lit(1)).as("c"))
       val tot = pc.agg(sum(col("c_ab")).cast("double").as("p"))
         .crossJoin(uc.agg(sum(col("c")).cast("double").as("t")))
-      pc.join(broadcast(uc.select(col("tok").as("tok_a"), col("c").as("c_a"))), Seq("tok_a"))
-        .join(broadcast(uc.select(col("tok").as("tok_b"), col("c").as("c_b"))), Seq("tok_b"))
+      // count floor FIRST, and on both tables: c_ab ≥ floor implies each
+      // member token's count ≥ floor, so dropping sub-floor unigrams
+      // loses nothing — it trims the broadcast to the frequent vocab
+      // (the singleton-dominated heavy tail never ships). At open-web
+      // vocabulary the floor IS the broadcast cap knob.
+      val ucF = uc.where(col("c") >= PmiMinCount)
+      pc.where(col("c_ab") >= PmiMinCount)
+        .join(broadcast(ucF.select(col("tok").as("tok_a"), col("c").as("c_a"))), Seq("tok_a"))
+        .join(broadcast(ucF.select(col("tok").as("tok_b"), col("c").as("c_b"))), Seq("tok_b"))
         .crossJoin(broadcast(tot))
-        .where(col("c_ab") >= PmiMinCount)
         .select(col("tok_a"), col("tok_b"), col("c_ab"),
           round(log(col("c_ab").cast("double") * col("t") * col("t") /
             (col("p") * col("c_a").cast("double") * col("c_b").cast("double"))), 4)
