@@ -43,6 +43,29 @@ object IndexQueries extends QueryProvider {
       val (corpus, _, model) = detIvf(s, dir)
       IvfIndex.assign(corpus, model).select(col("id"), col("cluster_id"))
     }),
+    // A3: per-list sizes (GetListSizes, ivf.go:227-236) — the list-length
+    // distribution an operator reads before picking nprobe. One grouped
+    // count over the assignment; shuffle ∝ nlist.
+    "ivf_list_sizes" -> ((s, dir) => {
+      val (corpus, _, model) = detIvf(s, dir)
+      IvfIndex.assign(corpus, model)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_vectors"))
+    }),
+    // A4: index stats summary (ivf.Stats, ivf.go:199-224) — one row of
+    // structural health: non-empty lists, totals, extremes, and the
+    // imbalance factor max/avg (the serve-skew predictor: probe cost is
+    // bounded by the largest list, so imbalance IS the p99/p50 ratio a
+    // balanced index would serve at).
+    "ivf_stats" -> ((s, dir) => {
+      val (corpus, _, model) = detIvf(s, dir)
+      IvfIndex.assign(corpus, model)
+        .groupBy("cluster_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_nonempty"),
+          sum("n").as("n_vectors"),
+          max("n").as("max_size"),
+          min("n").as("min_size"),
+          round(max("n").cast("double") * count(lit(1)) / sum("n"), 4).as("imbalance"))
+    }),
     // J3 + T1: probe-pruned IVF search (ivf.go:123-160)
     "knn_ivf_det" -> ((s, dir) => {
       val (corpus, queries, model) = detIvf(s, dir)
@@ -1009,6 +1032,19 @@ object IndexQueries extends QueryProvider {
     "ivf_assign_det" ->
       s"""WITH $base
          |SELECT id, cluster_id FROM assign""".stripMargin,
+    "ivf_list_sizes" ->
+      s"""WITH $base
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM assign GROUP BY cluster_id""".stripMargin,
+    "ivf_stats" ->
+      s"""WITH $base,
+         |sz AS (SELECT cluster_id, count(*) AS n FROM assign GROUP BY cluster_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_nonempty,
+         |       CAST(sum(n) AS BIGINT) AS n_vectors,
+         |       CAST(max(n) AS BIGINT) AS max_size,
+         |       CAST(min(n) AS BIGINT) AS min_size,
+         |       round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 4) AS imbalance
+         |FROM sz""".stripMargin,
     "knn_ivf_det" ->
       s"""WITH $base,
          |$probeCtes,
