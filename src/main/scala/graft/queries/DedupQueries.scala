@@ -146,6 +146,26 @@ object DedupQueries extends QueryProvider {
         .where(col("id") === col("comp"))
         .select(col("id").as("doc_id"))
     }),
+    // Quality-priority keeper rule: within each duplicate cluster keep
+    // the LONGEST member (ties to the smaller doc_id) — the standard
+    // curation rule (the longest copy is usually the least truncated),
+    // where dedup_survivors' min-id rule is the arbitrary baseline. The
+    // rank runs per component over cluster-sized groups (duplicate
+    // clusters are small by construction — the candidate join's
+    // selectivity bounds them), not corpus-sized partitions.
+    "dedup_keeper_priority" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents").where(col("doc_id") < MinhashDocCap)
+      val labeled = graft.operators.ConnectedComponents
+        .label(d.select(col("doc_id").as("id")),
+          verifiedPairs(s, dir).select(col("id_a"), col("id_b")))
+      val w = Window.partitionBy("comp")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      labeled.join(d.select(col("doc_id"), col("n_chars")),
+          labeled("id") === col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("comp"), col("n_chars"))
+    }),
     // Batch degenerate form of the STREAMING incremental components
     // operator: one micro-batch step over the capped corpus, labels from
     // the driver union-find. Must equal dedup_components exactly (same
@@ -462,6 +482,30 @@ object DedupQueries extends QueryProvider {
          |  UNION
          |  SELECT e.a, reach.m FROM e JOIN reach ON reach.n = e.b)
          |SELECT n AS doc_id FROM reach GROUP BY n HAVING n = min(m)""".stripMargin,
+    "dedup_keeper_priority" ->
+      s"""WITH RECURSIVE $tCteCapped,
+         |s AS (SELECT doc_id, ts, ${sqlMinhashSig("ts")} AS sig FROM t),
+         |bands AS (SELECT doc_id, b AS band, ${sqlBandKey("sig", "b")} AS key
+         |          FROM s, range(0, $Bands) AS r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT c.id_a, c.id_b
+         |          FROM cand c JOIN t ta ON ta.doc_id = c.id_a
+         |                      JOIN t tb ON tb.doc_id = c.id_b
+         |          WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= $JaccardThreshold),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT e.a, reach.m FROM e JOIN reach ON reach.n = e.b),
+         |lbl AS (SELECT n AS doc_id, min(m) AS comp FROM reach GROUP BY n),
+         |rk AS (SELECT lbl.doc_id, lbl.comp, d.n_chars,
+         |              row_number() OVER (PARTITION BY lbl.comp
+         |                                 ORDER BY d.n_chars DESC, lbl.doc_id) AS rn
+         |       FROM lbl JOIN documents d ON d.doc_id = lbl.doc_id)
+         |SELECT doc_id, comp, n_chars FROM rk WHERE rn = 1""".stripMargin,
     "near_dup_keepers" ->
       s"""WITH $tCteCapped,
          |s AS (SELECT doc_id, ${sqlMinhashSig("ts")} AS sig FROM t),
