@@ -805,6 +805,14 @@ object Bench {
         res.unpersist()
         logSection(results, s"hnsw_routed_r$r")
       }
+      // in-process routed serving — the engine's 100 TB ANN shape in its
+      // deployment mode: driver-side region probe, only R graphs walk
+      if (serveQ > 0) {
+        val local = new graft.query.LocalRoutedHnswServer(rg, routedModel)
+        timeSingles(results, "serve_local_routed", singles,
+          1000.0 * results("hnsw_routed_r8_search_sec") / benchQ)(
+          q => local.search(q, K, probeRegions = 8, efSearch = 50))
+      }
       rg.unpersist()
 
       // Clustered-data comparison. The uniform vectors above are the
@@ -909,6 +917,7 @@ object Bench {
       "serve_local_sq8_p50_ms", "serve_local_bq_p50_ms", "serve_local_lsh_p50_ms",
       "serve_local_hnsw_p50_ms", "serve_local_opq_p50_ms",
       "serve_local_ivfpq_p50_ms", "serve_local_ivfsq8_p50_ms",
+      "serve_local_routed_p50_ms",
       // tier 2 — dials, variants, and section telemetry
       "ivfpq_rerank_qps", "ivfpq_rerank_recall",
       "pq_aniso_recall", "opq_qps", "opq_recall",

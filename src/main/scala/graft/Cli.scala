@@ -19,6 +19,7 @@ import graft.query.{FlatKind, HnswKind, IvfKind, IvfPqKind, BqKind, LshKind, Opq
   *   search   -index DIR -query DIR -k K [-nprobe NP] [-limit L]
   *   bench    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors N -dim D -queries Q
   *   info     -index DIR                              meta echo
+  *   reconstruct -index DIR -output DIR               GetVectors / dequantize dump
   *   merge    -a DIR -b DIR -output DIR               same-kind index union
   *   import   -input gofaiss.json[.gz] -output DIR [-metric l2] [-gzip]
   *
@@ -43,6 +44,7 @@ object Cli {
         |  search   -index /tmp/idx -query /tmp/vecs -k 10 -nprobe 10 -limit 5 [-local true]
         |  bench    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors 10000 -dim 128 -queries 100
         |  info     -index /tmp/idx
+        |  reconstruct -index /tmp/idx -output /tmp/vecs_out
         |  merge    -a /tmp/idxA -b /tmp/idxB -output /tmp/idxM
         |  import   -input index.json -output /tmp/idx -metric l2 [-gzip true]""".stripMargin)
     sys.exit(1)
@@ -219,6 +221,15 @@ object Cli {
         val idx = flags.getOrElse("index", usage())
         IndexIO.readMeta(idx).toSeq.sortBy(_._1)
           .foreach { case (k, v) => println(s"$k: $v") }
+
+      case "reconstruct" =>
+        // GetVectors through the facade: verbatim for vector-holding
+        // kinds, dequantized for SQ8/PQ/OPQ/IVFPQ, refused for BQ
+        val idx = flags.getOrElse("index", usage())
+        val out = flags.getOrElse("output", usage())
+        val rec = Searcher.open(spark, idx).reconstruct()
+        rec.write.mode("overwrite").parquet(out)
+        println(s"reconstructed ${spark.read.parquet(out).count()} vectors -> $out")
 
       case "merge" =>
         val a = flags.getOrElse("a", usage())

@@ -108,4 +108,25 @@ class CliSpec extends AnyFunSuite {
     Cli.run(spark, "bench",
       Map("type" -> "flat", "vectors" -> "200", "dim" -> "8", "queries" -> "10"))
   }
+
+  test("reconstruct subcommand: exact for flat, dequantized round trip for sq8") {
+    val vecs = Files.createTempDirectory("cli_vecs_r").toString
+    Cli.run(spark, "generate",
+      Map("n" -> "100", "dim" -> "8", "seed" -> "5", "output" -> vecs))
+    val truth = spark.read.parquet(vecs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for ((tpe, exact) <- Seq("flat" -> true, "sq8" -> false)) {
+      val idx = Files.createTempDirectory(s"cli_idx_r_$tpe").toString
+      val out = Files.createTempDirectory(s"cli_rec_$tpe").toString
+      Cli.run(spark, "build", Map("type" -> tpe, "input" -> vecs, "output" -> idx))
+      Cli.run(spark, "reconstruct", Map("index" -> idx, "output" -> out))
+      val rec = spark.read.parquet(out).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      assert(rec.keySet == truth.keySet)
+      if (exact) rec.foreach { case (id, v) => assert(v == truth(id), s"$tpe $id") }
+      else rec.foreach { case (id, v) =>
+        v.zip(truth(id)).foreach { case (a, b) => assert(math.abs(a - b) < 0.1) }
+      }
+    }
+  }
 }
