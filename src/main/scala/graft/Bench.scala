@@ -806,8 +806,12 @@ object Bench {
         logSection(results, s"hnsw_routed_r$r")
       }
       // in-process routed serving — the engine's 100 TB ANN shape in its
-      // deployment mode: driver-side region probe, only R graphs walk
-      if (serveQ > 0) {
+      // deployment mode: driver-side region probe, only R graphs walk.
+      // Same single-heap contract as the other Local* rows: the resident
+      // graph is the raw vectors plus neighbor lists, so it rides the
+      // raw-vector footprint gate (collecting it at 1M rows exceeds
+      // spark.driver.maxResultSize and would abort the whole run).
+      if (serveQ > 0 && localVecOk) {
         val local = new graft.query.LocalRoutedHnswServer(rg, routedModel)
         timeSingles(results, "serve_local_routed", singles,
           1000.0 * results("hnsw_routed_r8_search_sec") / benchQ)(
