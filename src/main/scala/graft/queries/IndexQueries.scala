@@ -25,6 +25,9 @@ object IndexQueries extends QueryProvider {
   private val Nprobe = 4
   private val M = 8
   private val Ksub = 16
+  // ksub for the 9-bit PQ row: needs dense id residues mod ksub at both
+  // verify scales (sf0.01 has 500 embeddings, sf0.1 has 5000)
+  private val KsubWide = 500
   private val K = 10
   private val Kprime = 30 // refine overfetch: ADC top-k' before exact re-rank
   private val BqRadius = 16 // range_search_bq Hamming radius (of dim=64 bits)
@@ -132,6 +135,19 @@ object IndexQueries extends QueryProvider {
     "knn_pq_det" -> ((s, dir) => {
       val (corpus, queries) = vecTables(s, dir)
       val model = PqIndex.trainDeterministic(corpus, M, Ksub, Metric.L2)
+      PqIndex.knn(PqIndex.encode(corpus, model), model, queries, K)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
+    // nbits>8 configuration (pq.go:45-47 admits nbits up to 16; nothing
+    // else in the repo ran ksub>256 before this row): ksub=500 → 9-bit
+    // codes, max code 499. Codes travel as ARRAY<INT> end-to-end
+    // (sparkx/IndexExpressions.scala pqEncode dataType), so the wide
+    // config is purely a parameter change — this row pins that codes
+    // above 255 encode and ADC-search correctly.
+    "knn_pq_det_wide" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = PqIndex.trainDeterministic(corpus, M, KsubWide, Metric.L2)
       PqIndex.knn(PqIndex.encode(corpus, model), model, queries, K)
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
@@ -729,10 +745,10 @@ object IndexQueries extends QueryProvider {
 
   /** PQ codebook + encode CTEs over a (id[, cluster_id], xv) relation
     * named `src`; bucket j = id % ksub per subspace. */
-  private def pqCtes(src: String, carryCluster: Boolean): String = {
+  private def pqCtes(src: String, carryCluster: Boolean, ksub: Int = Ksub): String = {
     val dsub = 64 / M
     val cluster = if (carryCluster) ", cluster_id" else ""
-    s"""cbl AS (SELECT CAST(id % $Ksub AS INT) AS j,
+    s"""cbl AS (SELECT CAST(id % $ksub AS INT) AS j,
        |               CAST((pos - 1) // $dsub AS INT) AS m,
        |               CAST((pos - 1) % $dsub AS INT) AS spos, x
        |        FROM (SELECT id, generate_subscripts(xv, 1) AS pos, unnest(xv) AS x FROM $src)),
@@ -1106,6 +1122,18 @@ object IndexQueries extends QueryProvider {
          |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
          |src AS (SELECT id, ev AS xv FROM v),
          |${pqCtes("src", carryCluster = false)},
+         |part AS (SELECT q.query_id, e.id AS neighbor_id, e.m,
+         |  list_reduce(list_transform(range(1, ${64 / M + 1}),
+         |    i -> (qv[e.m*${64 / M} + i] - cbv[i]) * (qv[e.m*${64 / M} + i] - cbv[i])),
+         |    (x, y) -> x + y) AS pd
+         |  FROM q CROSS JOIN enc e JOIN cb ON cb.m = e.m AND cb.j = e.code),
+         |$adcFinal""".stripMargin,
+    "knn_pq_det_wide" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+         |src AS (SELECT id, ev AS xv FROM v),
+         |${pqCtes("src", carryCluster = false, ksub = KsubWide)},
          |part AS (SELECT q.query_id, e.id AS neighbor_id, e.m,
          |  list_reduce(list_transform(range(1, ${64 / M + 1}),
          |    i -> (qv[e.m*${64 / M} + i] - cbv[i]) * (qv[e.m*${64 / M} + i] - cbv[i])),

@@ -99,6 +99,32 @@ class BacklogFixSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not dense"))
   }
 
+  test("PQ wide ksub (9-bit codes): codes above 255 encode, search, and persist") {
+    import org.apache.spark.sql.functions.{col, element_at, max => smax}
+    // 320 vectors, ksub=320 → each id its own codebook entry; codes run
+    // 0..319, so any byte-shaped storage or sign bug surfaces here
+    val corpus = graft.core.VectorGen.random(spark, 320, 8, seed = 7L)
+    val model = PqIndex.trainDeterministic(corpus, m = 2, ksub = 320, Metric.L2)
+    assert(model.ksub == 320)
+    val codes = PqIndex.encode(corpus, model).cache()
+    val maxCode = codes
+      .select(smax(element_at(col("code"), 1)).cast("int")).collect()(0).getInt(0)
+    assert(maxCode > 255, s"wide config never produced a >8-bit code (max=$maxCode)")
+    val queries = corpus.where(col("id") < 3)
+      .select(col("id").as("query_id"), col("vec").as("qvec"))
+    val plan = PqIndex.knn(codes, model, queries, 5)
+    val blocked = PqIndex.knnBlocked(codes, model, queries, 5)
+    assert(plan.exceptAll(blocked).count() == 0 && blocked.exceptAll(plan).count() == 0,
+      "wide-ksub blocked kernel diverged from the plan path")
+    // persistence round-trip keeps int-shaped codes intact
+    val dir = java.nio.file.Files.createTempDirectory("pq_wide").toString
+    graft.io.IndexIO.savePq(spark, dir, model, codes)
+    val (m2, c2) = graft.io.IndexIO.loadPq(spark, dir)
+    assert(m2.ksub == 320)
+    assert(c2.select("id", "code").exceptAll(codes.select("id", "code")).count() == 0)
+    codes.unpersist()
+  }
+
   test("trainingSample keeps the cap smallest ids as LONGs, no global sort") {
     val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
     val ts = Centroids.trainingSample(corpus, 100, "id", "vec")
