@@ -31,6 +31,19 @@ private[graft] final class BoundedTopK(k: Int) {
     }
   }
 
+  /** [[insert]] that skips an id already buffered — the replicated-graph
+    * merge path ([[RoutedHnswIndex]] closure assignment): the same vector
+    * can surface from several probed regions with an identical,
+    * deterministic rank key, and the duplicate must not occupy a second
+    * slot (displacing a real candidate). O(size) primitive scan — same
+    * cost class as the O(k) shift insert. */
+  def insertDistinct(id: Long, d: Double): Unit = {
+    var i = 0
+    val sz = size
+    while (i < sz) { if (ids(i) == id) return; i += 1 }
+    insert(id, d)
+  }
+
   /** This buffer's (id, dist) entries, ascending. */
   def drainIterator: Iterator[(Long, Double)] =
     (0 until size).iterator.map(r => (ids(r), dists(r)))

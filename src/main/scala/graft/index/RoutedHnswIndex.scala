@@ -84,16 +84,65 @@ object RoutedHnswIndex {
     RoutedHnswModel(cents, sub.toVector, metric)
   }
 
+  /** Region id → physical shard id: sub-shard = id-hash within the
+    * region's balance split. Pure Column arithmetic. */
+  private def physicalShard(c: Column, model: RoutedHnswModel): Column = {
+    val offLit = array(model.offsets.map(lit).toIndexedSeq: _*)
+    val subLit = array(model.subShards.map(lit).toIndexedSeq: _*)
+    element_at(offLit, c + 1) +
+      pmod(xxhash64(col("id").cast("long")), element_at(subLit, c + 1).cast("long"))
+        .cast("int")
+  }
+
   /** Physical shard of a row: region = nearest centroid, sub-shard =
     * id-hash within the region's split — all codegen'd Column arithmetic
     * (no UDF), so a 100 TB assign is a pure projection. */
-  private[graft] def shardExpr(model: RoutedHnswModel): Column = {
-    val c = Centroids.nearest(col("vec"), model.centroids, model.metric)
-    val offLit = array(model.offsets.map(lit).toIndexedSeq: _*)
-    val subLit = array(model.subShards.map(lit).toIndexedSeq: _*)
-    (element_at(offLit, c + 1) +
-      pmod(xxhash64(col("id").cast("long")), element_at(subLit, c + 1).cast("long"))
-        .cast("int")).as("shard")
+  private[graft] def shardExpr(model: RoutedHnswModel): Column =
+    physicalShard(Centroids.nearest(col("vec"), model.centroids, model.metric), model)
+      .as("shard")
+
+  /** Closure-assignment regions of a row (the SPANN boundary-replication
+    * discipline): always the nearest region, plus every region whose rank
+    * key is within (1+eps)·the nearest key, capped at the `maxReplicas`
+    * closest. A boundary vector — one whose true neighbors' queries land
+    * in an adjacent region — then exists in BOTH graphs, so probing R
+    * regions recovers the cross-boundary neighbors single-assignment
+    * routing loses. ARRAY<INT> of region ids, ascending (rank key, id)
+    * order; pure codegen'd Column algebra over the centroid literal.
+    * Multiplicative closure needs a nonnegative rank key (L2² / cosine /
+    * Manhattan — not −dot). */
+  private[graft] def regionsExpr(model: RoutedHnswModel, eps: Double,
+      maxReplicas: Int): Column = {
+    val cb = Centroids.centroidLit(model.centroids)
+    val ranked = array_sort(transform(cb, (cv, i) =>
+      struct(model.metric.rankKey(col("vec"), cv).as("rk"), i.as("c"))))
+    val d1 = element_at(ranked, 1).getField("rk")
+    transform(
+      filter(slice(ranked, 1, maxReplicas), p =>
+        p.getField("rk") <= lit(1.0 + eps) * d1),
+      p => p.getField("c"))
+  }
+
+  /** Build the routed graph with boundary replication: rows explode to
+    * their closure regions (expected blow-up 1+δ for boundary mass δ —
+    * SPANN reports ~1.1–1.3× at useful eps), then the same id-hash
+    * balance split and per-shard graph build as [[build]]. The result
+    * serves through the SAME [[knn]]/[[graft.query.LocalRoutedHnswServer]]
+    * paths — the merge layers dedup replicated ids — and persists through
+    * the same (shard, id, vec, level, edges) schema. */
+  def buildReplicated(vectors: DataFrame, model: RoutedHnswModel, eps: Double,
+      maxReplicas: Int = 2, m: Int = HnswIndex.M,
+      efConstruction: Int = HnswIndex.EfConstruction): DataFrame = {
+    require(eps >= 0.0, s"eps must be >= 0, got $eps")
+    require(maxReplicas >= 1 && maxReplicas <= model.nlist,
+      s"maxReplicas must be in [1, nlist=${model.nlist}], got $maxReplicas")
+    require(model.metric != Metric.Dot,
+      "closure replication needs a nonnegative rank key (use L2/Cosine/Manhattan)")
+    val exploded = vectors
+      .select(col("id").cast("long").as("id"), col("vec"),
+        explode(regionsExpr(model, eps, maxReplicas)).as("c"))
+      .select(physicalShard(col("c"), model).as("shard"), col("id"), col("vec"))
+    HnswIndex.buildFromShardCol(exploded, model.numShards, model.metric, m, efConstruction)
   }
 
   /** Build the routed graph table — same (shard, id, vec, level, edges)
@@ -159,7 +208,9 @@ object RoutedHnswIndex {
             var t = 0
             while (t < qlist.length) {
               val qi = qlist(t)
-              g.knn(qs(qi), k, ef).foreach { case (id, d) => heaps(qi).insert(id, d) }
+              // insertDistinct: a replicated build ([[buildReplicated]])
+              // can surface one id from two shards of the same partition
+              g.knn(qs(qi), k, ef).foreach { case (id, d) => heaps(qi).insertDistinct(id, d) }
               t += 1
             }
           }
@@ -167,6 +218,13 @@ object RoutedHnswIndex {
         BoundedTopK.drain(heaps, ids)
       }
       .toDF("query_id", "neighbor_id", "rank_key")
-    FlatIndex.topK(partials, k, metric)
+    // Replicated builds can also surface one id from shards in DIFFERENT
+    // partitions; rank keys are deterministic per (query, id), so a
+    // min-agg dedup is exact. No-op on single-assignment graphs, and the
+    // partial frame is tiny (≤ k · probed shards per query).
+    val deduped = partials
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("rank_key")).as("rank_key"))
+    FlatIndex.topK(deduped, k, metric)
   }
 }

@@ -562,6 +562,45 @@ object IndexQueries extends QueryProvider {
           when(coalesce(col("n_hits"), lit(0L)) < 3, 1L).otherwise(0L))
         .drop("n_hits")
     }),
+    // Routed HNSW with SPANN-style boundary replication (closure
+    // assignment, eps=0.2 / ≤2 replicas): same invariants as
+    // knn_hnsw_routed — exactly K rows/query, distances exact, no result
+    // better than flat's k-th, recall floor — PLUS n_dup = 0: the merge
+    // layers must collapse an id that surfaces from several probed
+    // regions (the replication dedup contract). Aggregate recall ≥ the
+    // single-assignment build is asserted in RoutedHnswSpec.
+    "knn_hnsw_routed_rep" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val model = RoutedHnswIndex.train(corpus, 8, Metric.L2, targetShardRows = 256)
+      val graph = RoutedHnswIndex.buildReplicated(corpus, model, eps = 0.2, maxReplicas = 2)
+      val approx = RoutedHnswIndex.knn(graph, model, queries, K,
+        probeRegions = 4, efSearch = 256)
+        .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
+      val flat = FlatIndex.knn(corpus, queries, K, Metric.L2)
+        .select(col("query_id").as("fq"), col("rank").as("frank"),
+          col("neighbor_id").as("fnid"), col("distance").as("flat_distance"))
+      val hits = approx.select(col("query_id"), col("neighbor_id"))
+        .join(flat.select(col("fq").as("query_id"), col("fnid").as("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      approx
+        .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
+          Seq("neighbor_id"))
+        .join(queries, Seq("query_id"))
+        .withColumn("true_dist", graft.functions.VectorFunctions.l2(col("qvec"), col("nvec")))
+        .join(flat, col("query_id") === col("fq") && col("rank") === col("frank"))
+        .groupBy("query_id").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("distance") < col("flat_distance") - 1e-9, 1).otherwise(0))
+            .as("n_rank_violations"),
+          sum(when(abs(col("distance") - col("true_dist")) > 1e-6, 1).otherwise(0))
+            .as("n_dist_mismatch"),
+          (count(lit(1)) - countDistinct(col("neighbor_id"))).as("n_dup"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("low_recall",
+          when(coalesce(col("n_hits"), lit(0L)) < 3, 1L).otherwise(0L))
+        .drop("n_hits")
+    }),
     // Sharded HNSW (hnsw.go re-expressed; reference default index).
     // Deterministic (hash levels, id tie-breaks) but graph traversal
     // isn't SQL-expressible → rows-only driver check; exhaustive-
@@ -1033,6 +1072,13 @@ object IndexQueries extends QueryProvider {
       s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
          |       CAST(0 AS BIGINT) AS n_rank_violations,
          |       CAST(0 AS BIGINT) AS n_dist_mismatch,
+         |       CAST(0 AS BIGINT) AS low_recall
+         |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
+    ("knn_hnsw_routed_rep" ->
+      s"""SELECT vec_id AS query_id, CAST($K AS BIGINT) AS n_rows,
+         |       CAST(0 AS BIGINT) AS n_rank_violations,
+         |       CAST(0 AS BIGINT) AS n_dist_mismatch,
+         |       CAST(0 AS BIGINT) AS n_dup,
          |       CAST(0 AS BIGINT) AS low_recall
          |FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}""".stripMargin) +
     ("knn_ivf_blocked" -> oraclesBase("knn_ivf_det")) +

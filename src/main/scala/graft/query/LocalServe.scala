@@ -52,9 +52,13 @@ private[graft] object LocalServe {
     blocks
   }
 
-  /** Parallel per-block scan → merged (id, rank_key) candidates. */
-  def scan[B](blocks: Array[B], k: Int)(perBlock: (B, BoundedTopK) => Unit)
-      : BoundedTopK = {
+  /** Parallel per-block scan → merged (id, rank_key) candidates.
+    * `distinct` dedups the cross-block merge — required when one id can
+    * live in several blocks (the replicated routed graph,
+    * [[graft.index.RoutedHnswIndex.buildReplicated]]); within a block an
+    * id appears once, so the per-block heaps never need it. */
+  def scan[B](blocks: Array[B], k: Int, distinct: Boolean = false)(
+      perBlock: (B, BoundedTopK) => Unit): BoundedTopK = {
     val partials = new Array[Array[(Long, Double)]](blocks.length)
     IntStream.range(0, blocks.length).parallel().forEach { bi =>
       val merge = new BoundedTopK(k)
@@ -62,7 +66,8 @@ private[graft] object LocalServe {
       partials(bi) = merge.drainIterator.toArray
     }
     val top = new BoundedTopK(k)
-    partials.foreach(_.foreach { case (id, d) => top.insert(id, d) })
+    if (distinct) partials.foreach(_.foreach { case (id, d) => top.insertDistinct(id, d) })
+    else partials.foreach(_.foreach { case (id, d) => top.insert(id, d) })
     top
   }
 }
@@ -300,7 +305,9 @@ final class LocalRoutedHnswServer(graph: DataFrame, model: RoutedHnswModel) {
     val ef = math.max(efSearch, k)
     val probed = RoutedHnswIndex.probeShards(q, model, probeRegions)
       .map(graphs(_)).filter(_ != null)
-    LocalServe.scan(probed, k) { (g, merge) =>
+    // distinct merge: the graph may be a replicated build, where one id
+    // lives in several probed regions' shards
+    LocalServe.scan(probed, k, distinct = true) { (g, merge) =>
       g.knn(q, k, ef).foreach { case (id, d) => merge.insert(id, d) }
     }.ranked.map { case (id, d, r) => (id, model.metric.finishRankScalar(d), r) }
   }

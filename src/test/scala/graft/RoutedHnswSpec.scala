@@ -122,6 +122,86 @@ class RoutedHnswSpec extends AnyFunSuite {
     assert(all.count() == corpus.count() * queries.count())
   }
 
+  test("replication: closure regions always lead with the nearest, count <= maxReplicas, " +
+      "eps=0 degenerates to single assignment") {
+    val (corpus, _) = vecs
+    val regions = corpus.select(col("id"), col("vec"),
+      RoutedHnswIndex.regionsExpr(model, eps = 0.3, maxReplicas = 3).as("rs"))
+    val nearest = corpus.select(col("id"),
+      Centroids.nearest(col("vec"), model.centroids, model.metric).as("c"))
+    val joined = regions.join(nearest, "id").collect()
+    joined.foreach { r =>
+      val rs = r.getSeq[Int](2)
+      assert(rs.nonEmpty && rs.length <= 3, s"replica count ${rs.length} out of [1,3]")
+      assert(rs.head == r.getInt(3),
+        s"id ${r.getLong(0)}: closure head ${rs.head} != nearest region ${r.getInt(3)}")
+      assert(rs.distinct.length == rs.length, "duplicate region in closure set")
+    }
+    // replication actually fires at this eps on random vectors
+    assert(joined.exists(_.getSeq[Int](2).length > 1),
+      "eps=0.3 produced no boundary replicas — the closure rule is dead")
+    // eps=0 keeps only exact ties → same row set as the plain build
+    val g0 = RoutedHnswIndex.buildReplicated(corpus, model, eps = 0.0, maxReplicas = 3)
+    assert(g0.select("shard", "id").exceptAll(graph.select("shard", "id")).count() == 0 &&
+      graph.select("shard", "id").exceptAll(g0.select("shard", "id")).count() == 0,
+      "eps=0 replicated build differs from single assignment")
+  }
+
+  test("replicated graph, exhaustive configuration: equals brute force — exactly K " +
+      "distinct rows per query (the dedup contract)") {
+    val (corpus, queries) = vecs
+    val rep = RoutedHnswIndex.buildReplicated(corpus, model, eps = 0.4, maxReplicas = 3)
+    val routed = RoutedHnswIndex.knn(rep, model, queries, K,
+      probeRegions = model.nlist, efSearch = 256)
+      .select(col("query_id"), col("neighbor_id"), round(col("distance"), 9).as("d"), col("rank"))
+    val flat = FlatIndex.knn(corpus, queries, K, Metric.L2)
+      .select(col("query_id"), col("neighbor_id"), round(col("distance"), 9).as("d"), col("rank"))
+    assert(routed.exceptAll(flat).count() == 0 && flat.exceptAll(routed).count() == 0,
+      "replicated exhaustive != brute force (duplicate leak or dedup over-drop)")
+  }
+
+  test("replication lifts recall at fixed R on clustered data (candidate superset " +
+      "under exhaustive per-shard walks)") {
+    val n = 512
+    val all = graft.core.VectorGen.clustered(spark, n + 32, 16, 8, spread = 0.6, seed = 11L)
+    val corpus = all.where(col("id") < n).cache()
+    val queries = all.where(col("id") >= n)
+      .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
+    val m = RoutedHnswIndex.train(corpus, nlist = 8, Metric.L2, targetShardRows = 128)
+    val plain = RoutedHnswIndex.build(corpus, m)
+    val rep = RoutedHnswIndex.buildReplicated(corpus, m, eps = 0.5, maxReplicas = 2)
+    val flat = FlatIndex.knn(corpus, queries, K, Metric.L2).select("query_id", "neighbor_id")
+    val denom = flat.count().toDouble
+    def recall(g: org.apache.spark.sql.DataFrame, r: Int): Double =
+      RoutedHnswIndex.knn(g, m, queries, K, probeRegions = r, efSearch = 256)
+        .select("query_id", "neighbor_id").intersect(flat).count() / denom
+    Seq(1, 2).foreach { r =>
+      val (rp, rr) = (recall(plain, r), recall(rep, r))
+      assert(rr >= rp - 1e-9,
+        s"R=$r: replicated recall $rr below single-assignment $rp")
+    }
+    // at R=1 the boundary mass is exactly what replication recovers —
+    // demand a real lift, not just parity
+    assert(recall(rep, 1) > recall(plain, 1),
+      "eps=0.5 replication produced zero recall lift at R=1 on clustered data")
+    corpus.unpersist(); queries.unpersist()
+  }
+
+  test("in-process routed serving on a replicated graph equals the distributed knn") {
+    val (corpus, queries) = vecs
+    val rep = RoutedHnswIndex.buildReplicated(corpus, model, eps = 0.4, maxReplicas = 3)
+    val server = new graft.query.LocalRoutedHnswServer(rep, model)
+    val want = RoutedHnswIndex.knn(rep, model, queries, K, probeRegions = 2, efSearch = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(t => (t._2, t._3)).sortBy(_._2).toSeq }
+    queries.collect().take(5).foreach { r =>
+      val qid = r.getLong(0)
+      val got = server.search(r.getSeq[Double](1).toArray, K, probeRegions = 2,
+        efSearch = 256).map(t => (t._1, t._3)).toSeq
+      assert(got == want(qid), s"replicated serving mismatch for query $qid")
+    }
+  }
+
   test("save -> open -> facade search round trip equals the direct routed knn") {
     val (_, queries) = vecs
     val dir = java.nio.file.Files.createTempDirectory("graft-routed").toString
