@@ -862,7 +862,27 @@ object Bench {
           results(s"hnsw_routed_c_r${r}_recall") = recallVs(cFlat, res)
           res.unpersist()
         }
-        cg.unpersist(); cFlat.unpersist(); cq.unpersist(); cvec.unpersist()
+        cg.unpersist()
+        // Boundary replication (SPANN closure assignment): same routing
+        // model, boundary vectors copied into their runner-up region when
+        // within (1+eps) of the nearest squared rank key. The claim under
+        // test: at fixed R the replicated graph recovers the cross-
+        // boundary neighbors single assignment loses (recall ↑), at a
+        // storage blow-up recorded honestly in the _blowup row.
+        val (crg, crBuild) = time {
+          val g = RoutedHnswIndex.buildReplicated(
+            cvec, cModel, eps = 0.6, maxReplicas = 2).cache(); g.count(); g
+        }
+        results("hnsw_routed_cr_build_sec") = crBuild
+        results("hnsw_routed_cr_blowup") = crg.count().toDouble / benchN
+        Seq(2, 4).foreach { r =>
+          val (res, sec) = searchBest2(() =>
+            RoutedHnswIndex.knn(crg, cModel, cq, K, probeRegions = r, efSearch = 50))
+          results(s"hnsw_routed_cr_r${r}_qps") = benchQ / sec
+          results(s"hnsw_routed_cr_r${r}_recall") = recallVs(cFlat, res)
+          res.unpersist()
+        }
+        crg.unpersist(); cFlat.unpersist(); cq.unpersist(); cvec.unpersist()
         logSection(results, "hnsw_routed_clustered")
       }
     }
@@ -933,6 +953,7 @@ object Bench {
       "hnsw_routed_r8_qps", "hnsw_routed_r8_recall",
       "hnsw_routed_r16_qps", "hnsw_routed_r16_recall",
       "hnsw_routed_c_r2_qps", "hnsw_routed_c_r2_recall",
+      "hnsw_routed_cr_r2_qps", "hnsw_routed_cr_r2_recall", "hnsw_routed_cr_blowup",
       "searcher_open_search_sec", "jvm_gc_total_ms", "brp_join_sec",
       "flat_search_sec", "ivf_search_sec", "pq_search_sec", "ivfpq_search_sec",
       "sq8_search_sec", "hnsw_search_sec",
