@@ -40,7 +40,7 @@ object Cli {
         |  generate -n 10000 -dim 128 -seed 42 -output /tmp/vecs
         |  build    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -input /tmp/vecs -output /tmp/idx
         |           [-metric l2] [-nlist 100] [-m 16] [-nbits 8] [-planes 8]
-        |           [-ef 200] [-shards 32]
+        |           [-ef 200] [-shards 32] [-eps 0.3 -replicas 2  (hnsw_routed replication)]
         |  search   -index /tmp/idx -query /tmp/vecs -k 10 -nprobe 10 -limit 5 [-local true]
         |  bench    -type flat|ivf|pq|opq|bq|sq8|ivfpq|lsh|hnsw|hnsw_routed -vectors 10000 -dim 128 -queries 100
         |  info     -index /tmp/idx
@@ -116,15 +116,21 @@ object Cli {
             val graph = HnswIndex.build(vectors, shards, metric, m, ef)
             IndexIO.saveHnsw(spark, out, graph, metric, m, ef)
           case "hnsw_routed" =>
-            // k-means-routed shards: -nlist regions, -nprobe at search time
+            // k-means-routed shards: -nlist regions, -nprobe at search
+            // time; -eps > 0 turns on SPANN-style boundary replication
+            // (closure assignment, capped at -replicas copies per vector)
             val m = flags.getOrElse("m", HnswIndex.M.toString).toInt
             val ef = flags.getOrElse("ef", HnswIndex.EfConstruction.toString).toInt
             val nlist = flags.getOrElse("nlist", "16").toInt
             val target = flags.getOrElse("shardrows",
               RoutedHnswIndex.DefaultTargetShardRows.toString).toLong
+            val eps = flags.getOrElse("eps", "0").toDouble
+            val replicas = flags.getOrElse("replicas", "2").toInt
             val model = RoutedHnswIndex.train(vectors, nlist, metric, target)
-            IndexIO.saveRoutedHnsw(spark, out,
-              model, RoutedHnswIndex.build(vectors, model, m, ef), m, ef)
+            val graph =
+              if (eps > 0) RoutedHnswIndex.buildReplicated(vectors, model, eps, replicas, m, ef)
+              else RoutedHnswIndex.build(vectors, model, m, ef)
+            IndexIO.saveRoutedHnsw(spark, out, model, graph, m, ef)
           case t => System.err.println(s"unknown index type '$t'"); usage()
         }
         println(f"built $tpe index -> $out in ${(System.nanoTime() - t0) / 1e9}%.2f s")

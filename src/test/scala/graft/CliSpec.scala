@@ -55,6 +55,11 @@ class CliSpec extends AnyFunSuite {
       ("bq", Map.empty[String, String], Map("index_type" -> "bq")),
       ("opq", Map("m" -> "4", "nbits" -> "4"), Map("index_type" -> "opq", "m" -> "4")),
       ("hnsw_routed", Map("nlist" -> "4", "shardrows" -> "64"),
+        Map("index_type" -> "hnsw_routed", "nlist" -> "4")),
+      // replicated variant: -eps turns on closure assignment; the saved
+      // graph serves through the same searcher (merge dedups replicas)
+      ("hnsw_routed", Map("nlist" -> "4", "shardrows" -> "64",
+        "eps" -> "0.4", "replicas" -> "2"),
         Map("index_type" -> "hnsw_routed", "nlist" -> "4"))
     ).foreach { case (tpe, extra, expect) =>
       val idx = Files.createTempDirectory(s"cli_idx_$tpe").toString
