@@ -30,6 +30,7 @@ object IndexQueries extends QueryProvider {
   private val KsubWide = 500
   private val K = 10
   private val Kprime = 30 // refine overfetch: ADC top-k' before exact re-rank
+  private val TruncDim = 16 // prefix width for the dimension-adaptive (MRL) row
   private val BqRadius = 16 // range_search_bq Hamming radius (of dim=64 bits)
   private val BqRangeMax = 50 // range_search_bq per-query result cap
 
@@ -165,6 +166,24 @@ object IndexQueries extends QueryProvider {
     // top-K — recall recovery at the cost of nq·k' exact distances and
     // one broadcast-filtered corpus scan (faiss IndexRefineFlat shape;
     // beyond the reference, which stops at raw ADC, search.go:92-131)
+    // Dimension-adaptive retrieval (the Matryoshka / adaptive-retrieval
+    // composition, public MRL recipe): candidate generation on a PREFIX
+    // of the embedding (first 16 of 64 dims — 4x less arithmetic and 4x
+    // less scan width when the prefix is stored as its own column), then
+    // the standard exact re-rank on the full vector over just the
+    // survivors. 100 TB shape: the cheap pass is a narrow-column flat
+    // scan; the expensive full-dim pass touches nq·k' rows only —
+    // identical cost envelope to the PQ/SQ8 refine rows, but with a
+    // quality dial (prefix width) instead of a codebook.
+    "knn_truncated_rerank" -> ((s, dir) => {
+      val (corpus, queries) = vecTables(s, dir)
+      val tCorpus = corpus.select(col("id"), slice(col("vec"), 1, TruncDim).as("vec"))
+      val tQueries = queries.select(col("query_id"), slice(col("qvec"), 1, TruncDim).as("qvec"))
+      val cands = FlatIndex.knn(tCorpus, tQueries, Kprime, Metric.L2)
+      Refine.rerank(cands, corpus, queries, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("distance"), 4).as("distance"), col("rank"))
+    }),
     "knn_pq_rerank" -> ((s, dir) => {
       val (corpus, queries) = vecTables(s, dir)
       val model = PqIndex.trainDeterministic(corpus, M, Ksub, Metric.L2)
@@ -1204,6 +1223,28 @@ object IndexQueries extends QueryProvider {
          |  FROM pq2 p JOIN enc e ON e.cluster_id = p.bucket
          |  JOIN cb ON cb.m = e.m AND cb.j = e.code),
          |$adcFinal""".stripMargin,
+    "knn_truncated_rerank" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < ${VectorQueries.QueryIds}),
+         |ps AS (SELECT query_id, qv[1:$TruncDim] AS qp FROM q),
+         |vs AS (SELECT id, ev[1:$TruncDim] AS ep FROM v),
+         |pd AS (SELECT ps.query_id, vs.id AS neighbor_id,
+         |         ${VectorQueries.sqlL2SqG("qp", "ep")} AS d2
+         |       FROM ps CROSS JOIN vs),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+         |    FROM pd) WHERE rn <= $Kprime),
+         |ex AS (SELECT c.query_id, c.neighbor_id,
+         |         ${VectorQueries.sqlL2SqG("q.qv", "v.ev")} AS d2
+         |       FROM cand c JOIN q ON q.query_id = c.query_id
+         |       JOIN v ON v.id = c.neighbor_id),
+         |r AS (SELECT query_id, neighbor_id, d2,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+         |      FROM ex)
+         |SELECT query_id, neighbor_id, round(sqrt(d2), 4) AS distance, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $K""".stripMargin,
     "knn_pq_rerank" ->
       s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
          |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

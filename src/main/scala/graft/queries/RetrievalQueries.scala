@@ -48,6 +48,11 @@ object RetrievalQueries extends QueryProvider {
   private val FuseTop = 10
   private val FuseQueries = VectorQueries.QueryIds
 
+  /** Sparse-retrieval query-batch size (doc ids < this act as queries)
+    * and per-query result width. */
+  private val SparseQueries = 5
+  private val SparseTop = 10
+
   /** MMR pool width / picks / relevance-diversity trade (0.7 is the
     * common default). */
   private val MmrN = 20
@@ -66,6 +71,50 @@ object RetrievalQueries extends QueryProvider {
     // Per-term contributions fold in term order (bigram-LM discipline:
     // identical summation order in both engines), ranking uses the RAW
     // fold value (bit-identical) with a doc_id tie-break.
+    // Learned-sparse retrieval (the SPLADE / impact-index family next to
+    // dense kNN and lexical BM25): each doc is a sparse tf·idf vector
+    // over its own vocabulary, a query is another doc's sparse vector,
+    // and the score is the sparse dot product computed as a POSTING-LIST
+    // equi-join — the shape an inverted impact index takes on Spark.
+    // 100 TB story: the per-term join shuffles Σ posting-list lengths of
+    // the query's terms, never the corpus; ultra-common terms (df >
+    // 90% of the corpus) are impact-pruned before the join, the query-side
+    // postings broadcast, and the per-query top-k is a WindowGroupLimit
+    // partial rank. Per-pair scores fold in term order (the bm25_topk
+    // discipline) so the sum is bit-identical in both engines.
+    "knn_sparse_dot" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val post = docs.select(col("doc_id"), explode(col("tk")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val idf = post.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+        .crossJoin(broadcast(stats))
+        .where(col("df") <= col("n_docs") * 0.9)
+        .select(col("term"),
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))).as("idf"))
+      val w = post.join(idf, "term")
+        .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"))
+      val qw = w.where(col("doc_id") < SparseQueries)
+        .select(col("doc_id").as("query_id"), col("term"), col("w").as("wq"))
+      val scored = w.join(broadcast(qw), "term")
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(
+          aggregate(
+            array_sort(collect_list(struct(col("term"),
+              (col("w") * col("wq")).as("p")))),
+            lit(0.0), (a, x) => a + x.getField("p")).as("score"),
+          count(lit(1)).cast("int").as("n_terms"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rank") <= SparseTop)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("dot"),
+          col("n_terms"), col("rank"))
+    }),
     "bm25_topk" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
         .select(col("doc_id"), toks(col("text")).as("tk"))
@@ -347,6 +396,30 @@ object RetrievalQueries extends QueryProvider {
          |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, round(score, 4) AS bm25,
          |       CAST(n_terms AS INT) AS n_terms, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= $BatchTop""".stripMargin,
+    "knn_sparse_dot" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d),
+         |post AS (SELECT doc_id, t AS term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(tk) AS t FROM d) GROUP BY doc_id, t),
+         |idf AS (SELECT term, ln((st.n_docs + 1.0) / (df + 1.0)) AS idf
+         |        FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY term)
+         |        CROSS JOIN st WHERE df <= st.n_docs * 0.9),
+         |w AS (SELECT post.doc_id, post.term, post.tf * idf.idf AS w
+         |      FROM post JOIN idf ON idf.term = post.term),
+         |qw AS (SELECT doc_id AS query_id, term, w AS wq FROM w
+         |       WHERE doc_id < $SparseQueries),
+         |sc AS (SELECT qw.query_id, w.doc_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(w.w * qw.wq ORDER BY w.term)), (x, y) -> x + y) AS score,
+         |         count(*) AS n_terms
+         |       FROM w JOIN qw ON qw.term = w.term
+         |       GROUP BY qw.query_id, w.doc_id),
+         |r AS (SELECT query_id, doc_id, score, n_terms,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |      FROM sc)
+         |SELECT query_id, doc_id, round(score, 4) AS dot, CAST(n_terms AS INT) AS n_terms,
+         |       CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $SparseTop""".stripMargin,
     "bm25_topk" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |l AS (SELECT doc_id, len(tk) AS dl FROM d),

@@ -276,6 +276,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"line drop must stay an equi-join:\n$plan")
   }
 
+  test("knn_sparse_dot: posting-list equi-join with broadcast query postings, " +
+      "per-query top-k is a WindowGroupLimit partial rank, no cartesian") {
+    val plan = planOf(
+      graft.queries.RetrievalQueries.queries("knn_sparse_dot")(spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query postings must broadcast into the posting-list join:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query rank<=k must push a WindowGroupLimit:\n$plan")
+    // the 1-row corpus-stats scalar rides a broadcast nested-loop cross
+    // join by design (the bm25 discipline); a CartesianProduct — a
+    // non-broadcast product over real rows — must never appear
+    assert(!plan.contains("CartesianProduct"),
+      s"sparse dot must stay an equi-join over terms:\n$plan")
+  }
+
+  test("knn_truncated_rerank: full-dim pass touches candidates only (broadcast " +
+      "candidate lookups, no corpus-x-corpus product)") {
+    val plan = planOf(
+      graft.queries.IndexQueries.queries("knn_truncated_rerank")(spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rerank candidates must broadcast into the corpus scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the exact pass must never cross-join the corpus:\n$plan")
+  }
+
   test("mixture_sample: corpus joins the per-source plan by broadcast — the big side " +
       "is never sort-merge-joined or shuffled for the accept test") {
     val plan = planOf(graft.queries.TextQueries.queries("mixture_sample")(
