@@ -269,7 +269,10 @@ object Bench {
       "knn_bq", "knn_sq8_rerank", "mixture_temperature",
       "quality_quantile_filter", "sq8_recon_error",
       // round-8 session 2: collocation mining + one-pass rollup reporting
-      "pmi_topk", "corpus_rollup")
+      "pmi_topk", "corpus_rollup",
+      // round-8 session 3: learned-sparse retrieval, Matryoshka prefix
+      // rerank, retrieve-then-rerank cascade
+      "knn_sparse_dot", "knn_truncated_rerank", "cascade_rerank")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

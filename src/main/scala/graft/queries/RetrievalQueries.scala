@@ -53,6 +53,11 @@ object RetrievalQueries extends QueryProvider {
   private val SparseQueries = 5
   private val SparseTop = 10
 
+  /** Cascade retrieval: lexical candidate-pool width (stage 1) and final
+    * dense-reranked result width (stage 2). */
+  private val CascadeN = 20
+  private val CascadeK = 10
+
   /** MMR pool width / picks / relevance-diversity trade (0.7 is the
     * common default). */
   private val MmrN = 20
@@ -257,6 +262,45 @@ object RetrievalQueries extends QueryProvider {
           coalesce(col("lex_rank"), lit(-1)).cast("int").as("lex_rank"),
           coalesce(col("vec_rank"), lit(-1)).cast("int").as("vec_rank"),
           col("rank"))
+    }),
+    // Retrieve-then-rerank cascade (the production two-stage retrieval
+    // shape: cheap recall-oriented candidate generation, then an
+    // expensive precision model over survivors only). Stage 1 is the
+    // bigram-Jaccard lexical scan against the broadcast query batch
+    // (hybrid_rrf's lexical side — one corpus pass, partial rank to
+    // CascadeN); stage 2 re-scores ONLY those nq·CascadeN candidates
+    // with exact dense cosine, reaching the embeddings by broadcast
+    // equi-join. 100 TB story: the dense model's arithmetic and the
+    // embedding-column IO are both ∝ candidates, never ∝ corpus — the
+    // reason every large serving system runs this cascade instead of
+    // dense-scanning the corpus (and the same touch-survivors-only
+    // envelope as knn_pq_rerank / knn_truncated_rerank).
+    "cascade_rerank" -> ((s, dir) => {
+      val bgOf = array_distinct(
+        graft.functions.TextFunctions.bigrams(toks(col("text"))))
+      val g = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), bgOf.as("bg"))
+      val qd = g.where(col("doc_id") < FuseQueries)
+        .select(col("doc_id").as("query_id"), col("bg").as("qbg"))
+      val cands = g.crossJoin(broadcast(qd))
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("id"),
+          jaccard(col("qbg"), col("bg")).as("j"))
+        .withColumn("lex_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("j").desc, col("id"))))
+        .where(col("lex_rank") <= CascadeN)
+        .select(col("query_id"), col("id"), col("lex_rank"))
+      val (corpus, queries) = VectorQueries.vecTables(s, dir)
+      corpus
+        .join(broadcast(cands), Seq("id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .withColumn("dist",
+          graft.core.Metric.Cosine.distance(col("qvec"), col("vec")))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("dist"), col("id"))))
+        .where(col("rank") <= CascadeK)
+        .select(col("query_id"), col("id"), col("lex_rank"),
+          round(col("dist"), 4).as("cos_dist"), col("rank"))
     }),
     // DSIR-style importance resampling (Xie et al. 2023 shape): score each
     // raw doc by how target-like its hashed n-gram feature profile is —
@@ -480,6 +524,31 @@ object RetrievalQueries extends QueryProvider {
          |       CAST(coalesce(lex_rank, -1) AS INT) AS lex_rank,
          |       CAST(coalesce(vec_rank, -1) AS INT) AS vec_rank, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= $FuseTop""".stripMargin,
+    "cascade_rerank" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+         |        j -> tk[j] || ' ' || tk[j+1])) AS bg FROM d),
+         |lx AS (SELECT q.doc_id AS query_id, c.doc_id AS id,
+         |         ${sqlJaccard("q.bg", "c.bg")} AS j
+         |       FROM g q JOIN g c ON c.doc_id <> q.doc_id
+         |       WHERE q.doc_id < $FuseQueries),
+         |lt AS (SELECT query_id, id, lex_rank FROM (
+         |         SELECT query_id, id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY j DESC, id) AS lex_rank
+         |         FROM lx) WHERE lex_rank <= $CascadeN),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < $FuseQueries),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |sc AS (SELECT lt.query_id, lt.id, lt.lex_rank,
+         |         ${VectorQueries.sqlCosine} AS dist
+         |       FROM lt JOIN q ON q.query_id = lt.query_id
+         |       JOIN v ON v.vec_id = lt.id),
+         |r AS (SELECT query_id, id, lex_rank, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS rank
+         |      FROM sc)
+         |SELECT query_id, id, CAST(lex_rank AS INT) AS lex_rank,
+         |       round(dist, 4) AS cos_dist, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $CascadeK""".stripMargin,
     "dsir_topk" ->
       s"""WITH fb AS (SELECT doc_id, lang, ${sqlTokenHash("t")} % $DsirBuckets AS bucket
          |            FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t

@@ -291,6 +291,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"sparse dot must stay an equi-join over terms:\n$plan")
   }
 
+  test("cascade_rerank: dense stage touches lexical candidates only — candidates " +
+      "and queries broadcast into the embeddings scan, no cartesian") {
+    val plan = planOf(
+      graft.queries.RetrievalQueries.queries("cascade_rerank")(spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate ids must broadcast into the embeddings scan:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the dense stage must never cross-join the corpus:\n$plan")
+  }
+
   test("knn_truncated_rerank: full-dim pass touches candidates only (broadcast " +
       "candidate lookups, no corpus-x-corpus product)") {
     val plan = planOf(
