@@ -272,7 +272,8 @@ object Bench {
       "pmi_topk", "corpus_rollup",
       // round-8 session 3: learned-sparse retrieval, Matryoshka prefix
       // rerank, retrieve-then-rerank cascade
-      "knn_sparse_dot", "knn_truncated_rerank", "cascade_rerank")
+      "knn_sparse_dot", "knn_sparse_served", "knn_truncated_rerank",
+      "cascade_rerank")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

@@ -282,6 +282,28 @@ object IndexIO {
     (model, graph)
   }
 
+  // ---- Sparse (impact/posting-list index — lexical counterpart of the
+  // dense kinds; see graft.index.SparseIndex) ----
+  def saveSparse(spark: SparkSession, path: String,
+      postings: DataFrame, model: SparseIndex.SparseModel): Unit = {
+    // range-partitioned + term-sorted files: a query's term predicate
+    // prunes parquet row groups via min/max stats before any IO — the
+    // lexical analogue of the IVF kinds' cluster_id partition pruning
+    // (a partitionBy("term") directory layout would mean one directory
+    // per vocabulary term — unbounded at real vocabularies)
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    writeMeta(path, Map(
+      "index_type" -> "sparse", "n_docs" -> model.nDocs.toString,
+      "weighting" -> "tfidf_ln", "max_df_frac" -> SparseIndex.MaxDfFrac.toString))
+  }
+  def loadSparse(spark: SparkSession, path: String): (DataFrame, SparseIndex.SparseModel) = {
+    val meta = loadChecked(path, "sparse")
+    (spark.read.parquet(s"$path/postings"),
+      SparseIndex.SparseModel(meta("n_docs").toLong))
+  }
+
   private def loadChecked(path: String, expectedType: String): Map[String, String] = {
     val meta = readMeta(path)
     checkCompatible(meta("version"))

@@ -89,34 +89,30 @@ object RetrievalQueries extends QueryProvider {
     // discipline) so the sum is bit-identical in both engines.
     "knn_sparse_dot" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), toks(col("text")).as("tk"))
-      val post = docs.select(col("doc_id"), explode(col("tk")).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).cast("double").as("tf"))
-      val stats = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-      val idf = post.groupBy(col("term"))
-        .agg(count(lit(1)).cast("double").as("df"))
-        .crossJoin(broadcast(stats))
-        .where(col("df") <= col("n_docs") * 0.9)
-        .select(col("term"),
-          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))).as("idf"))
-      val w = post.join(idf, "term")
-        .select(col("doc_id"), col("term"), (col("tf") * col("idf")).as("w"))
-      val qw = w.where(col("doc_id") < SparseQueries)
-        .select(col("doc_id").as("query_id"), col("term"), col("w").as("wq"))
-      val scored = w.join(broadcast(qw), "term")
-        .groupBy(col("query_id"), col("doc_id"))
-        .agg(
-          aggregate(
-            array_sort(collect_list(struct(col("term"),
-              (col("w") * col("wq")).as("p")))),
-            lit(0.0), (a, x) => a + x.getField("p")).as("score"),
-          count(lit(1)).cast("int").as("n_terms"))
-      scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy(col("query_id"))
-            .orderBy(col("score").desc, col("doc_id"))))
-        .where(col("rank") <= SparseTop)
+        .select(col("doc_id"), col("text"))
+      val (postings, _) = graft.index.SparseIndex.build(docs)
+      val qw = graft.index.SparseIndex.asQueries(
+        postings, col("doc_id") < SparseQueries)
+      graft.index.SparseIndex.search(postings, qw, SparseTop)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("dot"),
+          col("n_terms"), col("rank"))
+    }),
+    // The persisted form of the same index: build → IndexIO.saveSparse
+    // (range-partitioned, term-sorted postings — a term predicate prunes
+    // parquet row groups before IO) → loadSparse → search. Identical
+    // result to knn_sparse_dot by construction, so it shares the oracle
+    // (the blocked-variant reuse discipline); what this row gates is the
+    // round trip — weights, fold order, and ranking survive persistence.
+    "knn_sparse_served" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val (postings, model) = graft.index.SparseIndex.build(docs)
+      val path = java.nio.file.Files.createTempDirectory("graft_sparse").toString
+      graft.io.IndexIO.saveSparse(s, path, postings, model)
+      val (loaded, _) = graft.io.IndexIO.loadSparse(s, path)
+      val qw = graft.index.SparseIndex.asQueries(
+        loaded, col("doc_id") < SparseQueries)
+      graft.index.SparseIndex.search(loaded, qw, SparseTop)
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("dot"),
           col("n_terms"), col("rank"))
     }),
@@ -407,7 +403,14 @@ object RetrievalQueries extends QueryProvider {
        |FROM sel WHERE step = $MmrK""".stripMargin
   }
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    // the served row is result-identical to the in-memory row by
+    // construction — it reuses the same oracle SQL (the blocked-variant
+    // reuse discipline), gating the persistence round trip
+    oraclesBase + ("knn_sparse_served" -> oraclesBase("knn_sparse_dot"))
+  }
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     "mmr_diversify" -> mmrSql,
     "bm25_batch" ->
       s"""WITH qt AS (SELECT * FROM (VALUES $batchValuesSql) t(query_id, terms)),
