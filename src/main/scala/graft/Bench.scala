@@ -665,6 +665,24 @@ object Bench {
     }
     ivfpqCodes.unpersist()
 
+    // Matryoshka/adaptive-retrieval dial (knn_truncated_rerank's shape at
+    // bench scale): candidate generation on a vector PREFIX, exact
+    // re-rank of the 10·K survivors on full dim — maps recall/QPS vs
+    // prefix width the way the overfetch loop maps k'. The narrow pass
+    // does w/dim of flat's arithmetic; with a dedicated prefix column it
+    // would also read w/dim of the bytes.
+    Seq(16, 32, 64).foreach { w =>
+      val tCorpus = vectors.select(col("id"), slice(col("vec"), 1, w).as("vec"))
+      val tQueries = queries.select(col("query_id"), slice(col("qvec"), 1, w).as("qvec"))
+      val (r, sec) = searchBest2(() =>
+        Refine.rerank(FlatIndex.knn(tCorpus, tQueries, 10 * K, Metric.L2),
+          vectors, queries, K, Metric.L2))
+      results(s"mrl_w${w}_qps") = benchQ / sec
+      results(s"mrl_w${w}_recall") = recallVs(flatRes, r)
+      r.unpersist()
+    }
+    logSection(results, "mrl")
+
     // sign-LSH — the engine's high-throughput ANN kind, measured like the rest
     val lshPlanes = sys.env.getOrElse("SPARK_GRAFT_BENCH_LSH_PLANES", "6").toInt
     val (lshIdx, lshBuild) = time {

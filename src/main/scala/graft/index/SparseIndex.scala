@@ -62,6 +62,40 @@ object SparseIndex {
     (postings, SparseModel(nDocs))
   }
 
+  /** Build a BM25 IMPACT index: every BM25 term contribution is
+    * doc-side-only (idf(df) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))), so
+    * precomputing it as the posting weight turns query-time scoring into
+    * a pure term-membership join — [[search]] with unit query weights
+    * returns exact BM25 scores. This is the impact-ordered-index shape
+    * production lexical serving uses: all per-doc arithmetic paid once
+    * at build, queries touch posting lists only. No impact prune here —
+    * the Lucene-form idf (log(x+1)) keeps every weight positive and
+    * BM25's tf saturation already bounds hot-term contributions.
+    * Contribution expressions mirror the `bm25_batch` driver row
+    * term-for-term, so served scores are bit-identical to it. */
+  def buildBm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): (DataFrame, SparseModel) = {
+    val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
+    val nDocs = tk.count()
+    val lens = tk.select(col("doc_id"), size(col("tk")).as("dl"))
+    val avgdl = lens.agg(sum(col("dl")).cast("double")).first().getDouble(0) / nDocs
+    val tf = tk.select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val n = lit(nDocs.toDouble)
+    val postings = tf
+      .join(broadcast(dfq), "term")
+      .join(lens, "doc_id")
+      .select(col("term"), col("doc_id"),
+        (log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - lit(b) +
+              lit(b) * col("dl").cast("double") / lit(avgdl)))).as("w"))
+    (postings, SparseModel(nDocs))
+  }
+
   /** A document batch's own sparse weights as a query table
     * (query_id, term, wq) — the query-by-example form every driver row
     * uses; a real search string would arrive pre-weighted in the same

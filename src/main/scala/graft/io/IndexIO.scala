@@ -285,7 +285,8 @@ object IndexIO {
   // ---- Sparse (impact/posting-list index — lexical counterpart of the
   // dense kinds; see graft.index.SparseIndex) ----
   def saveSparse(spark: SparkSession, path: String,
-      postings: DataFrame, model: SparseIndex.SparseModel): Unit = {
+      postings: DataFrame, model: SparseIndex.SparseModel,
+      weighting: String = "tfidf_ln"): Unit = {
     // range-partitioned + term-sorted files: a query's term predicate
     // prunes parquet row groups via min/max stats before any IO — the
     // lexical analogue of the IVF kinds' cluster_id partition pruning
@@ -296,7 +297,7 @@ object IndexIO {
       .write.mode("overwrite").parquet(s"$path/postings")
     writeMeta(path, Map(
       "index_type" -> "sparse", "n_docs" -> model.nDocs.toString,
-      "weighting" -> "tfidf_ln", "max_df_frac" -> SparseIndex.MaxDfFrac.toString))
+      "weighting" -> weighting, "max_df_frac" -> SparseIndex.MaxDfFrac.toString))
   }
   def loadSparse(spark: SparkSession, path: String): (DataFrame, SparseIndex.SparseModel) = {
     val meta = loadChecked(path, "sparse")

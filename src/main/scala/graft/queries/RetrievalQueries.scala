@@ -200,6 +200,30 @@ object RetrievalQueries extends QueryProvider {
         .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("bm25"),
           col("n_terms"), col("rank"))
     }),
+    // BM25 through the impact index: every BM25 term contribution is
+    // doc-side-only, so precomputing it as the posting weight
+    // (SparseIndex.buildBm25) turns batch serving into a pure
+    // term-membership join against unit query weights — all per-doc
+    // arithmetic paid ONCE at build, a query touches Σ posting-list
+    // length rows. Result is bit-identical to bm25_batch (same
+    // contribution expressions, same term-ordered fold), so it shares
+    // that oracle; what this row gates is the production serving shape:
+    // build → persist → load → batch-query the frozen artifact.
+    "bm25_impact_served" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val (postings, model) = graft.index.SparseIndex.buildBm25(docs, K1, B)
+      val path = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+      graft.io.IndexIO.saveSparse(s, path, postings, model, weighting = "bm25")
+      val (loaded, _) = graft.io.IndexIO.loadSparse(s, path)
+      val qw = BatchQueries.toDF("query_id", "terms")
+        .select(col("query_id"), explode(col("terms")).as("term"),
+          lit(1.0).as("wq"))
+      graft.index.SparseIndex.search(loaded, qw, BatchTop)
+        .select(col("query_id"), col("doc_id"), round(col("score"), 4).as("bm25"),
+          col("n_terms"), col("rank"))
+    }),
     // MMR diversified retrieval (operators.Mmr): top-MmrN cosine pool,
     // greedy λ·rel − (1−λ)·max-sim-to-picked selection of MmrK. Output
     // carries NO floats — (query_id, neighbor_id, pick_order) — and the
@@ -407,7 +431,9 @@ object RetrievalQueries extends QueryProvider {
     // the served row is result-identical to the in-memory row by
     // construction — it reuses the same oracle SQL (the blocked-variant
     // reuse discipline), gating the persistence round trip
-    oraclesBase + ("knn_sparse_served" -> oraclesBase("knn_sparse_dot"))
+    oraclesBase +
+      ("knn_sparse_served" -> oraclesBase("knn_sparse_dot")) +
+      ("bm25_impact_served" -> oraclesBase("bm25_batch"))
   }
 
   private lazy val oraclesBase: Map[String, String] = Map(

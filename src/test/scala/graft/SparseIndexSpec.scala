@@ -83,6 +83,16 @@ class SparseIndexSpec extends AnyFunSuite {
       "persistence must not change weights, fold order, or ranking")
   }
 
+  test("BM25 impact index: served batch search is row-identical to the " +
+      "bm25_batch driver row (doc-side contributions precompute exactly)") {
+    val a = graft.queries.RetrievalQueries.queries("bm25_impact_served")(
+      spark, TestSession.Sf0001).collect().map(_.toSeq).sortBy(_.toString)
+    val b = graft.queries.RetrievalQueries.queries("bm25_batch")(
+      spark, TestSession.Sf0001).collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.nonEmpty && a.sameElements(b),
+      "precomputed impact weights must reproduce bm25_batch bit-for-bit")
+  }
+
   test("saved postings push a term predicate into the parquet scan — the " +
       "pruning the range-partitioned, term-sorted layout exists for") {
     val (postings, model) = SparseIndex.build(docs)
