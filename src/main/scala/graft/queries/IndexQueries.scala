@@ -77,6 +77,30 @@ object IndexQueries extends QueryProvider {
         .select(col("query_id"), col("neighbor_id"),
           round(col("distance"), 4).as("distance"), col("rank"))
     }),
+    // J5/A9 as a FULL hash-match row — the reference benchmark's
+    // calculateRecall (benchmark_comparison.go:459-487): recall@K of the
+    // probe-pruned IVF against the exact flat ground truth, computed the
+    // relational way. Its gtSet membership map becomes a left-semi join
+    // of predictions against truth on (query_id, neighbor_id); every
+    // query keeps a row via a left join from the query batch, so a
+    // total probe miss reads recall 0.0 instead of silently vanishing.
+    // The recall join itself shuffles ≤ 2·nq·K narrow rows — the
+    // expensive subtrees are the two kNN kernels, which carry their own
+    // scale stories (broadcast batch / probe pruning).
+    "eval_recall_ivf" -> ((s, dir) => {
+      val (corpus, queries, model) = detIvf(s, dir)
+      val truth = FlatIndex.knn(corpus, queries, K, Metric.L2)
+        .select(col("query_id"), col("neighbor_id"))
+      val pred = IvfIndex.knn(corpus, model, queries, K, Nprobe)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = pred.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") / K, 4).as("recall"))
+    }),
     // The round-6 roadmap metric through the IVF family: assignment,
     // probe selection, AND candidate ranking all run on L1 (the
     // reference assigns/probes with the configured metric,
@@ -935,6 +959,31 @@ object IndexQueries extends QueryProvider {
        |FROM r WHERE rank <= $K""".stripMargin
 
   def oracles: Map[String, String] = oraclesBase +
+    // calculateRecall's replica: exact flat truth, probe-pruned IVF
+    // prediction (the same CTEs as knn_ivf_det), membership join, and a
+    // left join from the query batch so probe misses read 0.0
+    ("eval_recall_ivf" ->
+      s"""WITH $base,
+         |$probeCtes,
+         |xd AS (SELECT q.query_id, v.id AS neighbor_id, ${sqlL2SqG("qv", "ev")} AS d2
+         |       FROM q CROSS JOIN v),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+         |  FROM xd) WHERE rn <= $K),
+         |cand AS (SELECT p.query_id, a.id AS neighbor_id, ${sqlL2SqG("qv", "ev")} AS d2
+         |         FROM probes p JOIN assign a ON a.cluster_id = p.bucket),
+         |pred AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rn
+         |  FROM cand) WHERE rn <= $K),
+         |h AS (SELECT p.query_id, count(*) AS n_hits
+         |      FROM pred p JOIN truth t
+         |        ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+         |      GROUP BY p.query_id)
+         |SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $K, 4) AS recall
+         |FROM q LEFT JOIN h ON h.query_id = q.query_id""".stripMargin) +
     ("sq8_encode" ->
       s"""WITH $sq8Ctes
          |SELECT id, CAST(pos - 1 AS INT) AS m, CAST(cd AS INT) AS code FROM encl""".stripMargin) +

@@ -144,6 +144,39 @@ object VectorQueries extends QueryProvider {
           round(Metric.L2.finishRank(col("rank_key")), 4).as("distance"),
           col("rank").cast("int").as("rank"))
     }),
+    // kNN classification (majority vote) — the canonical CONSUMER of a
+    // kNN kernel: predict each query's label as the most common label
+    // among its K nearest labeled exemplars. Self-matches are excluded
+    // BEFORE ranking (the predicated-kNN-join discipline above — the
+    // query's own row would always vote once for the true label and
+    // bias every prediction). Vote ties break to the smaller label so
+    // the prediction is deterministic. Plan: the usual broadcast
+    // query-batch scan, then two nq·K-row aggregations — the corpus
+    // never shuffles; at 100 TB the candidate stage swaps for any ANN
+    // kind (same voting tail).
+    "knn_classify" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir)
+      val queries = v.where(col("id") < QueryIds)
+        .select(col("id").as("query_id"), col("vec").as("qvec"))
+      val distances = v.crossJoin(broadcast(queries))
+        .where(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("label"), col("id").as("neighbor_id"),
+          Metric.L2.rankKey(col("qvec"), col("vec")).as("rank_key"))
+      val nn = distances
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(col("rank_key"), col("neighbor_id"))))
+        .where(col("rank") <= K)
+      val votes = nn.groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      votes
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(col("votes").desc, col("label"))))
+        .where(col("rn") === 1)
+        .select(col("query_id"), col("label").as("pred_label"),
+          col("votes").cast("int").as("votes"))
+    }),
     // Corpus kNN GRAPH (the building block under semantic dedup /
     // graph-based clustering): every capped node's k nearest OTHER
     // nodes. Self-pairs are excluded BEFORE ranking (a predicated kNN
@@ -321,6 +354,26 @@ object VectorQueries extends QueryProvider {
          |  FROM d)
          |SELECT query_id, label, neighbor_id, round(dist, 4) AS distance, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= $PerClassK""".stripMargin,
+    "knn_classify" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $QueryIds),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings),
+         |d AS (
+         |  SELECT q.query_id, v.label, v.vec_id AS neighbor_id, $sqlL2 AS dist
+         |  FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id),
+         |nn AS (
+         |  SELECT query_id, label FROM (
+         |    SELECT query_id, label,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |    FROM d) WHERE rank <= $K),
+         |vt AS (SELECT query_id, label, count(*) AS votes FROM nn GROUP BY query_id, label),
+         |r AS (
+         |  SELECT query_id, label, votes,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+         |  FROM vt)
+         |SELECT query_id, label AS pred_label, CAST(votes AS INT) AS votes
+         |FROM r WHERE rn = 1""".stripMargin,
     "knn_flat_cosine" -> knnOracleSql(sqlCosine),
     "knn_flat_dot" -> knnOracleSql(s"-($sqlDot)"),
     "knn_flat_manhattan" -> knnOracleSql(sqlL1),
