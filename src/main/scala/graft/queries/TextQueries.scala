@@ -504,6 +504,52 @@ object TextQueries extends QueryProvider {
             round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 4))
             .otherwise(lit(0.0)).as("dup_frac"))
     }),
+    // Exact-substring span EXCISION — the action form of dup_span_stats
+    // (Lee et al. 2022 remove duplicated substrings from the corpus
+    // instead of dropping whole docs): every token position covered by a
+    // cross-document duplicated 8-gram window is excised, and each doc's
+    // text is rebuilt from the surviving tokens in order. Windows whose
+    // gram occurs in ≥2 DISTINCT docs mark all their occurrences (in
+    // every doc); intra-doc-only repeats survive, like the stats row.
+    // 100 TB shapes: one tokenize+explode pass produces the occurrence
+    // frame; the dup-gram set is a grouped doc-count over the (doc,gram)
+    // collapse of that same frame (map-side partial, AQE-skew-eligible
+    // equi-join back — never a gram-keyed window, the dup_span_stats
+    // de-skew rule); coverage is an explode of 8-row spans + distinct;
+    // the rebuild is a per-doc sort-agg over that doc's own tokens
+    // (doc-sized groups, never corpus-sized partitions — the line_dedup
+    // rebuild shape).
+    "span_dedup_excise" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+      val tokens = d.select(col("doc_id"),
+          posexplode(toks(col("text"))).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      val occ = d.select(col("doc_id"),
+          transform(toks(col("text")),
+            t => graft.functions.TextFunctions.tokenHash(t)).as("th"))
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.ngramWindow(col("th"), ContamN))
+            .as(Seq("start0", "gram")))
+        .select(col("doc_id"), (col("start0") + 1).as("start"), col("gram"))
+      val dupGrams = occ.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("gram").agg(sum(when(col("c") > 0, 1L).otherwise(0L)).as("nd"))
+        .where(col("nd") > 1).select("gram")
+      val covered = occ.join(dupGrams, Seq("gram"))
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (ContamN - 1))).as("pos"))
+        .distinct()
+      val rebuilt = tokens.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_clean"))
+      d.select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("text_clean"), lit("")).as("text_clean"))
+    }),
     // Unigram language-model scoring — the CCNet-shape quality filter:
     // score each doc by the mean negative log-probability of its tokens
     // under the corpus's own unigram distribution (high nll = unusual
@@ -1173,6 +1219,30 @@ object TextQueries extends QueryProvider {
          |            ELSE 0.0 END AS dup_frac
          |FROM (SELECT doc_id FROM documents) d
          |LEFT JOIN tot USING (doc_id) LEFT JOIN du USING (doc_id)""".stripMargin
+    },
+    // same gram recurrence as dup_span_stats; coverage union via DISTINCT
+    // positions, rebuild via ordered string_agg — both engines drop the
+    // same positions and join survivors with single spaces
+    "span_dedup_excise" -> {
+      import graft.functions.TextFunctions.sqlNgramHashes
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id, generate_subscripts(gr, 1) AS start, unnest(gr) AS gram
+         |      FROM (SELECT doc_id, ${sqlNgramHashes("tk", 8)} AS gr FROM t)),
+         |dg AS (SELECT gram FROM (SELECT gram, count(DISTINCT doc_id) AS nd
+         |                         FROM g GROUP BY gram) WHERE nd > 1),
+         |cov AS (SELECT DISTINCT doc_id, unnest(range(start, start + 8)) AS pos
+         |        FROM g JOIN dg USING (gram)),
+         |tok AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok FROM t),
+         |kept AS (SELECT tok.doc_id, tok.pos, tok.tok
+         |         FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.pos = tok.pos
+         |         WHERE cov.pos IS NULL),
+         |reb AS (SELECT doc_id, count(*) AS n_kept,
+         |               string_agg(tok, ' ' ORDER BY pos) AS text_clean
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(reb.n_kept, 0) AS BIGINT) AS n_kept,
+         |       coalesce(reb.text_clean, '') AS text_clean
+         |FROM t LEFT JOIN reb USING (doc_id)""".stripMargin
     },
     // The vocab cap + OOV floor mirror the Spark model EXACTLY (top
     // UnigramVocabCap tokens by (count desc, token), normalizer = capped

@@ -90,6 +90,24 @@ class PlanQualitySpec extends AnyFunSuite {
       "expected the per-gram doc-count to join back on gram")
   }
 
+  test("span_dedup_excise: no gram-keyed window (grouped doc-count + equi-join, " +
+      "the dup_span_stats de-skew rule) and no non-equi join shapes") {
+    val df = graft.queries.TextQueries.queries("span_dedup_excise")(
+      spark, TestSession.Sf0001)
+    df.collect()
+    val plan = finalPlanOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no non-equi join shapes:\n$plan")
+    val windows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"dup marking and rebuild must be grouped aggs, never windows:\n$plan")
+    // coverage must reach the token stream as an equi anti-join on
+    // (doc_id, pos) — the surviving-token filter never re-tokenizes
+    assert(plan.contains("LeftAnti"), s"expected the covered-position anti-join:\n$plan")
+  }
+
   test("dsir_topk reads the corpus text exactly once — the feature models and " +
       "totals all re-aggregate the shared (doc,lang,bucket) exchange") {
     val df = graft.queries.RetrievalQueries.queries("dsir_topk")(spark, TestSession.Sf0001)

@@ -623,6 +623,45 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "rows must arrive in rank order")
   }
 
+  test("span_dedup_excise: excised text equals a literal driver-side replay " +
+    "(dup grams -> covered positions -> surviving tokens), and a doc loses " +
+    "tokens iff dup_span_stats marks it") {
+    val Mod = 1000000007L
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31L + c.toInt) % Mod)
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector)
+    val grams = docs.map { case (id, tk) =>
+      val th = tk.map(tokHash)
+      id -> (if (th.length < 8) Vector.empty[(Int, Long)]
+             else (0 to th.length - 8).toVector.map(i =>
+               i + 1 -> th.slice(i, i + 8).foldLeft(0L)((a, h) => (a * 31L + h) % Mod)))
+    }.toMap
+    val dupSet = grams.toSeq.flatMap { case (id, g) => g.map(_._2).distinct.map(_ -> id) }
+      .groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1).keySet
+    val expected = docs.map { case (id, tk) =>
+      val covered = grams(id).filter(g => dupSet(g._2))
+        .flatMap { case (st, _) => st until st + 8 }.toSet
+      val kept = tk.zipWithIndex.collect { case (t, i) if !covered(i + 1) => t }
+      id -> ((tk.length.toLong, kept.length.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = TextQueries.queries("span_dedup_excise")(spark, TestSession.Sf0001)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, v) =>
+      assert(v == expected(id), s"doc $id: engine $v vs replay ${expected(id)}") }
+    val stats = TextQueries.queries("dup_span_stats")(spark, TestSession.Sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (n, kept, _)) =>
+      assert((kept < n) == (stats(id) > 0),
+        s"doc $id: excision (${n - kept} dropped) must agree with dup_span_stats (${stats(id)} dup windows)")
+    }
+    assert(got.values.exists { case (n, kept, _) => kept < n },
+      "fixture must exercise a real excision")
+  }
+
   test("corpus_rollup: ALL rows equal the sums of their children at every level") {
     val rows = TextQueries.queries("corpus_rollup")(spark, TestSession.Sf0001).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
