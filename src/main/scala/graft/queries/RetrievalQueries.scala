@@ -58,6 +58,14 @@ object RetrievalQueries extends QueryProvider {
   private val CascadeN = 20
   private val CascadeK = 10
 
+  /** MaxSim token-embedding dimensionality: component j of a token's
+    * pseudo-embedding is (tokenHash % p_j) + 1 over these primes —
+    * deterministic, strictly positive (no zero-norm guard ever fires),
+    * and pure integer arithmetic both engines reproduce bit-for-bit.
+    * A real system swaps in a learned token-embedding column; every
+    * plan shape below is unchanged by that swap. */
+  private val MaxSimPrimes = Seq(101, 103, 107, 109, 113, 127, 131, 137)
+
   /** MMR pool width / picks / relevance-diversity trade (0.7 is the
     * common default). */
   private val MmrN = 20
@@ -322,6 +330,72 @@ object RetrievalQueries extends QueryProvider {
         .select(col("query_id"), col("id"), col("lex_rank"),
           round(col("dist"), 4).as("cos_dist"), col("rank"))
     }),
+    // ColBERT-style late-interaction (MaxSim) rerank — the third rung of
+    // the retrieval-precision ladder after dense-vector rerank
+    // (cascade_rerank) and exact re-rank (Refine): score(q, d) =
+    // Σ_{t ∈ q tokens} max_{u ∈ d tokens} cos(emb(t), emb(u)) over
+    // per-TOKEN embeddings, so a query term matches its best-aligned
+    // document term instead of one pooled doc vector. Candidates come
+    // from the lexical stage (one corpus pass, partial rank to
+    // CascadeN); ONLY survivors are tokenized for the interaction, so
+    // the token-pair arithmetic is ∝ candidates × |q|·|d| and the
+    // corpus is never dense-scanned (the cascade envelope). Pair sims
+    // flow through grouped aggs (per-qtoken max, then a token-ordered
+    // per-pair fold — the bm25 sum-order discipline); max itself is
+    // order-free, so only the outer fold needs ordering. Token
+    // embeddings here are deterministic hash-derived vectors (see
+    // MaxSimPrimes) — the Spark-side plumbing is exactly what a learned
+    // embedding column would use.
+    "maxsim_rerank" -> ((s, dir) => {
+      val bgOf = array_distinct(
+        graft.functions.TextFunctions.bigrams(toks(col("text"))))
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val g = d.select(col("doc_id"), bgOf.as("bg"))
+      val qd = g.where(col("doc_id") < FuseQueries)
+        .select(col("doc_id").as("query_id"), col("bg").as("qbg"))
+      val cands = g.crossJoin(broadcast(qd))
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("id"),
+          jaccard(col("qbg"), col("bg")).as("j"))
+        .withColumn("lex_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("j").desc, col("id"))))
+        .where(col("lex_rank") <= CascadeN)
+        .select(col("query_id"), col("id"))
+      def tokVec(h: org.apache.spark.sql.Column) =
+        array(MaxSimPrimes.map(p => ((h % p) + 1).cast("double")): _*)
+      val qtok = d.where(col("doc_id") < FuseQueries)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(toks(col("text")))).as("qt"))
+        .withColumn("qv", tokVec(tokenHash(col("qt"))))
+      val dtok = d.join(broadcast(cands.select(col("id")).distinct()),
+          col("doc_id") === col("id"))
+        .select(col("doc_id").as("id"),
+          explode(array_distinct(toks(col("text")))).as("dt"))
+        .withColumn("dv", tokVec(tokenHash(col("dt"))))
+      import graft.functions.VectorFunctions
+      val dot = VectorFunctions.dot(col("qv"), col("dv"))
+      val na = VectorFunctions.norm(col("qv"))
+      val nb = VectorFunctions.norm(col("dv"))
+      val sim = when(na === 0.0 || nb === 0.0, lit(0.0))
+        .otherwise(least(lit(1.0), greatest(lit(-1.0), dot / (na * nb))))
+      val perQt = broadcast(cands)
+        .join(qtok, Seq("query_id"))
+        .join(dtok, Seq("id"))
+        .select(col("query_id"), col("id"), col("qt"), sim.as("sim"))
+        .groupBy(col("query_id"), col("id"), col("qt"))
+        .agg(max(col("sim")).as("mx"))
+      perQt.groupBy(col("query_id"), col("id"))
+        .agg(
+          aggregate(array_sort(collect_list(struct(col("qt"), col("mx")))),
+            lit(0.0), (a, x) => a + x.getField("mx")).as("score"),
+          count(lit(1)).cast("int").as("n_qtok"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))))
+        .where(col("rank") <= CascadeK)
+        .select(col("query_id"), col("id"), round(col("score"), 4).as("maxsim"),
+          col("n_qtok"), col("rank"))
+    }),
     // DSIR-style importance resampling (Xie et al. 2023 shape): score each
     // raw doc by how target-like its hashed n-gram feature profile is —
     // weight = Σ_f n_f(doc) · (ln p_target(f) − ln p_raw(f)) with add-one
@@ -436,7 +510,50 @@ object RetrievalQueries extends QueryProvider {
       ("bm25_impact_served" -> oraclesBase("bm25_batch"))
   }
 
+  /** Token pseudo-embedding as a DuckDB list literal over an expression
+    * `h` (the token hash) — the exact mirror of the Spark `tokVec`. */
+  private def maxSimVecSql(h: String): String =
+    "[" + MaxSimPrimes.map(p => s"CAST(($h) % $p + 1 AS DOUBLE)").mkString(", ") + "]"
+
+  private val maxSimSql: String = {
+    val cosSim = VectorQueries.sqlCosineSimG("qv", "dv")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+       |        j -> tk[j] || ' ' || tk[j+1])) AS bg FROM d),
+       |lx AS (SELECT q.doc_id AS query_id, c.doc_id AS id,
+       |         ${sqlJaccard("q.bg", "c.bg")} AS j
+       |       FROM g q JOIN g c ON c.doc_id <> q.doc_id
+       |       WHERE q.doc_id < $FuseQueries),
+       |lt AS (SELECT query_id, id FROM (
+       |         SELECT query_id, id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY j DESC, id) AS lex_rank
+       |         FROM lx) WHERE lex_rank <= $CascadeN),
+       |qh AS (SELECT query_id, qt, ${maxSimVecSql(sqlTokenHash("qt"))} AS qv
+       |       FROM (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS qt
+       |             FROM d WHERE doc_id < $FuseQueries)),
+       |dh AS (SELECT id, dt, ${maxSimVecSql(sqlTokenHash("dt"))} AS dv
+       |       FROM (SELECT doc_id AS id, unnest(list_distinct(tk)) AS dt
+       |             FROM d WHERE doc_id IN (SELECT DISTINCT id FROM lt))),
+       |p AS (SELECT lt.query_id, lt.id, qh.qt, $cosSim AS sim
+       |      FROM lt JOIN qh ON qh.query_id = lt.query_id
+       |      JOIN dh ON dh.id = lt.id),
+       |mx AS (SELECT query_id, id, qt, max(sim) AS mx
+       |       FROM p GROUP BY query_id, id, qt),
+       |sc AS (SELECT query_id, id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(mx ORDER BY qt)),
+       |           (x, y) -> x + y) AS score,
+       |         count(*) AS n_qtok
+       |       FROM mx GROUP BY query_id, id),
+       |r AS (SELECT query_id, id, score, n_qtok,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+       |      FROM sc)
+       |SELECT query_id, id, round(score, 4) AS maxsim, CAST(n_qtok AS INT) AS n_qtok,
+       |       CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $CascadeK""".stripMargin
+  }
+
   private lazy val oraclesBase: Map[String, String] = Map(
+    "maxsim_rerank" -> maxSimSql,
     "mmr_diversify" -> mmrSql,
     "bm25_batch" ->
       s"""WITH qt AS (SELECT * FROM (VALUES $batchValuesSql) t(query_id, terms)),

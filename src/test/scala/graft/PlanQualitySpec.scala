@@ -319,6 +319,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the dense stage must never cross-join the corpus:\n$plan")
   }
 
+  test("maxsim_rerank: token interaction touches lexical candidates only — " +
+      "candidate pairs broadcast into the token joins, no cartesian") {
+    val plan = planOf(
+      graft.queries.RetrievalQueries.queries("maxsim_rerank")(spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the candidate frame must broadcast into the token-pair joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the interaction stage must never cross-join token streams:\n$plan")
+  }
+
   test("knn_truncated_rerank: full-dim pass touches candidates only (broadcast " +
       "candidate lookups, no corpus-x-corpus product)") {
     val plan = planOf(

@@ -89,4 +89,42 @@ class RetrievalSpec extends AnyFunSuite {
       assert(last._3 - 1 + last._4 == toks.length, s"doc $id tail covered")
     }
   }
+
+  test("maxsim_rerank: scores replay from a literal per-token max-cosine " +
+    "sum over the lexical candidate pool (self excluded, CascadeK kept)") {
+    val Mod = 1000000007L
+    val primes = Seq(101, 103, 107, 109, 113, 127, 131, 137)
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31L + c.toInt) % Mod)
+    def vec(t: String): Array[Double] = {
+      val h = tokHash(t); primes.map(p => (h % p + 1).toDouble).toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var da = 0.0; var db = 0.0; var d = 0.0; var i = 0
+      while (i < a.length) { da += a(i) * a(i); db += b(i) * b(i); d += a(i) * b(i); i += 1 }
+      math.min(1.0, math.max(-1.0, d / (math.sqrt(da) * math.sqrt(db))))
+    }
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector).toMap
+    val got = RetrievalQueries.queries("maxsim_rerank")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got.nonEmpty)
+    // per returned pair: recompute the MaxSim score and the qtok count
+    got.foreach { case ((qid, id), (score, nQtok, rank)) =>
+      assert(qid != id, "self must never survive the candidate stage")
+      val qts = docs(qid).distinct
+      val dvs = docs(id).distinct.map(vec)
+      assert(nQtok == qts.length, s"pair ($qid,$id): n_qtok")
+      val expect = qts.sorted.map(qt => dvs.map(dv => cos(vec(qt), dv)).max).sum
+      assert(math.abs(score - expect) < 5e-4,
+        s"pair ($qid,$id) rank $rank: engine $score vs replay $expect")
+    }
+    // ranks are dense 1..CascadeK per query
+    got.groupBy(_._1._1).foreach { case (qid, rows) =>
+      val ranks = rows.values.map(_._3).toSeq.sorted
+      assert(ranks == (1 to rows.size).toSeq, s"query $qid ranks dense")
+    }
+  }
 }
