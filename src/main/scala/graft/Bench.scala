@@ -273,7 +273,11 @@ object Bench {
       // round-8 session 3: learned-sparse retrieval, Matryoshka prefix
       // rerank, retrieve-then-rerank cascade
       "knn_sparse_dot", "knn_sparse_served", "knn_truncated_rerank",
-      "cascade_rerank")
+      "cascade_rerank",
+      // round-8 session 4: impact-index BM25 serving, span excision,
+      // late-interaction rerank, kNN classification + recall evaluation
+      "bm25_impact_served", "span_dedup_excise", "maxsim_rerank",
+      "knn_classify", "eval_recall_ivf")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

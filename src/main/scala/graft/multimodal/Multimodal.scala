@@ -43,4 +43,39 @@ object Multimodal {
   def frameSamplePlan(nFrames: Column, take: Int): Column =
     transform(sequence(lit(0), lit(take - 1)),
       j => floor((j * nFrames) / lit(take)).cast("long"))
+
+  /** Content-defined chunk boundaries (rsync/LBFS/gear-CDC shape): a cut
+    * AFTER position i whenever the rolling hash of the trailing
+    * [[CdcWindow]] chars ≡ 0 (mod [[CdcDivisor]]), plus the forced final
+    * cut at n — so boundaries depend only on LOCAL content and an edit
+    * reshapes just the chunks it touches, unlike fixed-offset chunking
+    * where one inserted byte shifts every later chunk (the property
+    * blob-level dedup stores rely on). Expected chunk length ≈ divisor.
+    * Returns the sorted distinct boundary array [0, …, n]. No min/max
+    * clamps: those need a sequential greedy over candidates — the plan
+    * stays a pure per-row projection without them, and the divisor is
+    * the length dial. */
+  val CdcWindow = 8
+  val CdcDivisor = 32
+  /** Boundary array from a PRE-MATERIALIZED char-code column (array of
+    * ascii codes). The caller must stage `codes` through its own
+    * projection (an attribute, not an inlined subtree): higher-order
+    * lambdas evaluate interpreted, re-running every inlined child per
+    * element — an inlined split(text) here turns the op O(n²) in string
+    * work (measured 290 s for 500 docs before staging; 0.3 s after). */
+  def cdcBoundsFromCodes(codes: Column): Column = {
+    val Mod = graft.functions.TextFunctions.Mod
+    val n = size(codes)
+    // guard the descending-sequence ramp for payloads shorter than the
+    // window (the ngramHashes discipline)
+    val cuts = when(n < CdcWindow, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(CdcWindow), n), i =>
+        aggregate(slice(codes, i - (CdcWindow - 1), lit(CdcWindow)), lit(0L),
+          (a, c) => (a * 31L + c) % Mod) % CdcDivisor === 0))
+    array_sort(array_distinct(concat(array(lit(0)), cuts, array(n))))
+  }
+  /** Payload chars as ascii codes — the staging column for
+    * [[cdcBoundsFromCodes]]. */
+  def charCodes(text: Column): Column =
+    transform(filter(split(text, ""), c => c =!= ""), c => ascii(c).cast("long"))
 }

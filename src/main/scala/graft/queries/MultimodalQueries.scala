@@ -54,6 +54,39 @@ object MultimodalQueries extends QueryProvider {
         .select(col("media_id"), col("c.chunk_idx"), col("c.off"),
           col("c.len"), col("c.chunk_fp"))
     }),
+    // Content-defined chunking (the rsync/LBFS/FastCDC family): chunk
+    // boundaries cut where a rolling hash of the trailing bytes hits
+    // 0 mod divisor, so they track CONTENT, not offsets — an edit
+    // reshapes only the chunks it touches while every later chunk
+    // fingerprint survives byte-identical (asserted in spec). This is
+    // the chunking blob-dedup stores need, where media_chunk_plan's
+    // fixed-64-byte grid would re-fingerprint an entire payload after
+    // one inserted byte. Same plan shape: pure projection + explode,
+    // rows ∝ payload bytes / divisor, never a shuffle; fingerprints are
+    // the stub-decode plug point.
+    "media_cdc_chunks" -> ((s, dir) => {
+      // three explicit projection stages (codes → bounds → chunks): each
+      // HOF lambda must read a bound ATTRIBUTE — inlining the char-split
+      // into the boundary filter re-evaluates it per position
+      // (interpreted lambdas), turning the op O(n²) per payload
+      val d = Tables.load(s, dir, "documents").where(length(col("text")) > 0)
+        .select(col("doc_id").as("media_id"), col("text"),
+          Multimodal.charCodes(col("text")).as("codes"))
+        .select(col("media_id"), col("text"),
+          Multimodal.cdcBoundsFromCodes(col("codes")).as("bounds"))
+      val bounds = col("bounds")
+      val chunks = transform(sequence(lit(1), size(bounds) - 1), j =>
+        struct(
+          (j - 1).cast("int").as("chunk_idx"),
+          element_at(bounds, j).cast("long").as("off"),
+          (element_at(bounds, j + 1) - element_at(bounds, j)).cast("long").as("len"),
+          graft.functions.TextFunctions.tokenHash(
+            col("text").substr(element_at(bounds, j) + 1,
+              element_at(bounds, j + 1) - element_at(bounds, j))).as("chunk_fp")))
+      d.select(col("media_id"), explode(chunks).as("c"))
+        .select(col("media_id"), col("c.chunk_idx"), col("c.off"),
+          col("c.len"), col("c.chunk_fp"))
+    }),
     // Frame-sample plan: stride indices for a fake per-doc frame count
     "media_frame_sample" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
@@ -96,6 +129,31 @@ object MultimodalQueries extends QueryProvider {
          |       CAST(i * 64 AS BIGINT) AS off,
          |       CAST(least(64, nb - i * 64) AS BIGINT) AS len,
          |       ${sqlTokenHash(chunk)} AS chunk_fp
+         |FROM c""".stripMargin
+    },
+    "media_cdc_chunks" -> {
+      import graft.functions.TextFunctions.{Mod, sqlTokenHash}
+      val w = graft.multimodal.Multimodal.CdcWindow
+      val div = graft.multimodal.Multimodal.CdcDivisor
+      // rolling hash of chars i-(w-1)..i (1-based, inclusive slice)
+      val roll = s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+        | list_transform(ch[i - ${w - 1} : i], c -> CAST(ascii(c) AS BIGINT))),
+        | (a, b) -> (a * 31 + b) % $Mod)""".stripMargin.replaceAll("\n\\s*", " ")
+      val sub = "substring(text, CAST(bounds[j] + 1 AS BIGINT), CAST(bounds[j+1] - bounds[j] AS BIGINT))"
+      s"""WITH d AS (SELECT doc_id AS media_id, text, string_split(text, '') AS ch,
+         |                  length(text) AS n
+         |           FROM documents WHERE length(text) > 0),
+         |b AS (SELECT media_id, text,
+         |             list_sort(list_distinct([CAST(0 AS BIGINT)] ||
+         |               CASE WHEN n < $w THEN CAST([] AS BIGINT[])
+         |                    ELSE list_filter(range($w, n + 1), i -> ($roll) % $div = 0) END ||
+         |               [CAST(n AS BIGINT)])) AS bounds
+         |      FROM d),
+         |c AS (SELECT media_id, text, bounds, unnest(range(1, len(bounds))) AS j FROM b)
+         |SELECT media_id, CAST(j - 1 AS INT) AS chunk_idx,
+         |       CAST(bounds[j] AS BIGINT) AS off,
+         |       CAST(bounds[j+1] - bounds[j] AS BIGINT) AS len,
+         |       ${sqlTokenHash(sub)} AS chunk_fp
          |FROM c""".stripMargin
     },
     "media_frame_sample" ->
