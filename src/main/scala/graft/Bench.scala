@@ -277,7 +277,8 @@ object Bench {
       // round-8 session 4: impact-index BM25 serving, span excision,
       // late-interaction rerank, kNN classification + recall evaluation
       "bm25_impact_served", "span_dedup_excise", "maxsim_rerank",
-      "knn_classify", "eval_recall_ivf")
+      "knn_classify", "eval_recall_ivf", "winnow_fingerprints",
+      "media_cdc_chunks")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

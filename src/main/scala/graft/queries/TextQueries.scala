@@ -21,6 +21,9 @@ object TextQueries extends QueryProvider {
 
   private val EvalCap = 20
   private val ContamN = 8
+  /** Winnowing window: min-gram selection over WinnowW consecutive
+    * rolling-gram hashes (winnow_fingerprints). */
+  private val WinnowW = 4
   /** unigram_logprob vocabulary cap — the whole vocab here; the cap is
     * the scale knob (top-k vocab + OOV floor at open vocabulary). */
   private[graft] val UnigramVocabCap = 10000
@@ -503,6 +506,32 @@ object TextQueries extends QueryProvider {
           when(coalesce(col("n_grams"), lit(0L)) > 0,
             round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 4))
             .otherwise(lit(0.0)).as("dup_frac"))
+    }),
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
+    // algorithm): from each doc's rolling 8-gram hash stream, select the
+    // minimum hash of every window of WinnowW consecutive grams
+    // (leftmost on ties), dedup selections. Guarantees every substring
+    // of WinnowW+7 tokens contributes >=1 fingerprint (no blind spots —
+    // the property random MinHash sampling lacks) at bounded density
+    // ~2/(WinnowW+1) — the fingerprint set a plagiarism/near-dup store
+    // actually indexes, two orders smaller than the full gram stream.
+    // Pure per-row projection over STAGED hash arrays (the
+    // media_cdc_chunks staging lesson: lambdas must read attributes);
+    // rows out ∝ tokens/WinnowW, no shuffle before the final distinct.
+    "winnow_fingerprints" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.ngramHashes(toks(col("text")), ContamN).as("gh"))
+      val gh = col("gh")
+      val win = transform(
+        sequence(lit(1), greatest(size(gh) - (WinnowW - 1), lit(1))), i => {
+          val sl = slice(gh, i, lit(WinnowW))
+          struct((i + array_position(sl, array_min(sl)) - 1).cast("long").as("pos"),
+            array_min(sl).as("fp"))
+        })
+      d.where(size(gh) > 0)
+        .select(col("doc_id"), explode(array_distinct(win)).as("w"))
+        .select(col("doc_id"), col("w.pos"), col("w.fp"))
     }),
     // Exact-substring span EXCISION — the action form of dup_span_stats
     // (Lee et al. 2022 remove duplicated substrings from the corpus
@@ -1219,6 +1248,23 @@ object TextQueries extends QueryProvider {
          |            ELSE 0.0 END AS dup_frac
          |FROM (SELECT doc_id FROM documents) d
          |LEFT JOIN tot USING (doc_id) LEFT JOIN du USING (doc_id)""".stripMargin
+    },
+    // same gram recurrence as dup_span_stats; per window the leftmost
+    // minimum via list_position(first occurrence), selections deduped by
+    // DISTINCT (Spark dedups the struct array before exploding — same set)
+    "winnow_fingerprints" -> {
+      import graft.functions.TextFunctions.sqlNgramHashes
+      val sl = s"gh[i : i + ${WinnowW - 1}]"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |h AS (SELECT doc_id, ${sqlNgramHashes("tk", 8)} AS gh FROM t),
+         |w AS (SELECT doc_id, gh,
+         |             unnest(range(1, greatest(len(gh) - ${WinnowW - 1}, 1) + 1)) AS i
+         |      FROM h WHERE len(gh) > 0),
+         |s AS (SELECT doc_id,
+         |        CAST(i + list_position($sl, list_min($sl)) - 1 AS BIGINT) AS pos,
+         |        list_min($sl) AS fp
+         |      FROM w)
+         |SELECT DISTINCT doc_id, pos, fp FROM s""".stripMargin
     },
     // same gram recurrence as dup_span_stats; coverage union via DISTINCT
     // positions, rebuild via ordered string_agg — both engines drop the

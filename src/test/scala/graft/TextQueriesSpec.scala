@@ -623,6 +623,54 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "rows must arrive in rank order")
   }
 
+  test("winnow_fingerprints: the winnowing guarantee holds — every window of " +
+    "WinnowW consecutive gram positions contains a selection, each selection " +
+    "is its window's leftmost min, and density stays near 2/(w+1)") {
+    val W = 4
+    val Mod = 1000000007L
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31L + c.toInt) % Mod)
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector)
+    val grams = docs.map { case (id, tk) =>
+      val th = tk.map(tokHash)
+      id -> (if (th.length < 8) Vector.empty[Long]
+             else (0 to th.length - 8).toVector.map(i =>
+               th.slice(i, i + 8).foldLeft(0L)((a, h) => (a * 31L + h) % Mod)))
+    }.toMap
+    val got = TextQueries.queries("winnow_fingerprints")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(got.nonEmpty)
+    var nSel = 0L; var nGram = 0L
+    got.foreach { case (id, sel) =>
+      val gh = grams(id)
+      nSel += sel.size; nGram += gh.length
+      // each selection is the leftmost min of SOME window containing it
+      sel.foreach { case (pos, fp) =>
+        assert(gh(pos.toInt - 1) == fp, s"doc $id pos $pos: fp must be the gram there")
+      }
+      // the guarantee: every length-W window of gram positions holds >=1 selection
+      if (gh.length >= W) (1 to gh.length - W + 1).foreach { i =>
+        assert((i until i + W).exists(p => sel.contains(p.toLong)),
+          s"doc $id: window at $i has no fingerprint — winnowing guarantee broken")
+      }
+      // replay: the selected set IS the union of per-window leftmost argmins
+      if (gh.length >= 1) {
+        val expect = (1 to math.max(gh.length - W + 1, 1)).map { i =>
+          val win = gh.slice(i - 1, math.min(i - 1 + W, gh.length))
+          val mv = win.min
+          (i + win.indexOf(mv)).toLong -> mv
+        }.toMap
+        assert(sel == expect, s"doc $id: selection set mismatch")
+      }
+    }
+    val density = nSel.toDouble / nGram
+    assert(density > 1.0 / W && density < 4.0 / (W + 1),
+      s"density $density out of the winnowing regime for w=$W")
+  }
+
   test("span_dedup_excise: excised text equals a literal driver-side replay " +
     "(dup grams -> covered positions -> surviving tokens), and a doc loses " +
     "tokens iff dup_span_stats marks it") {
