@@ -278,7 +278,7 @@ object Bench {
       // late-interaction rerank, kNN classification + recall evaluation
       "bm25_impact_served", "span_dedup_excise", "maxsim_rerank",
       "knn_classify", "eval_recall_ivf", "winnow_fingerprints",
-      "media_cdc_chunks")
+      "media_cdc_chunks", "eval_rank_metrics")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())
@@ -679,8 +679,10 @@ object Bench {
     Seq(16, 32, 64).foreach { w =>
       val tCorpus = vectors.select(col("id"), slice(col("vec"), 1, w).as("vec"))
       val tQueries = queries.select(col("query_id"), slice(col("qvec"), 1, w).as("qvec"))
+      // blocked kernel for the candidate stage: the plan form's rank
+      // window would shuffle all benchN·benchQ pair rows for k'=10·K
       val (r, sec) = searchBest2(() =>
-        Refine.rerank(FlatIndex.knn(tCorpus, tQueries, 10 * K, Metric.L2),
+        Refine.rerank(FlatIndex.knnBlocked(tCorpus, tQueries, 10 * K, Metric.L2),
           vectors, queries, K, Metric.L2))
       results(s"mrl_w${w}_qps") = benchQ / sec
       results(s"mrl_w${w}_recall") = recallVs(flatRes, r)

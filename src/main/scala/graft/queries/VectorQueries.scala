@@ -15,6 +15,13 @@ object VectorQueries extends QueryProvider {
 
   val QueryIds = 8 // embeddings rows with vec_id < 8 act as the query batch
   val K = 10
+  /** NDCG@K discount table 1/log2(i+1) and its prefix sums — computed
+    * ONCE here and spliced as double literals into both the Spark plan
+    * and the DuckDB oracle (eval_rank_metrics), so the two engines share
+    * bit-identical constants instead of each calling libm. */
+  val NdcgDisc: Seq[Double] =
+    (1 to K).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  val NdcgCum: Seq[Double] = NdcgDisc.scanLeft(0.0)(_ + _).tail
   /** knn_class_topk exemplars per (query, label). */
   val PerClassK = 2
   /** knn_graph: node cap (keeps the oracle's all-pairs re-derivation
@@ -143,6 +150,47 @@ object VectorQueries extends QueryProvider {
         .select(col("query_id"), col("label"), col("neighbor_id"),
           round(Metric.L2.finishRank(col("rank_key")), 4).as("distance"),
           col("rank").cast("int").as("rank"))
+    }),
+    // IR evaluation metrics — the measurement layer every retrieval
+    // deployment needs next to the kernels: per query over the top-K
+    // cosine neighbors (self excluded before ranking), relevance = label
+    // match, emit precision@K and MRR (exact rationals) and NDCG@K.
+    // NDCG's log2 discounts are INJECTED DOUBLE LITERALS generated once
+    // in Scala and spliced into both the plan and the oracle SQL — the
+    // two engines never run libm independently, so a 1-ulp log2 drift
+    // can't flip a 4-dp rounding (the same shared-constant discipline as
+    // the mixture thresholds); DCG folds in rank order, IDCG indexes a
+    // cumulative-discount literal by n_rel. Shuffle ∝ nq·K metric rows.
+    "eval_rank_metrics" -> ((s, dir) => {
+      val v = Tables.vectors(s, dir)
+      val queries = v.where(col("id") < QueryIds)
+        .select(col("id").as("query_id"), col("vec").as("qvec"),
+          col("label").as("qlabel"))
+      val nn = v.crossJoin(broadcast(queries))
+        .where(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          when(col("label") === col("qlabel"), 1).otherwise(0).as("rel"),
+          Metric.Cosine.rankKey(col("qvec"), col("vec")).as("rank_key"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("query_id").orderBy(col("rank_key"), col("neighbor_id"))))
+        .where(col("rank") <= K)
+      val discArr = array(NdcgDisc.map(lit): _*)
+      val cumArr = array((0.0 +: NdcgCum).map(lit): _*) // index 1 = n_rel 0
+      nn.groupBy("query_id").agg(
+          sum(col("rel")).as("n_rel"),
+          min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+          aggregate(
+            array_sort(collect_list(struct(col("rank"),
+              (col("rel") * element_at(discArr, col("rank"))).as("d")))),
+            lit(0.0), (a, x) => a + x.getField("d")).as("dcg"))
+        .select(col("query_id"), col("n_rel"),
+          round(col("n_rel").cast("double") / K, 4).as("prec"),
+          round(when(col("first_rel").isNull, 0.0)
+            .otherwise(lit(1.0) / col("first_rel")), 4).as("mrr"),
+          round(when(col("n_rel") === 0, 0.0)
+            .otherwise(col("dcg") / element_at(cumArr, (col("n_rel") + 1).cast("int"))), 4)
+            .as("ndcg"))
     }),
     // kNN classification (majority vote) — the canonical CONSUMER of a
     // kNN kernel: predict each query's label as the most common label
@@ -354,6 +402,37 @@ object VectorQueries extends QueryProvider {
          |  FROM d)
          |SELECT query_id, label, neighbor_id, round(dist, 4) AS distance, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= $PerClassK""".stripMargin,
+    "eval_rank_metrics" -> {
+      val discList = NdcgDisc.mkString(", ")
+      val cumList = NdcgCum.mkString(", ")
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+         |  FROM embeddings WHERE vec_id < $QueryIds),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev, label FROM embeddings),
+         |d AS (
+         |  SELECT q.query_id, v.vec_id AS neighbor_id,
+         |         CASE WHEN v.label = q.ql THEN 1 ELSE 0 END AS rel,
+         |         $sqlCosine AS dist
+         |  FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id),
+         |t AS (SELECT query_id, neighbor_id, rel, rank FROM (
+         |        SELECT query_id, neighbor_id, rel,
+         |               row_number() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |        FROM d) WHERE rank <= $K),
+         |a AS (SELECT query_id, sum(rel) AS n_rel,
+         |             min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |               list(rel * (CAST([$discList] AS DOUBLE[]))[rank] ORDER BY rank)),
+         |               (x, y) -> x + y) AS dcg
+         |      FROM t GROUP BY query_id)
+         |SELECT query_id, CAST(n_rel AS BIGINT) AS n_rel,
+         |       round(CAST(n_rel AS DOUBLE) / $K, 4) AS prec,
+         |       round(CASE WHEN first_rel IS NULL THEN 0.0
+         |                  ELSE 1.0 / first_rel END, 4) AS mrr,
+         |       round(CASE WHEN n_rel = 0 THEN 0.0
+         |                  ELSE dcg / (CAST([$cumList] AS DOUBLE[]))[CAST(n_rel AS BIGINT)]
+         |             END, 4) AS ndcg
+         |FROM a""".stripMargin
+    },
     "knn_classify" ->
       s"""WITH q AS (
          |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -36,6 +36,43 @@ class EvalSpec extends AnyFunSuite {
     }
   }
 
+  test("eval_rank_metrics: precision/MRR/NDCG replay from a literal " +
+    "brute-force cosine ranking with label relevance") {
+    val K = 10
+    val rows = graft.queries.VectorQueries.queries("eval_rank_metrics")(
+      spark, TestSession.Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val v = graft.core.Tables.vectors(spark, TestSession.Sf0001)
+      .select("id", "vec", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var da = 0.0; var db = 0.0; var d = 0.0; var i = 0
+      while (i < a.length) { da += a(i)*a(i); db += b(i)*b(i); d += a(i)*b(i); i += 1 }
+      val na = math.sqrt(da); val nb = math.sqrt(db)
+      if (na == 0 || nb == 0) 1.0 else 1.0 - math.min(1.0, math.max(-1.0, d / (na * nb)))
+    }
+    val disc = graft.queries.VectorQueries.NdcgDisc
+    def r4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    v.filter(_._1 < graft.queries.VectorQueries.QueryIds).foreach { case (qid, qv, ql) =>
+      val top = v.filter(_._1 != qid)
+        .map { case (id, ev, l) => (cosDist(qv, ev), id, l) }
+        .sortBy(t => (t._1, t._2)).take(K)
+      val rels = top.map(t => if (t._3 == ql) 1 else 0)
+      val nRel = rels.sum
+      val mrr = rels.indexOf(1) match { case -1 => 0.0; case i => 1.0 / (i + 1) }
+      val dcg = rels.zipWithIndex.map { case (r, i) => r * disc(i) }.sum
+      val idcg = disc.take(nRel).sum
+      val ndcg = if (nRel == 0) 0.0 else dcg / idcg
+      val (gn, gp, gm, gd) = rows(qid)
+      assert(gn == nRel && gp == r4(nRel.toDouble / K) && gm == r4(mrr),
+        s"query $qid: counts/mrr")
+      assert(math.abs(gd - ndcg) < 5e-4, s"query $qid: ndcg $gd vs $ndcg")
+      assert(gd >= 0.0 && gd <= 1.0)
+    }
+  }
+
   test("eval_recall_ivf: n_hits equals the driver-side intersection of the " +
     "two kernels' neighbor sets; recall in [0,1]; flat self-recall is 1.0") {
     import org.apache.spark.sql.functions._
