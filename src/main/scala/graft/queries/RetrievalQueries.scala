@@ -66,6 +66,11 @@ object RetrievalQueries extends QueryProvider {
     * plan shape below is unchanged by that swap. */
   private val MaxSimPrimes = Seq(101, 103, 107, 109, 113, 127, 131, 137)
 
+  /** phrase_search / knn_doc_pooled query-batch sizes and result width. */
+  private val PhraseQueries = 4
+  private val PooledQueries = 4
+  private val PooledTop = 10
+
   /** MMR pool width / picks / relevance-diversity trade (0.7 is the
     * common default). */
   private val MmrN = 20
@@ -330,6 +335,79 @@ object RetrievalQueries extends QueryProvider {
         .select(col("query_id"), col("id"), col("lex_rank"),
           round(col("dist"), 4).as("cos_dist"), col("rank"))
     }),
+    // Positional-index phrase search — the exact-phrase query a
+    // BM25/bag-of-words index cannot answer: find every doc containing
+    // the query's 3-token phrase as CONSECUTIVE tokens. The corpus
+    // becomes positional postings (doc_id, pos, tok) — one explode, the
+    // inverted-index-with-positions layout — and an L-token phrase is
+    // L-1 self-equi-joins on (doc_id, pos+k, term_k), each a hash join
+    // whose shuffle is ∝ the phrase terms' posting lists, never the
+    // corpus (the knn_sparse_dot posting discipline with a positional
+    // key). Phrases are query-by-example: the first 3 tokens of docs
+    // 0..3 (guaranteed non-empty hit set — each query matches itself).
+    "phrase_search" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val post = d.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      val ph = d.where(col("doc_id") < PhraseQueries)
+        .select(col("doc_id").as("phrase_id"),
+          element_at(col("tk"), 1).as("t1"),
+          element_at(col("tk"), 2).as("t2"),
+          element_at(col("tk"), 3).as("t3"))
+      val c1 = post.join(broadcast(ph), col("tok") === col("t1"))
+        .select(col("phrase_id"), col("doc_id"), col("pos"),
+          col("t2"), col("t3"))
+      val p2 = post.select(col("doc_id").as("d2"), col("pos").as("q2"),
+        col("tok").as("k2"))
+      val p3 = post.select(col("doc_id").as("d3"), col("pos").as("q3"),
+        col("tok").as("k3"))
+      val m = c1
+        .join(p2, col("d2") === col("doc_id") && col("q2") === col("pos") + 1 &&
+          col("k2") === col("t2"))
+        .join(p3, col("d3") === col("doc_id") && col("q3") === col("pos") + 2 &&
+          col("k3") === col("t3"))
+      m.groupBy(col("phrase_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+    }),
+    // The embed → pool → index pipeline end-to-end: documents become
+    // dense vectors by mean-pooling their token embeddings (the
+    // maxsim_rerank hash-derived token vectors — swapping in a learned
+    // model changes one expression), then exact cosine kNN runs over
+    // the POOLED table. Pooling is a single per-row fold (zip_with
+    // accumulator over the staged token-hash array — component sums add
+    // in token order, so the doubles are engine-identical); the kNN is
+    // the standard broadcast-batch scan. This is the whole
+    // text-to-vector-search path with no external embedding table.
+    "knn_doc_pooled" -> ((s, dir) => {
+      def tokVec(h: org.apache.spark.sql.Column) =
+        array(MaxSimPrimes.map(p => ((h % p) + 1).cast("double")): _*)
+      val zeros = array(MaxSimPrimes.map(_ => lit(0.0)): _*)
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          transform(toks(col("text")), t => tokenHash(t)).as("th"))
+      val pooled = d.select(col("doc_id"),
+        transform(
+          aggregate(col("th"), zeros, (acc, h) => zip_with(acc, tokVec(h), _ + _)),
+          x => x / size(col("th"))).as("dv"))
+      val q = pooled.where(col("doc_id") < PooledQueries)
+        .select(col("doc_id").as("query_id"), col("dv").as("qv"))
+      import graft.functions.VectorFunctions
+      val dot = VectorFunctions.dot(col("qv"), col("dv"))
+      val na = VectorFunctions.norm(col("qv"))
+      val nb = VectorFunctions.norm(col("dv"))
+      val dist = when(na === 0.0 || nb === 0.0, lit(1.0))
+        .otherwise(lit(1.0) - least(lit(1.0), greatest(lit(-1.0), dot / (na * nb))))
+      pooled.crossJoin(broadcast(q))
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"), dist.as("dist"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("dist"), col("doc_id"))))
+        .where(col("rank") <= PooledTop)
+        .select(col("query_id"), col("doc_id"), round(col("dist"), 4).as("cos_dist"),
+          col("rank"))
+    }),
     // ColBERT-style late-interaction (MaxSim) rerank — the third rung of
     // the retrieval-precision ladder after dense-vector rerank
     // (cascade_rerank) and exact re-rank (Refine): score(q, d) =
@@ -552,8 +630,48 @@ object RetrievalQueries extends QueryProvider {
        |FROM r WHERE rank <= $CascadeK""".stripMargin
   }
 
+  /** knn_doc_pooled's pooled vector as 8 per-component token-order folds
+    * (avoids nested-lambda closures; addition order per component is
+    * exactly the Spark zip_with accumulator's). */
+  private val pooledVecSql: String = {
+    val comps = MaxSimPrimes.map { p =>
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(th, hh -> CAST((hh) % $p + 1 AS DOUBLE))),
+         |  (x, y) -> x + y) / CAST(len(th) AS DOUBLE)""".stripMargin
+        .replaceAll("\n\\s*", " ")
+    }
+    "[" + comps.mkString(", ") + "]"
+  }
+
   private lazy val oraclesBase: Map[String, String] = Map(
     "maxsim_rerank" -> maxSimSql,
+    "phrase_search" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |post AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok FROM d),
+         |ph AS (SELECT doc_id AS phrase_id, tk[1] AS t1, tk[2] AS t2, tk[3] AS t3
+         |       FROM d WHERE doc_id < $PhraseQueries),
+         |m AS (SELECT ph.phrase_id, p1.doc_id, p1.pos
+         |      FROM post p1 JOIN ph ON p1.tok = ph.t1
+         |      JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+         |                  AND p2.tok = ph.t2
+         |      JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+         |                  AND p3.tok = ph.t3)
+         |SELECT phrase_id, doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+         |       CAST(min(pos) AS INT) AS first_pos
+         |FROM m GROUP BY phrase_id, doc_id""".stripMargin,
+    "knn_doc_pooled" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |hh AS (SELECT doc_id, list_transform(tk, t -> ${sqlTokenHash("t")}) AS th FROM d),
+         |pool AS (SELECT doc_id, $pooledVecSql AS dv FROM hh),
+         |q AS (SELECT doc_id AS query_id, dv AS qv FROM pool WHERE doc_id < $PooledQueries),
+         |v AS (SELECT doc_id, dv AS ev FROM pool),
+         |dd AS (SELECT q.query_id, v.doc_id, ${VectorQueries.sqlCosine} AS dist
+         |       FROM q CROSS JOIN v WHERE v.doc_id <> q.query_id),
+         |r AS (SELECT query_id, doc_id, dist,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank
+         |      FROM dd)
+         |SELECT query_id, doc_id, round(dist, 4) AS cos_dist, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $PooledTop""".stripMargin,
     "mmr_diversify" -> mmrSql,
     "bm25_batch" ->
       s"""WITH qt AS (SELECT * FROM (VALUES $batchValuesSql) t(query_id, terms)),

@@ -90,6 +90,65 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase_search: every reported hit is a literal consecutive-token " +
+    "match, counts and first positions replay, and each phrase finds its " +
+    "own source doc at position 1") {
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector).toMap
+    val got = RetrievalQueries.queries("phrase_search")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(got.nonEmpty)
+    val phrases = (0L until 4L).map(i => i -> docs(i).take(3)).toMap
+    // replay every (phrase, doc) pair over the whole corpus
+    phrases.foreach { case (pid, ph) =>
+      docs.foreach { case (did, tk) =>
+        val occ = tk.indices.filter(i => tk.slice(i, i + 3) == ph)
+        if (occ.nonEmpty) {
+          assert(got.contains((pid, did)), s"missed hit phrase $pid doc $did")
+          assert(got((pid, did)) == ((occ.size.toLong, occ.head + 1)),
+            s"phrase $pid doc $did: ${got((pid, did))} vs (${occ.size}, ${occ.head + 1})")
+        } else assert(!got.contains((pid, did)), s"phantom hit phrase $pid doc $did")
+      }
+      assert(got((pid, pid))._2 == 1, s"phrase $pid must match its source at pos 1")
+    }
+  }
+
+  test("knn_doc_pooled: pooled vectors replay from the per-token mean and " +
+    "ranks are dense; an identical text would pool to distance 0") {
+    val Mod = 1000000007L
+    val primes = Seq(101, 103, 107, 109, 113, 127, 131, 137)
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31L + c.toInt) % Mod)
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toVector).toMap
+    def pooled(tk: Vector[String]): Array[Double] = {
+      val acc = Array.fill(primes.size)(0.0)
+      tk.foreach { t => val h = tokHash(t)
+        primes.indices.foreach(j => acc(j) += (h % primes(j) + 1).toDouble) }
+      acc.map(_ / tk.length)
+    }
+    def cosDist(a: Array[Double], b: Array[Double]): Double = {
+      var da = 0.0; var db = 0.0; var d = 0.0; var i = 0
+      while (i < a.length) { da += a(i)*a(i); db += b(i)*b(i); d += a(i)*b(i); i += 1 }
+      1.0 - math.min(1.0, math.max(-1.0, d / (math.sqrt(da) * math.sqrt(db))))
+    }
+    val got = RetrievalQueries.queries("knn_doc_pooled")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+      val qv = pooled(docs(qid))
+      rows.foreach { case (_, did, dist, _) =>
+        val expect = cosDist(qv, pooled(docs(did)))
+        assert(math.abs(dist - expect) < 5e-4,
+          s"pair ($qid,$did): $dist vs $expect")
+      }
+    }
+  }
+
   test("maxsim_rerank: scores replay from a literal per-token max-cosine " +
     "sum over the lexical candidate pool (self excluded, CascadeK kept)") {
     val Mod = 1000000007L
