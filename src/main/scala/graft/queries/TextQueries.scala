@@ -24,6 +24,9 @@ object TextQueries extends QueryProvider {
   /** Winnowing window: min-gram selection over WinnowW consecutive
     * rolling-gram hashes (winnow_fingerprints). */
   private val WinnowW = 4
+  /** BPE merge rounds learned by bpe_merges (the oracle unrolls the same
+    * number of rounds — keep in sync with the generated SQL). */
+  private val BpeRounds = 3
   /** unigram_logprob vocabulary cap — the whole vocab here; the cap is
     * the scale knob (top-k vocab + OOV floor at open vocabulary). */
   private[graft] val UnigramVocabCap = 10000
@@ -506,6 +509,58 @@ object TextQueries extends QueryProvider {
           when(coalesce(col("n_grams"), lit(0L)) > 0,
             round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 4))
             .otherwise(lit(0.0)).as("dup_frac"))
+    }),
+    // BPE merge learning (Sennrich et al. 2016 — the tokenizer-training
+    // algorithm itself, not just its wordcount prerequisites): starting
+    // from characters, each round counts adjacent symbol pairs across
+    // the corpus (weighted by word frequency), takes the argmax
+    // (count desc, lhs asc, rhs asc), and merges every occurrence
+    // greedily left-to-right (last-symbol match — a merged symbol's
+    // concatenated NAME naturally prevents overlap re-use). Output is
+    // the learned merge table, the artifact a BPE tokenizer ships.
+    // 100 TB shapes: the corpus collapses ONCE to the (word, freq)
+    // vocabulary table (the classic BPE preprocossing — all rounds then
+    // touch vocab-sized data, never the corpus); each round is one
+    // map-side-combined pair-count aggregation + a 1-row driver argmax
+    // (the centroid discipline) + a pure projection applying the merge.
+    // The oracle replays all rounds unrolled, computing its own argmax
+    // per round — the two engines must agree on every intermediate
+    // merge for the final table to hash-match.
+    "bpe_merges" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      def applyMerge(syms: org.apache.spark.sql.Column, l: String, r: String) =
+        aggregate(syms, array().cast("array<string>"), (acc, sym) =>
+          when(size(acc) > 0 && element_at(acc, lit(-1)) === l && sym === r,
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(sym))))
+      var wf = Tables.load(s, dir, "documents")
+        .select(explode(toks(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("w"), col("freq"),
+          filter(split(col("w"), ""), c => c =!= "").as("syms"))
+        .cache()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      (1 to BpeRounds).foreach { round =>
+        val best = wf
+          .select(col("freq"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("pr"))
+          .select(col("freq"), col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+          .groupBy("lhs", "rhs").agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+          .collect()(0)
+        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((round, l, r, c))
+        val next = wf.select(col("w"), col("freq"),
+          applyMerge(col("syms"), l, r).as("syms")).cache()
+        next.count()
+        wf.unpersist()
+        wf = next
+      }
+      wf.unpersist()
+      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
     }),
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
     // algorithm): from each doc's rolling 8-gram hash stream, select the
@@ -1262,6 +1317,45 @@ object TextQueries extends QueryProvider {
          |            ELSE 0.0 END AS dup_frac
          |FROM (SELECT doc_id FROM documents) d
          |LEFT JOIN tot USING (doc_id) LEFT JOIN du USING (doc_id)""".stripMargin
+    },
+    // R rounds unrolled; each round recomputes its own argmax, so every
+    // intermediate merge decision is independently replayed. The merge
+    // application is the same greedy fold as Spark's array aggregate,
+    // expressed over a chr(31)-delimited string accumulator (DuckDB 1.0
+    // list_reduce has no list-typed init): last-symbol equality is
+    // ends_with(acc, sep || lhs), which cannot false-positive because
+    // symbols never contain the separator.
+    "bpe_merges" -> {
+      val sep = "chr(31)"
+      def pairsCte(k: Int) =
+        s"""p$k AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs, sum(freq) AS cnt FROM (
+           |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+           |    i -> struct_pack(lhs := syms[i], rhs := syms[i+1]))) AS pr
+           |  FROM r${k - 1}) GROUP BY pr.lhs, pr.rhs)""".stripMargin
+      def bestCte(k: Int) =
+        s"b$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+      def applyCte(k: Int) =
+        s"""r$k AS (SELECT w, freq, list_filter(string_split(
+           |  list_reduce(list_prepend('', syms),
+           |    (acc, s) -> CASE WHEN ends_with(acc, $sep || b.lhs) AND s = b.rhs
+           |      THEN left(acc, CAST(length(acc) - length(b.lhs) - 1 AS INT)) || $sep || b.lhs || b.rhs
+           |      ELSE acc || $sep || s END),
+           |  $sep), x -> x != '') AS syms
+           |FROM r${k - 1} CROSS JOIN b$k b)""".stripMargin
+      val rounds = (1 to BpeRounds).map { k =>
+        pairsCte(k) + ",\n" + bestCte(k) +
+          (if (k < BpeRounds) ",\n" + applyCte(k) else "")
+      }.mkString(",\n")
+      val unions = (1 to BpeRounds).map { k =>
+        s"""SELECT CAST($k AS INT) AS merge_rank, lhs, rhs,
+           |       CAST(cnt AS BIGINT) AS pair_count FROM b$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH r0 AS (SELECT w, freq, list_filter(string_split(w, ''), c -> c != '') AS syms
+         |            FROM (SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
+         |                  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+         |                  GROUP BY t)),
+         |$rounds
+         |$unions""".stripMargin
     },
     // same gram recurrence as dup_span_stats; per window the leftmost
     // minimum via list_position(first occurrence), selections deduped by

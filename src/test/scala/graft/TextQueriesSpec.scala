@@ -623,6 +623,40 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "rows must arrive in rank order")
   }
 
+  test("bpe_merges: the learned merge table replays from a literal " +
+    "driver-side BPE (wordcount, per-round argmax, greedy merge application)") {
+    val got = TextQueries.queries("bpe_merges")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    var words = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).groupBy(identity)
+      .map { case (w, g) => w.split("").filter(_.nonEmpty).toVector -> g.length.toLong }
+      .toVector
+    val expect = (1 to 3).map { round =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f }
+      }
+      val ((l, r), c) = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.head
+      words = words.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == l && s == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += s
+        }
+        out.toVector -> f
+      }
+      (round, l, r, c)
+    }
+    assert(got.toSeq == expect,
+      s"merge tables differ:\nengine: ${got.toSeq}\nreplay: $expect")
+    // merges must be real compressions: every learned pair occurred
+    got.foreach { case (_, _, _, c) => assert(c > 0) }
+  }
+
   test("winnow_fingerprints: the winnowing guarantee holds — every window of " +
     "WinnowW consecutive gram positions contains a selection, each selection " +
     "is its window's leftmost min, and density stays near 2/(w+1)") {
