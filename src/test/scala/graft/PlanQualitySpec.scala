@@ -329,6 +329,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the interaction stage must never cross-join token streams:\n$plan")
   }
 
+  test("phrase_search: positional joins are hash equi-joins with the phrase " +
+      "table broadcast — no cartesian, no sort-merge of posting streams") {
+    val plan = planOf(
+      graft.queries.RetrievalQueries.queries("phrase_search")(spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the phrase table must broadcast into the posting scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"positional matching must stay equi-joins:\n$plan")
+  }
+
+  test("knn_doc_pooled: pooling is a per-row projection (no shuffle before " +
+      "the kNN window) and the query batch broadcasts") {
+    val df = graft.queries.RetrievalQueries.queries("knn_doc_pooled")(
+      spark, TestSession.Sf0001)
+    df.collect()
+    val plan = finalPlanOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"pooled kNN must use the broadcast batch scan:\n$plan")
+    // exactly one aggregation-free corpus path into the distance
+    // projection: pooling must not introduce a groupBy over tokens
+    assert(!plan.linesIterator.exists(l =>
+        l.contains("HashAggregate") && l.contains("tok")),
+      s"pooling must be the per-row fold, not an explode+groupBy:\n$plan")
+  }
+
   test("knn_truncated_rerank: full-dim pass touches candidates only (broadcast " +
       "candidate lookups, no corpus-x-corpus product)") {
     val plan = planOf(
