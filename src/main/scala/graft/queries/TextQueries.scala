@@ -27,6 +27,86 @@ object TextQueries extends QueryProvider {
   /** BPE merge rounds learned by bpe_merges (the oracle unrolls the same
     * number of rounds — keep in sync with the generated SQL). */
   private val BpeRounds = 3
+
+  /** One greedy BPE merge pass over a symbol array: replace every
+    * (l, r) adjacency left-to-right; the merged symbol's concatenated
+    * NAME differs from l, so overlapping occurrences can't chain. */
+  private def bpeApplyMerge(syms: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"), (acc, sym) =>
+      when(size(acc) > 0 && element_at(acc, lit(-1)) === l && sym === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(sym))))
+
+  /** SQL mirror of [[bpeApplyMerge]]: the greedy fold over a
+    * chr(31)-delimited string accumulator (DuckDB 1.0 list_reduce lacks
+    * list-typed inits); ends_with(acc, sep || lhs) is an exact
+    * last-symbol test since symbols never contain the separator. */
+  private def bpeSqlFold(inner: String, lhs: String, rhs: String): String =
+    s"""list_filter(string_split(list_reduce(list_prepend('', $inner),
+       |  (acc, s) -> CASE WHEN ends_with(acc, chr(31) || $lhs) AND s = $rhs
+       |    THEN left(acc, CAST(length(acc) - length($lhs) - 1 AS INT)) || chr(31) || $lhs || $rhs
+       |    ELSE acc || chr(31) || s END), chr(31)), x -> x != '')""".stripMargin
+      .replaceAll("\n\\s*", " ")
+
+  /** The unrolled training CTEs shared by the bpe_merges and bpe_segment
+    * oracles: r0 (vocabulary), then per round k the pair counts p_k,
+    * argmax b_k, and (below the last round) the applied vocabulary r_k. */
+  private lazy val bpeCtes: String = {
+    def pairsCte(k: Int) =
+      s"""p$k AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs, sum(freq) AS cnt FROM (
+         |  SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |    i -> struct_pack(lhs := syms[i], rhs := syms[i+1]))) AS pr
+         |  FROM r${k - 1}) GROUP BY pr.lhs, pr.rhs)""".stripMargin
+    def bestCte(k: Int) =
+      s"b$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
+    def applyCte(k: Int) =
+      s"""r$k AS (SELECT w, freq, ${bpeSqlFold("syms", "b.lhs", "b.rhs")} AS syms
+         |FROM r${k - 1} CROSS JOIN b$k b)""".stripMargin
+    val rounds = (1 to BpeRounds).map { k =>
+      pairsCte(k) + ",\n" + bestCte(k) +
+        (if (k < BpeRounds) ",\n" + applyCte(k) else "")
+    }.mkString(",\n")
+    s"""r0 AS (SELECT w, freq, list_filter(string_split(w, ''), c -> c != '') AS syms
+       |       FROM (SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
+       |             FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+       |             GROUP BY t)),
+       |$rounds""".stripMargin
+  }
+
+  /** The BPE training loop shared by bpe_merges (emits the table) and
+    * bpe_segment (applies it): corpus → (word, freq) vocabulary collapse,
+    * then BpeRounds × (pair-count agg, 1-row driver argmax, merge
+    * projection). All rounds touch vocab-sized data, never the corpus. */
+  private def bpeLearn(s: SparkSession, dir: String): Seq[(Int, String, String, Long)] = {
+    var wf = Tables.load(s, dir, "documents")
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        filter(split(col("w"), ""), c => c =!= "").as("syms"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    (1 to BpeRounds).foreach { round =>
+      val best = wf
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("pr"))
+        .select(col("freq"), col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .groupBy("lhs", "rhs").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .collect()(0)
+      val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((round, l, r, c))
+      val next = wf.select(col("w"), col("freq"),
+        bpeApplyMerge(col("syms"), l, r).as("syms")).cache()
+      next.count()
+      wf.unpersist()
+      wf = next
+    }
+    wf.unpersist()
+    merges.toSeq
+  }
   /** unigram_logprob vocabulary cap — the whole vocab here; the cap is
     * the scale knob (top-k vocab + OOV floor at open vocabulary). */
   private[graft] val UnigramVocabCap = 10000
@@ -529,38 +609,30 @@ object TextQueries extends QueryProvider {
     "bpe_merges" -> ((s, dir) => {
       val spark = s
       import spark.implicits._
-      def applyMerge(syms: org.apache.spark.sql.Column, l: String, r: String) =
-        aggregate(syms, array().cast("array<string>"), (acc, sym) =>
-          when(size(acc) > 0 && element_at(acc, lit(-1)) === l && sym === r,
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-            .otherwise(concat(acc, array(sym))))
-      var wf = Tables.load(s, dir, "documents")
-        .select(explode(toks(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(col("w"), col("freq"),
-          filter(split(col("w"), ""), c => c =!= "").as("syms"))
-        .cache()
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      (1 to BpeRounds).foreach { round =>
-        val best = wf
-          .select(col("freq"), explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("pr"))
-          .select(col("freq"), col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
-          .groupBy("lhs", "rhs").agg(sum("freq").as("cnt"))
-          .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
-          .collect()(0)
-        val (l, r, c) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((round, l, r, c))
-        val next = wf.select(col("w"), col("freq"),
-          applyMerge(col("syms"), l, r).as("syms")).cache()
-        next.count()
-        wf.unpersist()
-        wf = next
-      }
-      wf.unpersist()
-      merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      bpeLearn(s, dir).toDF("merge_rank", "lhs", "rhs", "pair_count")
+    }),
+    // Tokenizer INFERENCE for the learned merges — the apply side of the
+    // bpe_merges train step (together they are the full BPE lifecycle):
+    // re-derive the merge table (same 3-round loop, identical argmaxes),
+    // then segment every doc by applying the merges in rank order to
+    // each word's characters. Pure per-row projection over the
+    // broadcast-as-literals merge table (the centroid discipline); the
+    // output's piece-stream fingerprint (rolling hash over pieces in
+    // order) pins the EXACT segmentation, not just the piece count.
+    "bpe_segment" -> ((s, dir) => {
+      val merges = bpeLearn(s, dir).map(m => (m._2, m._3))
+      val d = Tables.load(s, dir, "documents")
+      val segWord = (t: org.apache.spark.sql.Column) =>
+        merges.foldLeft(filter(split(t, ""), c => c =!= "")) {
+          case (syms, (l, r)) => bpeApplyMerge(syms, l, r)
+        }
+      val pieces = flatten(transform(toks(col("text")), t => segWord(t)))
+      d.select(col("doc_id"), pieces.as("pieces"))
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          aggregate(col("pieces"), lit(0L), (acc, p) =>
+            (acc * 31L + graft.functions.TextFunctions.tokenHash(p))
+              % graft.functions.TextFunctions.Mod).as("pieces_fp"))
     }),
     // Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003 — the MOSS
     // algorithm): from each doc's rolling 8-gram hash stream, select the
@@ -1326,36 +1398,30 @@ object TextQueries extends QueryProvider {
     // ends_with(acc, sep || lhs), which cannot false-positive because
     // symbols never contain the separator.
     "bpe_merges" -> {
-      val sep = "chr(31)"
-      def pairsCte(k: Int) =
-        s"""p$k AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs, sum(freq) AS cnt FROM (
-           |  SELECT freq, unnest(list_transform(range(1, len(syms)),
-           |    i -> struct_pack(lhs := syms[i], rhs := syms[i+1]))) AS pr
-           |  FROM r${k - 1}) GROUP BY pr.lhs, pr.rhs)""".stripMargin
-      def bestCte(k: Int) =
-        s"b$k AS (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs, rhs LIMIT 1)"
-      def applyCte(k: Int) =
-        s"""r$k AS (SELECT w, freq, list_filter(string_split(
-           |  list_reduce(list_prepend('', syms),
-           |    (acc, s) -> CASE WHEN ends_with(acc, $sep || b.lhs) AND s = b.rhs
-           |      THEN left(acc, CAST(length(acc) - length(b.lhs) - 1 AS INT)) || $sep || b.lhs || b.rhs
-           |      ELSE acc || $sep || s END),
-           |  $sep), x -> x != '') AS syms
-           |FROM r${k - 1} CROSS JOIN b$k b)""".stripMargin
-      val rounds = (1 to BpeRounds).map { k =>
-        pairsCte(k) + ",\n" + bestCte(k) +
-          (if (k < BpeRounds) ",\n" + applyCte(k) else "")
-      }.mkString(",\n")
       val unions = (1 to BpeRounds).map { k =>
         s"""SELECT CAST($k AS INT) AS merge_rank, lhs, rhs,
            |       CAST(cnt AS BIGINT) AS pair_count FROM b$k""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH r0 AS (SELECT w, freq, list_filter(string_split(w, ''), c -> c != '') AS syms
-         |            FROM (SELECT t AS w, CAST(count(*) AS BIGINT) AS freq
-         |                  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-         |                  GROUP BY t)),
-         |$rounds
-         |$unions""".stripMargin
+      s"WITH $bpeCtes\n$unions"
+    },
+    // the same training CTEs (every argmax independently recomputed),
+    // then each doc's words segmented by the learned merges in rank
+    // order — three composed folds closing over the b1..b3 rows
+    "bpe_segment" -> {
+      val inner0 = "list_filter(string_split(tok, ''), c -> c != '')"
+      val f3 = (1 to BpeRounds).foldLeft(inner0) { (inner, k) =>
+        bpeSqlFold(inner, s"m$k.lhs", s"m$k.rhs")
+      }
+      val joins = (1 to BpeRounds).map(k => s"CROSS JOIN b$k m$k").mkString(" ")
+      s"""WITH $bpeCtes,
+         |seg AS (SELECT doc_id,
+         |          flatten(list_transform(string_split(text, ' '), tok -> $f3)) AS pieces
+         |        FROM documents $joins)
+         |SELECT doc_id, CAST(len(pieces) AS BIGINT) AS n_pieces,
+         |       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(pieces, p -> ${graft.functions.TextFunctions.sqlTokenHash("p")})),
+         |         (a, b) -> (a * 31 + b) % ${graft.functions.TextFunctions.Mod}) AS pieces_fp
+         |FROM seg""".stripMargin
     },
     // same gram recurrence as dup_span_stats; per window the leftmost
     // minimum via list_position(first occurrence), selections deduped by
