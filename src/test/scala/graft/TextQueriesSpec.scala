@@ -657,6 +657,48 @@ class TextQueriesSpec extends AnyFunSuite {
     got.foreach { case (_, _, _, c) => assert(c > 0) }
   }
 
+  test("bpe_segment: piece streams replay from applying the learned merges " +
+    "in rank order; pieces reconstruct every word exactly") {
+    val Mod = 1000000007L
+    def tokHash(t: String): Long =
+      t.foldLeft(0L)((a, c) => (a * 31L + c.toInt) % Mod)
+    // merges from the engine's own table (already replay-verified above)
+    val merges = TextQueries.queries("bpe_merges")(spark, TestSession.Sf0001)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2)))
+    def seg(word: String): Vector[String] = {
+      var syms = word.split("").filter(_.nonEmpty).toVector
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        syms.foreach { s =>
+          if (out.nonEmpty && out.last == l && s == r) {
+            out.remove(out.length - 1); out += (l + r)
+          } else out += s
+        }
+        syms = out.toVector
+      }
+      syms
+    }
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextQueries.queries("bpe_segment")(spark, TestSession.Sf0001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == docs.keySet)
+    var anyMerged = false
+    docs.foreach { case (id, text) =>
+      val pieces = text.split(" ", -1).toVector.flatMap { w =>
+        val p = seg(w)
+        assert(p.mkString == w, s"doc $id: pieces must reconstruct '$w'")
+        p
+      }
+      val fp = pieces.foldLeft(0L)((a, p) => (a * 31L + tokHash(p)) % Mod)
+      assert(got(id) == ((pieces.length.toLong, fp)),
+        s"doc $id: ${got(id)} vs (${pieces.length}, $fp)")
+      if (pieces.length < text.count(_ != ' ') ) anyMerged = true
+    }
+    assert(anyMerged, "the learned merges must actually compress some doc")
+  }
+
   test("winnow_fingerprints: the winnowing guarantee holds — every window of " +
     "WinnowW consecutive gram positions contains a selection, each selection " +
     "is its window's leftmost min, and density stays near 2/(w+1)") {
