@@ -74,26 +74,53 @@ object SparseIndex {
     * Contribution expressions mirror the `bm25_batch` driver row
     * term-for-term, so served scores are bit-identical to it. */
   def buildBm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): (DataFrame, SparseModel) = {
+    val (dfq, model) = buildBm25Model(docs, k1, b)
+    (encodeBm25(docs, dfq, model), SparseModel(model.nDocs))
+  }
+
+  /** The frozen BM25 term model: corpus stats plus the per-term df table
+    * — everything [[encodeBm25]] needs to weight a NEW batch of docs
+    * without rescanning the corpus (the sparse kind's add-after-train
+    * artifact, like SQ8's min/max or IVF's centroids). */
+  final case class Bm25Model(nDocs: Long, avgdl: Double, k1: Double, b: Double)
+
+  def buildBm25Model(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): (DataFrame, Bm25Model) = {
     val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
     val nDocs = tk.count()
+    val avgdl = tk.select(size(col("tk")).as("dl"))
+      .agg(sum(col("dl")).cast("double")).first().getDouble(0) / nDocs
+    val dfq = tk.select(col("doc_id"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    (dfq, Bm25Model(nDocs, avgdl, k1, b))
+  }
+
+  /** Weight a doc batch's postings under a FROZEN [[Bm25Model]] — the
+    * add-after-train rule: df/avgdl/n stay as trained until an explicit
+    * rebuild, so append-then-search is bit-identical to having encoded
+    * the batch at build time. Terms unseen at train time take df = 0
+    * (maximal idf — the formula's natural out-of-vocabulary limit).
+    * Per-doc length dl is batch-local (a doc property, not corpus
+    * state). [[buildBm25]] routes through here, so the build and append
+    * paths cannot drift. */
+  def encodeBm25(docs: DataFrame, dfq: DataFrame, model: Bm25Model): DataFrame = {
+    val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
     val lens = tk.select(col("doc_id"), size(col("tk")).as("dl"))
-    val avgdl = lens.agg(sum(col("dl")).cast("double")).first().getDouble(0) / nDocs
     val tf = tk.select(col("doc_id"), explode(col("tk")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("df"))
-    val n = lit(nDocs.toDouble)
-    val postings = tf
-      .join(broadcast(dfq), "term")
+    val n = lit(model.nDocs.toDouble)
+    tf
+      .join(broadcast(dfq), Seq("term"), "left")
       .join(lens, "doc_id")
       .select(col("term"), col("doc_id"),
-        (log((n - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (log((n - coalesce(col("df"), lit(0.0)) + lit(0.5)) /
+            (coalesce(col("df"), lit(0.0)) + lit(0.5)) + lit(1.0)) *
+          (col("tf").cast("double") * lit(model.k1 + 1.0)) /
           (col("tf").cast("double") +
-            lit(k1) * (lit(1.0) - lit(b) +
-              lit(b) * col("dl").cast("double") / lit(avgdl)))).as("w"))
-    (postings, SparseModel(nDocs))
+            lit(model.k1) * (lit(1.0) - lit(model.b) +
+              lit(model.b) * col("dl").cast("double") / lit(model.avgdl)))).as("w"))
   }
 
   /** A document batch's own sparse weights as a query table

@@ -305,6 +305,29 @@ object IndexIO {
       SparseIndex.SparseModel(meta("n_docs").toLong))
   }
 
+  /** BM25 impact index WITH its frozen term model (df table + corpus
+    * stats) — the layout streaming appends need: a new batch encodes
+    * against the persisted model ([[SparseIndex.encodeBm25]]) without
+    * touching the corpus. */
+  def saveBm25(spark: SparkSession, path: String, postings: DataFrame,
+      dfq: DataFrame, model: SparseIndex.Bm25Model): Unit = {
+    postings.repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    dfq.write.mode("overwrite").parquet(s"$path/df")
+    writeMeta(path, Map(
+      "index_type" -> "sparse_bm25", "n_docs" -> model.nDocs.toString,
+      "avgdl" -> model.avgdl.toString,
+      "k1" -> model.k1.toString, "b" -> model.b.toString))
+  }
+  def loadBm25(spark: SparkSession, path: String): (DataFrame, DataFrame, SparseIndex.Bm25Model) = {
+    val meta = loadChecked(path, "sparse_bm25")
+    (spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/df"),
+      SparseIndex.Bm25Model(meta("n_docs").toLong, meta("avgdl").toDouble,
+        meta("k1").toDouble, meta("b").toDouble))
+  }
+
   private def loadChecked(path: String, expectedType: String): Map[String, String] = {
     val meta = readMeta(path)
     checkCompatible(meta("version"))

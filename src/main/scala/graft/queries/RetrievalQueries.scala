@@ -226,10 +226,11 @@ object RetrievalQueries extends QueryProvider {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-      val (postings, model) = graft.index.SparseIndex.buildBm25(docs, K1, B)
+      val (dfq, model) = graft.index.SparseIndex.buildBm25Model(docs, K1, B)
+      val postings = graft.index.SparseIndex.encodeBm25(docs, dfq, model)
       val path = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
-      graft.io.IndexIO.saveSparse(s, path, postings, model, weighting = "bm25")
-      val (loaded, _) = graft.io.IndexIO.loadSparse(s, path)
+      graft.io.IndexIO.saveBm25(s, path, postings, dfq, model)
+      val (loaded, _, _) = graft.io.IndexIO.loadBm25(s, path)
       val qw = BatchQueries.toDF("query_id", "terms")
         .select(col("query_id"), explode(col("terms")).as("term"),
           lit(1.0).as("wq"))

@@ -117,6 +117,22 @@ object EventPipeline {
     graft.index.Sq8Index.encode(batch, model)
       .write.mode("append").parquet(s"$indexPath/codes")
 
+  /** Continuous BM25 impact-index maintenance — the lexical kind's
+    * add-after-train rule: each micro-batch of documents weights its
+    * postings against the FROZEN term model (df table + corpus stats,
+    * [[graft.index.SparseIndex.encodeBm25]] — df/avgdl/n stay as trained
+    * until an explicit rebuild, so append-then-search is bit-identical
+    * to having built over old ∪ new under that model) and appends to the
+    * posting files, term-sorted so parquet min/max pruning keeps working
+    * on the new files. Stateless pure projection + two narrow aggs over
+    * the BATCH only; idempotent per batch. */
+  def appendBatchToBm25(dfq: DataFrame, model: graft.index.SparseIndex.Bm25Model,
+      indexPath: String)(batch: DataFrame, batchId: Long): Unit =
+    graft.index.SparseIndex.encodeBm25(batch, dfq, model)
+      .repartitionByRange(col("term"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.mode("append").parquet(s"$indexPath/postings")
+
   /** Continuous OPQ maintenance: new vectors encode with the FROZEN
     * rotation + codebooks (the add-after-train rule) — a stateless pure
     * projection like [[appendBatchToSq8]], idempotent per batch. */

@@ -93,6 +93,43 @@ class SparseIndexSpec extends AnyFunSuite {
       "precomputed impact weights must reproduce bm25_batch bit-for-bit")
   }
 
+  test("BM25 streaming append under the frozen term model: save initial + " +
+      "appendBatchToBm25(rest) is row-identical to encoding everything " +
+      "under that model, and the served search covers the appended docs") {
+    import org.apache.spark.sql.functions._
+    val d = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val cut = 250L
+    val initial = d.where(col("doc_id") < cut)
+    val later = d.where(col("doc_id") >= cut)
+    // model frozen at initial-corpus build time (add-after-train)
+    val (dfq, model) = SparseIndex.buildBm25Model(initial)
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25_app").toString
+    graft.io.IndexIO.saveBm25(spark, path,
+      SparseIndex.encodeBm25(initial, dfq, model), dfq, model)
+    graft.streaming.EventPipeline.appendBatchToBm25(dfq, model, path)(later, 0L)
+    val (loaded, ldfq, lmodel) = graft.io.IndexIO.loadBm25(spark, path)
+    assert(lmodel == model && ldfq.count() == dfq.count())
+    val expect = SparseIndex.encodeBm25(d, dfq, model)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    val got = loaded.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.length == expect.length && got.sameElements(expect),
+      "append under the frozen model must equal encoding old ∪ new at once")
+    // unseen-at-train terms (df = 0) got the maximal idf, not a crash/null
+    val newTerms = SparseIndex.encodeBm25(later, dfq, model)
+      .join(dfq, Seq("term"), "left_anti")
+    assert(newTerms.where(col("w").isNull || col("w") <= 0).count() == 0)
+    // served search finds appended docs
+    import spark.implicits._
+    val probe = later.select(col("doc_id"), explode(
+      graft.functions.TextFunctions.toks(col("text"))).as("term"))
+      .where(col("doc_id") === cut).limit(3)
+      .select(lit(0L).as("query_id"), col("term"), lit(1.0).as("wq"))
+    val hits = SparseIndex.search(loaded, probe, 10)
+    assert(hits.where(col("doc_id") >= cut).count() > 0,
+      "appended docs must be searchable through the persisted index")
+  }
+
   test("saved postings push a term predicate into the parquet scan — the " +
       "pruning the range-partitioned, term-sorted layout exists for") {
     val (postings, model) = SparseIndex.build(docs)
