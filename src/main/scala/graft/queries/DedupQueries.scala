@@ -119,6 +119,28 @@ object DedupQueries extends QueryProvider {
     "near_dup_minhash" -> ((s, dir) =>
       verifiedPairs(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))),
+    // Fuzzy-dedup EDIT-DISTANCE verify stage: the same MinHash band
+    // candidates confirmed by character-level Levenshtein instead of
+    // token-set Jaccard — the check that catches small in-place edits
+    // (typos, number swaps) token sets are blind to, and the verifier
+    // production fuzzy dedup actually runs over candidate pairs. Cost is
+    // O(len²) per pair but pairs ∝ band-collision selectivity, never the
+    // corpus; the keep rule is the integer-exact 10·dist ≤ 3·maxlen
+    // (ratio ≤ 0.3) so both engines agree without float thresholds.
+    "near_dup_edit_verify" -> ((s, dir) => {
+      val cand = bandCandidates(s, dir)
+      val texts = Tables.load(s, dir, "documents")
+        .where(col("doc_id") < MinhashDocCap)
+        .select(col("doc_id"), col("text"))
+      cand
+        .join(texts.select(col("doc_id").as("id_a"), col("text").as("txt_a")), Seq("id_a"))
+        .join(texts.select(col("doc_id").as("id_b"), col("text").as("txt_b")), Seq("id_b"))
+        .withColumn("edit_dist", levenshtein(col("txt_a"), col("txt_b")))
+        .withColumn("maxlen", greatest(length(col("txt_a")), length(col("txt_b"))))
+        .where(col("edit_dist") * 10 <= col("maxlen") * 3)
+        .select(col("id_a"), col("id_b"), col("edit_dist"),
+          round(col("edit_dist").cast("double") / col("maxlen"), 4).as("edit_ratio"))
+    }),
     // Duplicate CLUSTERS from the verified pair set: connected components
     // by min-label propagation — the step between "these pairs are dups"
     // and "keep one representative per group" (a pair list alone can't
@@ -356,21 +378,31 @@ object DedupQueries extends QueryProvider {
     * key) — token arrays ride along AFTER the distinct pair set is known,
     * so the wide rows never enter the candidate shuffle (VERDICT r2 #10:
     * the wide-row band join is what breaks at 100 TB). */
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash band-collision candidate pairs (id_a < id_b, distinct) over
+    * the capped corpus — the shared stage 1 of every fuzzy-dedup verify
+    * (Jaccard in [[verifiedPairs]], Levenshtein in near_dup_edit_verify). */
+  private def bandCandidates(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.load(s, dir, "documents")
       .where(col("doc_id") < MinhashDocCap)
-      .select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"),
-        minhashSig(col("text")).as("sig"))
+      .select(col("doc_id"), minhashSig(col("text")).as("sig"))
     val bands = d
       .select(col("doc_id"),
         explode(sequence(lit(0), lit(Bands - 1))).as("band"), col("sig"))
       .select(col("doc_id"), col("band"), bandKey(col("sig"), col("band")).as("key"))
-    val cand = bands.alias("a")
+    bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+  }
+
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(s, dir, "documents")
+      .where(col("doc_id") < MinhashDocCap)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"),
+        minhashSig(col("text")).as("sig"))
+    val cand = bandCandidates(s, dir)
     val toksOnly = d.select(col("doc_id"), col("ts"))
     cand
       .join(toksOnly.select(col("doc_id").as("id_a"), col("ts").as("ts_a")), Seq("id_a"))
@@ -429,6 +461,25 @@ object DedupQueries extends QueryProvider {
          |SELECT c.id_a, c.id_b, round(${sqlJaccard("ta.ts", "tb.ts")}, 4) AS jaccard
          |FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
          |WHERE ${sqlJaccard("ta.ts", "tb.ts")} >= $JaccardThreshold""".stripMargin,
+    // both engines' levenshtein is the classic unit-cost DP (verified
+    // value-identical); the keep rule is integer arithmetic
+    "near_dup_edit_verify" ->
+      s"""WITH tc AS (SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS ts
+         |            FROM documents WHERE doc_id < $MinhashDocCap),
+         |s AS (SELECT doc_id, ${sqlMinhashSig("ts")} AS sig FROM tc),
+         |bands AS (SELECT doc_id, b AS band, ${sqlBandKey("sig", "b")} AS key
+         |          FROM s, range(0, $Bands) AS r(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |v AS (SELECT c.id_a, c.id_b,
+         |             levenshtein(ta.text, tb.text) AS edit_dist,
+         |             greatest(length(ta.text), length(tb.text)) AS maxlen
+         |      FROM cand c JOIN tc ta ON ta.doc_id = c.id_a
+         |                  JOIN tc tb ON tb.doc_id = c.id_b)
+         |SELECT id_a, id_b, CAST(edit_dist AS INT) AS edit_dist,
+         |       round(CAST(edit_dist AS DOUBLE) / maxlen, 4) AS edit_ratio
+         |FROM v WHERE edit_dist * 10 <= maxlen * 3""".stripMargin,
     "contamination_fuzzy" ->
       s"""WITH $tCteCapped,
          |s AS (SELECT doc_id, ts, ${sqlMinhashSig("ts")} AS sig FROM t),

@@ -623,6 +623,50 @@ class TextQueriesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "rows must arrive in rank order")
   }
 
+  test("near_dup_edit_verify: distances replay from a literal Levenshtein, " +
+    "the integer keep rule holds, and exact duplicates surface at distance 0") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      val cur = new Array[Int](b.length + 1)
+      for (i <- 1 to a.length) {
+        cur(0) = i
+        for (j <- 1 to b.length)
+          cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        Array.copy(cur, 0, prev, 0, cur.length)
+      }
+      prev(b.length)
+    }
+    val docs = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.queries.DedupQueries.queries("near_dup_edit_verify")(
+      spark, TestSession.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty, "the corpus's exact dups must surface")
+    got.foreach { case (a, b, d, ratio) =>
+      assert(a < b)
+      val expect = lev(docs(a), docs(b))
+      assert(d == expect, s"pair ($a,$b): engine $d vs replay $expect")
+      val maxlen = math.max(docs(a).length, docs(b).length)
+      assert(d * 10 <= maxlen * 3, "keep rule")
+      // the engine emits the 4-dp rounded ratio
+      assert(math.abs(ratio - d.toDouble / maxlen) < 5e-5)
+    }
+    // any exact-duplicate text pair in the capped corpus must appear at
+    // distance 0 (identical texts share every band key by construction)
+    val pairs = got.map(t => (t._1, t._2)).toSet
+    val dupPairs = docs.toSeq.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        ids.combinations(2).map(c => (c(0), c(1)))
+      }.toSeq
+    dupPairs.foreach { p =>
+      assert(pairs.contains(p), s"exact dup pair $p must verify at distance 0")
+      assert(got.find(t => (t._1, t._2) == p).get._3 == 0)
+    }
+  }
+
   test("bpe_merges: the learned merge table replays from a literal " +
     "driver-side BPE (wordcount, per-round argmax, greedy merge application)") {
     val got = TextQueries.queries("bpe_merges")(spark, TestSession.Sf0001)
