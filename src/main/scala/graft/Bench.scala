@@ -279,7 +279,8 @@ object Bench {
       "bm25_impact_served", "span_dedup_excise", "maxsim_rerank",
       "knn_classify", "eval_recall_ivf", "winnow_fingerprints",
       "media_cdc_chunks", "eval_rank_metrics", "phrase_search",
-      "knn_doc_pooled", "bpe_merges", "bpe_segment", "near_dup_edit_verify")
+      "knn_doc_pooled", "bpe_merges", "bpe_segment", "near_dup_edit_verify",
+      "hybrid_rrf3")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

@@ -297,6 +297,65 @@ object RetrievalQueries extends QueryProvider {
           coalesce(col("vec_rank"), lit(-1)).cast("int").as("vec_rank"),
           col("rank"))
     }),
+    // THREE-system reciprocal rank fusion — hybrid_rrf extended with the
+    // learned-sparse ranker: lexical bigram-Jaccard ⊕ dense cosine ⊕
+    // sparse tf·idf dot, fused as Σ 1/(RrfK + rank_i). Production
+    // retrieval stacks fuse ≥3 systems exactly this way (each covers
+    // failure modes the others miss: exact wording, semantics, term
+    // importance); RRF needs no score calibration between them. The
+    // three reciprocal terms add in a FIXED order (lex + vec + sparse),
+    // so fused doubles are engine-identical; docs found by a subset of
+    // systems contribute only those terms (full-outer joins, coalesce 0).
+    "hybrid_rrf3" -> ((s, dir) => {
+      val bgOf = array_distinct(
+        graft.functions.TextFunctions.bigrams(toks(col("text"))))
+      val g = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), bgOf.as("bg"))
+      val qd = g.where(col("doc_id") < FuseQueries)
+        .select(col("doc_id").as("query_id"), col("bg").as("qbg"))
+      val lexTop = g.crossJoin(broadcast(qd))
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("id"),
+          jaccard(col("qbg"), col("bg")).as("j"))
+        .withColumn("lex_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("j").desc, col("id"))))
+        .where(col("lex_rank") <= FuseN)
+        .select(col("query_id"), col("id"), col("lex_rank"))
+      val (corpus, queries) = VectorQueries.vecTables(s, dir)
+      val vecTop = graft.index.FlatIndex.topK(
+        graft.index.FlatIndex.distanceJoin(corpus, queries, graft.core.Metric.Cosine)
+          .where(col("neighbor_id") =!= col("query_id")),
+        FuseN, graft.core.Metric.Cosine)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").as("vec_rank"))
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val (postings, _) = graft.index.SparseIndex.build(docs)
+      val qw = graft.index.SparseIndex.asQueries(
+        postings, col("doc_id") < FuseQueries)
+      val sparseTop = graft.index.SparseIndex.search(postings, qw, FuseN)
+        .where(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+        .withColumn("sp_rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rank"), col("id"))))
+        .select(col("query_id"), col("id"), col("sp_rank"))
+      val fused = lexTop
+        .join(vecTop, Seq("query_id", "id"), "full_outer")
+        .join(sparseTop, Seq("query_id", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("sp_rank")), lit(0.0)))
+      fused
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("rrf").desc, col("id"))))
+        .where(col("rank") <= FuseTop)
+        .select(col("query_id"), col("id"), round(col("rrf"), 6).as("rrf"),
+          coalesce(col("lex_rank"), lit(-1)).cast("int").as("lex_rank"),
+          coalesce(col("vec_rank"), lit(-1)).cast("int").as("vec_rank"),
+          coalesce(col("sp_rank"), lit(-1)).cast("int").as("sp_rank"),
+          col("rank"))
+    }),
     // Retrieve-then-rerank cascade (the production two-stage retrieval
     // shape: cheap recall-oriented candidate generation, then an
     // expensive precision model over survivors only). Stage 1 is the
@@ -788,6 +847,68 @@ object RetrievalQueries extends QueryProvider {
          |SELECT query_id, id, round(rrf, 6) AS rrf,
          |       CAST(coalesce(lex_rank, -1) AS INT) AS lex_rank,
          |       CAST(coalesce(vec_rank, -1) AS INT) AS vec_rank, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $FuseTop""".stripMargin,
+    "hybrid_rrf3" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+         |        j -> tk[j] || ' ' || tk[j+1])) AS bg FROM d),
+         |lx AS (SELECT q.doc_id AS query_id, c.doc_id AS id,
+         |         ${sqlJaccard("q.bg", "c.bg")} AS j
+         |       FROM g q JOIN g c ON c.doc_id <> q.doc_id
+         |       WHERE q.doc_id < $FuseQueries),
+         |lt AS (SELECT query_id, id, lex_rank FROM (
+         |         SELECT query_id, id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY j DESC, id) AS lex_rank
+         |         FROM lx) WHERE lex_rank <= $FuseN),
+         |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id < $FuseQueries),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |vd AS (SELECT q.query_id, v.vec_id AS id, ${VectorQueries.sqlCosine} AS dist
+         |       FROM q CROSS JOIN v WHERE v.vec_id <> q.query_id),
+         |vt AS (SELECT query_id, id, vec_rank FROM (
+         |         SELECT query_id, id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, id) AS vec_rank
+         |         FROM vd) WHERE vec_rank <= $FuseN),
+         |st0 AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM d),
+         |post AS (SELECT doc_id, t AS term, CAST(count(*) AS DOUBLE) AS tf
+         |         FROM (SELECT doc_id, unnest(tk) AS t FROM d) GROUP BY doc_id, t),
+         |idf AS (SELECT term, ln((st0.n_docs + 1.0) / (df + 1.0)) AS idf
+         |        FROM (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY term)
+         |        CROSS JOIN st0 WHERE df <= st0.n_docs * 0.9),
+         |w AS (SELECT post.doc_id, post.term, post.tf * idf.idf AS w
+         |      FROM post JOIN idf ON idf.term = post.term),
+         |qw AS (SELECT doc_id AS query_id, term, w AS wq FROM w
+         |       WHERE doc_id < $FuseQueries),
+         |sc AS (SELECT qw.query_id, w.doc_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |           list(w.w * qw.wq ORDER BY w.term)), (x, y) -> x + y) AS score
+         |       FROM w JOIN qw ON qw.term = w.term
+         |       GROUP BY qw.query_id, w.doc_id),
+         |sr AS (SELECT query_id, doc_id AS id, rank FROM (
+         |         SELECT query_id, doc_id, score,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+         |         FROM sc) WHERE rank <= $FuseN),
+         |spt AS (SELECT query_id, id,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY rank, id) AS sp_rank
+         |        FROM sr WHERE id <> query_id),
+         |f AS (SELECT coalesce(lt.query_id, vt.query_id, spt.query_id) AS query_id,
+         |             coalesce(lt.id, vt.id, spt.id) AS id,
+         |             lt.lex_rank, vt.vec_rank, spt.sp_rank,
+         |             coalesce(CAST(1 AS DOUBLE) / ($RrfK + lt.lex_rank), CAST(0 AS DOUBLE)) +
+         |             coalesce(CAST(1 AS DOUBLE) / ($RrfK + vt.vec_rank), CAST(0 AS DOUBLE)) +
+         |             coalesce(CAST(1 AS DOUBLE) / ($RrfK + spt.sp_rank), CAST(0 AS DOUBLE)) AS rrf
+         |      FROM lt
+         |      FULL OUTER JOIN vt ON lt.query_id = vt.query_id AND lt.id = vt.id
+         |      FULL OUTER JOIN spt
+         |        ON coalesce(lt.query_id, vt.query_id) = spt.query_id
+         |       AND coalesce(lt.id, vt.id) = spt.id),
+         |r AS (SELECT query_id, id, rrf, lex_rank, vec_rank, sp_rank,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, id) AS rank
+         |      FROM f)
+         |SELECT query_id, id, round(rrf, 6) AS rrf,
+         |       CAST(coalesce(lex_rank, -1) AS INT) AS lex_rank,
+         |       CAST(coalesce(vec_rank, -1) AS INT) AS vec_rank,
+         |       CAST(coalesce(sp_rank, -1) AS INT) AS sp_rank, CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= $FuseTop""".stripMargin,
     "cascade_rerank" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),

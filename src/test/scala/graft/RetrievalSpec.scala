@@ -90,6 +90,26 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid_rrf3: fused scores recompute from the three rank columns " +
+    "and an all-three-systems doc carries three reciprocal terms") {
+    val rows = RetrievalQueries.queries("hybrid_rrf3")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+    assert(rows.nonEmpty)
+    def term(rank: Int): Double = if (rank < 0) 0.0 else 1.0 / (60 + rank)
+    rows.foreach { case (_, _, rrf, lx, vx, sx, _) =>
+      val expect = term(lx) + term(vx) + term(sx)
+      assert(math.abs(rrf - expect) < 5e-6, s"rrf $rrf vs $expect")
+      assert(lx >= -1 && vx >= -1 && sx >= -1)
+    }
+    assert(rows.exists { case (_, _, _, lx, vx, sx, _) =>
+      lx > 0 && vx > 0 && sx > 0 },
+      "some doc should be surfaced by all three systems")
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._7).sorted.toSeq == (1 to rs.length), s"query $qid ranks dense")
+    }
+  }
+
   test("phrase_search: every reported hit is a literal consecutive-token " +
     "match, counts and first positions replay, and each phrase finds its " +
     "own source doc at position 1") {
