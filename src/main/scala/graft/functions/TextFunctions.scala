@@ -81,8 +81,16 @@ object TextFunctions {
 
   /** LSH band key: ordered fold of the band's signature rows. */
   def bandKey(sig: Column, band: Column): Column =
+    bandKeyOf(sig, band, RowsPerBand)
+
+  /** Band key at an explicit rows-per-band — callers trade candidate
+    * recall against selectivity (more rows per band = only
+    * higher-Jaccard pairs collide; the edit-distance verifier wants
+    * exactly that, since its keep rule only passes near-identical
+    * pairs anyway). */
+  def bandKeyOf(sig: Column, band: Column, rows: Int): Column =
     aggregate(
-      slice(sig, band * RowsPerBand + 1, lit(RowsPerBand)),
+      slice(sig, band * rows + 1, lit(rows)),
       lit(0L),
       (acc, s) => (acc * 31L + s) % Mod)
 
@@ -162,9 +170,12 @@ object TextFunctions {
        |  (a, b) -> least(a, b)))""".stripMargin.replaceAll("\n\\s*", " ")
 
   /** Band key over a signature list expression `sig` and band index `b`. */
-  def sqlBandKey(sig: String, b: String): String =
+  def sqlBandKey(sig: String, b: String): String = sqlBandKeyOf(sig, b, RowsPerBand)
+
+  /** SQL mirror of [[bandKeyOf]]. */
+  def sqlBandKeyOf(sig: String, b: String, rows: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |  list_slice($sig, $b * $RowsPerBand + 1, $b * $RowsPerBand + $RowsPerBand)),
+       |  list_slice($sig, $b * $rows + 1, $b * $rows + $rows)),
        |  (a, x) -> (a * 31 + x) % $Mod)""".stripMargin.replaceAll("\n\\s*", " ")
 
   /** SimHash over a token-list expression `ts`. */

@@ -26,6 +26,12 @@ object DedupQueries extends QueryProvider {
   private val HammingMax = 8
   private val PairCap = 100 // id prefix bound for brute-force pair baselines
   private val MinhashDocCap = 1000
+  /** near_dup_edit_verify's banding: the 16-minhash signature cut as
+    * 2 bands x 8 rows — selective (high-Jaccard collisions only), the
+    * right candidate gate for a verifier whose keep rule only passes
+    * near-identical pairs. */
+  private val EditBands = 2
+  private val EditRows = 8
   /** contamination_fuzzy: doc_id < this is the eval set. */
   private val FuzzyEvalCap = 20
   private val NdePlanes = 4 // sign-LSH candidate buckets for near_dup_embedding
@@ -127,16 +133,39 @@ object DedupQueries extends QueryProvider {
     // O(len²) per pair but pairs ∝ band-collision selectivity, never the
     // corpus; the keep rule is the integer-exact 10·dist ≤ 3·maxlen
     // (ratio ≤ 0.3) so both engines agree without float thresholds.
+    // Two cost controls: (a) SELECTIVE banding — the same 16-minhash
+    // signature cut as EditBands × EditRows (2 × 8) instead of the
+    // Jaccard verifier's 4 × 4, so only high-similarity pairs collide
+    // (candidacy at Jaccard 0.6 drops ~42% → ~3%); that is the RIGHT
+    // gate for this verifier, whose ratio ≤ 0.3 keep rule only passes
+    // near-identical pairs anyway (exact dups collide in every band by
+    // construction). (b) The LENGTH LOWER BOUND |len_a − len_b| ≤ dist —
+    // any pair whose length gap alone exceeds the threshold is pruned
+    // BEFORE the O(len²) DP runs, the standard production guard.
     "near_dup_edit_verify" -> ((s, dir) => {
-      val cand = bandCandidates(s, dir)
+      val d0 = Tables.load(s, dir, "documents")
+        .where(col("doc_id") < MinhashDocCap)
+        .select(col("doc_id"), minhashSig(col("text")).as("sig"))
+      val bands = d0
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(EditBands - 1))).as("band"), col("sig"))
+        .select(col("doc_id"), col("band"),
+          bandKeyOf(col("sig"), col("band"), EditRows).as("key"))
+      val cand = bands.alias("a")
+        .join(bands.alias("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
       val texts = Tables.load(s, dir, "documents")
         .where(col("doc_id") < MinhashDocCap)
         .select(col("doc_id"), col("text"))
       cand
         .join(texts.select(col("doc_id").as("id_a"), col("text").as("txt_a")), Seq("id_a"))
         .join(texts.select(col("doc_id").as("id_b"), col("text").as("txt_b")), Seq("id_b"))
-        .withColumn("edit_dist", levenshtein(col("txt_a"), col("txt_b")))
         .withColumn("maxlen", greatest(length(col("txt_a")), length(col("txt_b"))))
+        .where(abs(length(col("txt_a")) - length(col("txt_b"))) * 10 <= col("maxlen") * 3)
+        .withColumn("edit_dist", levenshtein(col("txt_a"), col("txt_b")))
         .where(col("edit_dist") * 10 <= col("maxlen") * 3)
         .select(col("id_a"), col("id_b"), col("edit_dist"),
           round(col("edit_dist").cast("double") / col("maxlen"), 4).as("edit_ratio"))
@@ -381,9 +410,10 @@ object DedupQueries extends QueryProvider {
   /** MinHash band-collision candidate pairs (id_a < id_b, distinct) over
     * the capped corpus — the shared stage 1 of every fuzzy-dedup verify
     * (Jaccard in [[verifiedPairs]], Levenshtein in near_dup_edit_verify). */
-  private def bandCandidates(s: SparkSession, dir: String): DataFrame = {
+  private def bandCandidates(s: SparkSession, dir: String,
+      cap: Long = MinhashDocCap): DataFrame = {
     val d = Tables.load(s, dir, "documents")
-      .where(col("doc_id") < MinhashDocCap)
+      .where(col("doc_id") < cap)
       .select(col("doc_id"), minhashSig(col("text")).as("sig"))
     val bands = d
       .select(col("doc_id"),
@@ -467,8 +497,8 @@ object DedupQueries extends QueryProvider {
       s"""WITH tc AS (SELECT doc_id, text, list_distinct(string_split(text, ' ')) AS ts
          |            FROM documents WHERE doc_id < $MinhashDocCap),
          |s AS (SELECT doc_id, ${sqlMinhashSig("ts")} AS sig FROM tc),
-         |bands AS (SELECT doc_id, b AS band, ${sqlBandKey("sig", "b")} AS key
-         |          FROM s, range(0, $Bands) AS r(b)),
+         |bands AS (SELECT doc_id, b AS band, ${sqlBandKeyOf("sig", "b", EditRows)} AS key
+         |          FROM s, range(0, $EditBands) AS r(b)),
          |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |         FROM bands a JOIN bands b
          |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
@@ -476,7 +506,9 @@ object DedupQueries extends QueryProvider {
          |             levenshtein(ta.text, tb.text) AS edit_dist,
          |             greatest(length(ta.text), length(tb.text)) AS maxlen
          |      FROM cand c JOIN tc ta ON ta.doc_id = c.id_a
-         |                  JOIN tc tb ON tb.doc_id = c.id_b)
+         |                  JOIN tc tb ON tb.doc_id = c.id_b
+         |      WHERE abs(length(ta.text) - length(tb.text)) * 10 <=
+         |            greatest(length(ta.text), length(tb.text)) * 3)
          |SELECT id_a, id_b, CAST(edit_dist AS INT) AS edit_dist,
          |       round(CAST(edit_dist AS DOUBLE) / maxlen, 4) AS edit_ratio
          |FROM v WHERE edit_dist * 10 <= maxlen * 3""".stripMargin,
