@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-captures the last ~2000 chars of combined output and
+// parses the bench's one-line JSON. Two sbt behaviors have broken that
+// parse every round so far: (1) forked-process stdout is re-logged with
+// an "[info] " prefix (a parser that expects the line to START with '{'
+// never matches), and (2) sbt appends "[success] Total time: ..." after
+// the run, so a last-line parser sees that instead of the JSON. Inherit
+// stdout directly and drop the success epilogue so the bare JSON line is
+// the final line of output.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -112,10 +112,17 @@ object HnswIndex {
         it.foreach { case (s, id, v) =>
           byShard.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((id, v.toArray))
         }
-        byShard.iterator.flatMap { case (shard, rows) =>
+        // Detach each shard's raw-row buffer from the map BEFORE building
+        // its graph (VERDICT r8 #3 — build GC): a task holding several
+        // sub-shards would otherwise keep every shard's input rows live
+        // while later shards' graphs and output rows pile on top; with
+        // remove(), peak residency is one shard's rows + one graph.
+        byShard.keys.toArray.sorted.iterator.flatMap { shard =>
+          val rows = byShard.remove(shard).get
           val g = new LocalHnsw(m, efConstruction, metric)
           rows.sortInPlace()(Ordering.by(_._1))
           rows.foreach { case (id, v) => g.insert(id, v) }
+          rows.clear()
           g.nodeRows.map { case (id, vec, level, edges) =>
             (shard, id, vec.toSeq, level, edges.map(_.toSeq).toSeq)
           }

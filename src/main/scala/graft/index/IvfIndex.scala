@@ -152,7 +152,7 @@ object IvfIndex {
       .sortBy(identity).take(np).map(_._2)
 
   /** cluster → indices of the queries probing it. */
-  private[index] def invertedProbes(probes: Array[Array[Int]], nlist: Int): Array[Array[Int]] = {
+  private[graft] def invertedProbes(probes: Array[Array[Int]], nlist: Int): Array[Array[Int]] = {
     val buf = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int])
     var qi = 0
     while (qi < probes.length) {
