@@ -138,6 +138,7 @@ object Bench {
   }
 
   private var lastGcMs = 0L
+  private var lastWallNs = System.nanoTime()
 
   /** Per-section process-health telemetry, folded INTO the results map
     * (VERDICT r5 #1: the stderr-only `[bench-section]` lines were truncated
@@ -154,6 +155,11 @@ object Bench {
     val gc = gcTotalMs
     results(s"${name}_heap_mb") = usedMb.toDouble
     results(s"${name}_gc_ms") = (gc - lastGcMs).toDouble
+    // section wall-clock, so the artifact can check the r8 #3 pass bar
+    // (_gc_ms < 10% of section wall) without cross-referencing stderr
+    val wallNow = System.nanoTime()
+    results(s"${name}_wall_sec") = (wallNow - lastWallNs) / 1e9
+    lastWallNs = wallNow
     results(s"${name}_calib") = calibBurst(2048)
     lastGcMs = gc
     System.err.println(
@@ -817,9 +823,18 @@ object Bench {
     // QPS should sit ABOVE the all-shard fan-out at comparable recall.
     {
       val routedRegions = 32
+      // rows/shard: the multi-shard bench layout (benchN/regions) CAPPED by
+      // the heap-derived bound — at 1M+ this is what keeps per-task graph
+      // residency inside a core's share of the heap (VERDICT r8 #3)
+      val shardRows = math.max(1000L, math.min(
+        RoutedHnswIndex.deriveTargetShardRows(dim, cores = cpus.toInt),
+        benchN / routedRegions))
       val (routedModel, trainSec) = time(RoutedHnswIndex.train(
-        vectors, routedRegions, Metric.L2,
-        targetShardRows = math.max(1000L, benchN / routedRegions)))
+        vectors, routedRegions, Metric.L2, targetShardRows = shardRows))
+      // controlled full GC before the timed build (the r6 serving
+      // discipline applied to build sections): collect the preceding
+      // sections' garbage in a bounded pause OUTSIDE the timed window
+      System.gc()
       val (rg, rgBuild) = time {
         val g = RoutedHnswIndex.build(vectors, routedModel).cache(); g.count(); g
       }
@@ -848,6 +863,27 @@ object Bench {
           1000.0 * results("hnsw_routed_r8_search_sec") / benchQ)(
           q => local.search(q, K, probeRegions = 8, efSearch = 50))
       }
+      // distributed routed serving (VERDICT r8 #4) — the deployment shape
+      // a CLUSTER user runs: resident per-shard graphs on the executors,
+      // driver-side region probe, one masked single-stage job per query.
+      // Unlike serve_local_routed this path has no driver-heap cap, so it
+      // is the row that holds at corpus sizes where collecting the graph
+      // is impossible.
+      if (serveQ > 0) {
+        val server = new graft.query.RoutedHnswServer(rg, routedModel).warm()
+        timeSingles(results, "serve_routed", singles,
+          1000.0 * results("hnsw_routed_r8_search_sec") / benchQ,
+          floor = Some(() => server.floorProbe()))(
+          q => server.search(q, K, probeRegions = 8, efSearch = 50))
+        // warm-batch QPS over the same resident graphs (the deployed
+        // batch path — RoutedHnswIndex.knn without the per-job re-parse)
+        val (bres, bsec) = searchBest2(() =>
+          server.searchBatch(queries, K, probeRegions = 8, efSearch = 50))
+        results("hnsw_routed_warm_qps") = benchQ / bsec
+        results("hnsw_routed_warm_recall") = recallVs(flatRes, bres)
+        bres.unpersist()
+        server.unpersist()
+      }
       rg.unpersist()
 
       // Clustered-data comparison. The uniform vectors above are the
@@ -861,14 +897,25 @@ object Bench {
       // multiple, because per-query graph walks are O(R) not O(shards).
       {
         val ck = 64
-        val all = graft.core.VectorGen.clustered(
-          spark, benchN + benchQ, dim, ck, spread = 0.3, seed = 23L)
+        // BRIDGED clusters (VERDICT r8 #2): plain `clustered` centers are
+        // xxhash-uniform in [0,1)^128, inter-center distance ≈ 4.6 vs an
+        // intra-cluster noise radius ≪ 1 — clusters are disjoint, every
+        // true neighbor is home-region, and the 1M artifact measured the
+        // R-dial EXACTLY flat (recall(R=2) ≡ recall(R=4) = 0.5628): the
+        // rows proved nothing. A quarter of the points now slide t ∈
+        // [0,0.5) along the segment to the next cluster's center, putting
+        // genuine neighbor mass across the region boundaries k-means
+        // draws — the regime where R and boundary replication move recall.
+        val all = graft.core.VectorGen.clusteredBridged(
+          spark, benchN + benchQ, dim, ck, spread = 0.3, bridgeFrac = 0.25,
+          seed = 23L)
         val cvec = all.where(col("id") < benchN).cache(); cvec.count()
         val cq = all.where(col("id") >= benchN)
           .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
         cq.count()
         val (cFlat, _) = searchBest2(() =>
           FlatIndex.knnBlocked(cvec, cq, K, Metric.L2))
+        System.gc()
         val (hg, hgBuild) = time {
           val g = HnswIndex.build(cvec, routedRegions, Metric.L2).cache(); g.count(); g
         }
@@ -879,14 +926,17 @@ object Bench {
         results("hnsw_clustered_qps") = benchQ / hsec
         results("hnsw_clustered_recall") = recallVs(cFlat, hres)
         hres.unpersist(); hg.unpersist()
+        logSection(results, "hnsw_clustered")
         val (cModel, cTrain) = time(RoutedHnswIndex.train(
-          cvec, routedRegions, Metric.L2,
-          targetShardRows = math.max(1000L, benchN / routedRegions)))
+          cvec, routedRegions, Metric.L2, targetShardRows = shardRows))
+        System.gc()
         val (cg, cgBuild) = time {
           val g = RoutedHnswIndex.build(cvec, cModel).cache(); g.count(); g
         }
         results("hnsw_routed_c_build_sec") = cTrain + cgBuild
-        Seq(2, 4).foreach { r =>
+        // R ∈ {1,2,4,8}: with bridged data recall must CLIMB in R (r8's
+        // flat-dial diagnosis row — if r1 ≡ r8 the data is degenerate)
+        Seq(1, 2, 4, 8).foreach { r =>
           val (res, sec) = searchBest2(() =>
             RoutedHnswIndex.knn(cg, cModel, cq, K, probeRegions = r, efSearch = 50))
           results(s"hnsw_routed_c_r${r}_qps") = benchQ / sec
@@ -900,6 +950,7 @@ object Bench {
         // test: at fixed R the replicated graph recovers the cross-
         // boundary neighbors single assignment loses (recall ↑), at a
         // storage blow-up recorded honestly in the _blowup row.
+        System.gc()
         val (crg, crBuild) = time {
           val g = RoutedHnswIndex.buildReplicated(
             cvec, cModel, eps = 0.6, maxReplicas = 2).cache(); g.count(); g
@@ -963,8 +1014,12 @@ object Bench {
       "lsh_qps", "lsh_recall",
       "hnsw_build_sec", "hnsw_qps", "hnsw_recall",
       "hnsw_routed_r24_qps", "hnsw_routed_r24_recall",
+      "hnsw_routed_warm_qps", "hnsw_routed_warm_recall",
+      "serve_routed_p50_ms",
       "hnsw_clustered_qps", "hnsw_clustered_recall",
+      "hnsw_routed_c_r1_recall", "hnsw_routed_c_r2_recall",
       "hnsw_routed_c_r4_qps", "hnsw_routed_c_r4_recall",
+      "hnsw_routed_c_r8_recall",
       "serve_p50_ms", "serve_pq_p50_ms", "serve_sq8_p50_ms", "serve_ivfsq8_p50_ms",
       "serve_ivfpq_p50_ms", "serve_lsh_p50_ms", "serve_hnsw_p50_ms", "serve_bq_p50_ms",
       // in-process mode: the reference-shape rows (no scheduler floor)
@@ -983,8 +1038,9 @@ object Bench {
       "hnsw_routed_build_sec",
       "hnsw_routed_r8_qps", "hnsw_routed_r8_recall",
       "hnsw_routed_r16_qps", "hnsw_routed_r16_recall",
-      "hnsw_routed_c_r2_qps", "hnsw_routed_c_r2_recall",
+      "hnsw_routed_c_r2_qps",
       "hnsw_routed_cr_r2_qps", "hnsw_routed_cr_r2_recall", "hnsw_routed_cr_blowup",
+      "hnsw_routed_cr_r4_recall",
       "searcher_open_search_sec", "jvm_gc_total_ms", "brp_join_sec",
       "flat_search_sec", "ivf_search_sec", "pq_search_sec", "ivfpq_search_sec",
       "sq8_search_sec", "hnsw_search_sec",

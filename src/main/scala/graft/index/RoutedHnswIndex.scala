@@ -63,6 +63,28 @@ object RoutedHnswIndex {
     * layout at test scale. */
   val DefaultTargetShardRows = 250000L
 
+  /** Heap-derived rows-per-shard cap (VERDICT r8 #3: the 1M routed builds
+    * spent 103–198 s in GC with 16–26 GB heap sections — per-task graph
+    * residency must be DERIVED from memory, not guessed). During a build,
+    * one core holds a shard's raw rows plus its finished [[LocalHnsw]]
+    * (vector copies, adjacency, boxed row tuples); measured at 128d/M16
+    * that is ~3 KB/row, modeled here as `24·dim + 56·M + 400` bytes (vec
+    * appears ~3× across raw rows / graph / emitted rows; adjacency ≈ 2·M
+    * longs with wrapper overhead; constant tuple/boxing tax). Every core
+    * builds concurrently, and only ~half the heap should go to build
+    * state (the other half: shuffle buffers, the emitted row batches,
+    * headroom that keeps full GCs rare). The result is clamped to
+    * [1000, [[DefaultTargetShardRows]]]. */
+  def deriveTargetShardRows(dim: Int, m: Int = HnswIndex.M,
+      cores: Int = -1, heapBytes: Long = -1L): Long = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val c = if (cores > 0) cores else Runtime.getRuntime.availableProcessors
+    val heap = if (heapBytes > 0) heapBytes else Runtime.getRuntime.maxMemory
+    val bytesPerRow = 24L * dim + 56L * m + 400L
+    val budget = heap / 2 / math.max(1, c)
+    math.max(1000L, math.min(DefaultTargetShardRows, budget / bytesPerRow))
+  }
+
   /** Train the routing model: k-means regions over the corpus (the
     * production [[Centroids.kMeans]] — capped sample, strided init,
     * deterministic), then one count aggregation over the assignment to

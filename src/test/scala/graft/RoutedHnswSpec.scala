@@ -226,4 +226,76 @@ class RoutedHnswSpec extends AnyFunSuite {
     assert(got.sameElements(want))
     searcher.close()
   }
+
+  test("distributed routed server: single-query and warm-batch paths equal the " +
+      "cold batch knn and the in-process server, incl. on a replicated graph") {
+    val (corpus, queries) = vecs
+    Seq(
+      graph,
+      RoutedHnswIndex.buildReplicated(corpus, model, eps = 0.4, maxReplicas = 3)
+    ).foreach { g =>
+      val server = new graft.query.RoutedHnswServer(g, model).warm()
+      val local = new graft.query.LocalRoutedHnswServer(g, model)
+      val cold = RoutedHnswIndex.knn(g, model, queries, K, probeRegions = 2,
+        efSearch = 256)
+      // warm batch ≡ cold batch, row-exact
+      val warm = server.searchBatch(queries, K, probeRegions = 2, efSearch = 256)
+      assert(warm.exceptAll(cold).count() == 0 && cold.exceptAll(warm).count() == 0,
+        "warm-batch routed serving differs from the cold batch knn")
+      // single-query ≡ both, per query
+      val want = cold.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(r => (r.getLong(1), r.getInt(3))).sortBy(_._2).toSeq }
+      queries.collect().take(5).foreach { r =>
+        val qid = r.getLong(0); val q = r.getSeq[Double](1).toArray
+        val dist = server.search(q, K, probeRegions = 2, efSearch = 256)
+          .map(t => (t._1, t._3)).toSeq
+        val loc = local.search(q, K, probeRegions = 2, efSearch = 256)
+          .map(t => (t._1, t._3)).toSeq
+        assert(dist == want(qid), s"query $qid: distributed server != batch knn")
+        assert(dist == loc, s"query $qid: distributed server != local server")
+      }
+      server.unpersist()
+    }
+  }
+
+  test("bridged clustered data: the R dial strictly climbs (r8 flat-dial regression)") {
+    // clusteredBridged puts a quarter of the points on the segments
+    // between ring-adjacent cluster centers, so a router probing more
+    // regions MUST recover strictly more true neighbors — the property
+    // the bench's hnsw_routed_c_r* rows exist to measure, asserted here
+    // strictly (the r8 1M artifact's plain-clustered rows were exactly
+    // flat in R, which this generator + assert combination forbids).
+    val n = 1536
+    val all = graft.core.VectorGen.clusteredBridged(
+      spark, n + 48, 16, 8, spread = 0.3, bridgeFrac = 0.25, seed = 23L)
+    val corpus = all.where(col("id") < n).cache()
+    val queries = all.where(col("id") >= n)
+      .select(col("id").as("query_id"), col("vec").as("qvec")).cache()
+    val m = RoutedHnswIndex.train(corpus, nlist = 8, Metric.L2, targetShardRows = 256)
+    val g = RoutedHnswIndex.build(corpus, m)
+    val flat = FlatIndex.knn(corpus, queries, K, Metric.L2).select("query_id", "neighbor_id")
+    val denom = flat.count().toDouble
+    val recalls = Seq(1, 2, 4).map { r =>
+      RoutedHnswIndex.knn(g, m, queries, K, probeRegions = r, efSearch = 256)
+        .select("query_id", "neighbor_id").intersect(flat).count() / denom
+    }
+    assert(recalls(0) < recalls(1) && recalls(1) < recalls(2),
+      s"R dial not strictly increasing on bridged clusters: $recalls")
+    corpus.unpersist(); queries.unpersist()
+  }
+
+  test("deriveTargetShardRows: clamped, heap-monotone, and below default at small heaps") {
+    val d = RoutedHnswIndex.deriveTargetShardRows(128, m = 16,
+      cores = 32, heapBytes = 4L << 30)
+    assert(d >= 1000L && d <= RoutedHnswIndex.DefaultTargetShardRows)
+    // 4 GB over 32 cores cannot host 250k-row graphs at 128d
+    assert(d < RoutedHnswIndex.DefaultTargetShardRows,
+      s"4 GB/32-core derivation returned the unclamped default ($d)")
+    val big = RoutedHnswIndex.deriveTargetShardRows(128, m = 16,
+      cores = 32, heapBytes = 512L << 30)
+    assert(big >= d, "derived shard rows not monotone in heap")
+    assert(RoutedHnswIndex.deriveTargetShardRows(128, m = 16,
+      cores = 32, heapBytes = 1L << 20) == 1000L, "tiny heap must clamp to the floor")
+  }
 }
