@@ -176,6 +176,101 @@ object RoutedHnswIndex {
       vectors.select(shardExpr(model), col("id").cast("long"), col("vec")),
       model.numShards, model.metric, m, efConstruction)
 
+  /** Region of a graph row, recovered from its physical shard id (a
+    * shard→region literal lookup — model-sized, codegen'd). Works for
+    * replicated builds too: a replica row's stored shard encodes the
+    * closure region it was assigned to, which nearest-centroid
+    * recomputation could NOT recover. */
+  private[graft] def regionOfShard(model: RoutedHnswModel): Column = {
+    val s2r = Array.tabulate(model.numShards)(s =>
+      model.offsets.lastIndexWhere(_ <= s))
+    element_at(array(s2r.map(lit).toIndexedSeq: _*), col("shard") + 1)
+  }
+
+  /** Integer split requirement: ceil(n / targetShardRows), floor 1. */
+  private def requiredSub(n: Long, targetShardRows: Long): Int =
+    math.max(1L, (n + targetShardRows - 1) / targetShardRows).toInt
+
+  /** Region-drift report (VERDICT r8 #6) — the model-staleness readout
+    * for the routed kind (the ivf.go:93-112 analogue: appends assign
+    * under the FROZEN model, so regions grow past their balance split
+    * and per-task graphs outgrow `targetShardRows`). One grouped count
+    * over the graph (shuffle ∝ numShards), dense over the model's
+    * regions: (region, n_rows, sub_frozen, sub_required, action) with
+    * action = 'resplit' where the frozen split no longer matches the
+    * integer requirement. All-integer arithmetic — oracle-reproducible. */
+  def driftReport(graph: DataFrame, model: RoutedHnswModel,
+      targetShardRows: Long): DataFrame = {
+    require(targetShardRows >= 1, "targetShardRows must be >= 1")
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val frozen = model.subShards.zipWithIndex
+      .map { case (sub, c) => (c, sub) }.toDF("region", "sub_frozen")
+    val counts = graph.select(regionOfShard(model).as("region"))
+      .groupBy("region").agg(count(lit(1)).as("n_rows"))
+    frozen.join(counts, Seq("region"), "left")
+      .select(col("region"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("sub_frozen"),
+        greatest(lit(1L),
+          (coalesce(col("n_rows"), lit(0L)) + (targetShardRows - 1))
+            / targetShardRows).cast("int").as("sub_required"))
+      .withColumn("action",
+        when(col("sub_required") =!= col("sub_frozen"), "resplit")
+          .otherwise("keep"))
+  }
+
+  /** Re-balance a drifted routed graph: re-derive every region's balance
+    * split from its CURRENT row count, rebuild ONLY the regions whose
+    * split changed, and arithmetically re-number the untouched regions'
+    * shards into the new offset space (their graphs move, byte-for-byte,
+    * without a rebuild). Returns the refreshed model and graph.
+    *
+    * Determinism makes the incremental path exact: a region's per-shard
+    * graphs depend only on (row set, id-hash split), so unchanged splits
+    * keep identical graphs and changed regions rebuild to exactly what a
+    * from-scratch [[build]]/[[buildReplicated]] under the new model would
+    * produce — MaintenanceSpec asserts full set-equality. Routing
+    * centroids are NOT retrained (same contract as IVF appends:
+    * re-centering is an explicit re-train, not a balance operation).
+    *
+    * Cost: one grouped count (shuffle ∝ numShards) + a graph rebuild
+    * over only the drifted regions' rows — at 100 TB that is the handful
+    * of regions an append wave actually grew, not the corpus. */
+  def rebalance(graph: DataFrame, model: RoutedHnswModel,
+      targetShardRows: Long, m: Int = HnswIndex.M,
+      efConstruction: Int = HnswIndex.EfConstruction): (RoutedHnswModel, DataFrame) = {
+    require(targetShardRows >= 1, "targetShardRows must be >= 1")
+    val sizes = graph.select(regionOfShard(model).as("region"))
+      .groupBy("region").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val newSub = Array.tabulate(model.nlist)(c =>
+      requiredSub(sizes.getOrElse(c, 0L), targetShardRows))
+    if (newSub.sameElements(model.subShards)) return (model, graph)
+    val nm = RoutedHnswModel(model.centroids, newSub.toVector, model.metric)
+    val changed = (0 until model.nlist)
+      .filter(c => newSub(c) != model.subShards(c)).map(Int.box)
+    val oldOff = array(model.offsets.map(lit).toIndexedSeq: _*)
+    val newOff = array(nm.offsets.map(lit).toIndexedSeq: _*)
+    val newSubLit = array(nm.subShards.map(lit).toIndexedSeq: _*)
+    val withRegion = graph.withColumn("region", regionOfShard(model))
+    val keep = withRegion.where(!col("region").isin(changed: _*))
+      .select(
+        (col("shard") - element_at(oldOff, col("region") + 1)
+          + element_at(newOff, col("region") + 1)).cast("int").as("shard"),
+        col("id"), col("vec"), col("level"), col("edges"))
+    val rebuilt = HnswIndex.buildFromShardCol(
+      withRegion.where(col("region").isin(changed: _*))
+        .select(
+          (element_at(newOff, col("region") + 1) +
+            pmod(xxhash64(col("id").cast("long")),
+              element_at(newSubLit, col("region") + 1).cast("long")).cast("int"))
+            .as("shard"),
+          col("id"), col("vec")),
+      nm.numShards, model.metric, m, efConstruction)
+    (nm, keep.unionByName(rebuilt))
+  }
+
   /** Per-query physical probe set: top-`probeRegions` regions by centroid
     * rank key (IVF's probe ordering), expanded to each region's
     * sub-shards. */

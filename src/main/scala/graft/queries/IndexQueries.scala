@@ -33,6 +33,10 @@ object IndexQueries extends QueryProvider {
   private val TruncDim = 16 // prefix width for the dimension-adaptive (MRL) row
   private val BqRadius = 16 // range_search_bq Hamming radius (of dim=64 bits)
   private val BqRangeMax = 50 // range_search_bq per-query result cap
+  // routed_rebalance_plan rows-per-shard target: sized so the even-id
+  // "frozen" half and the full corpus need DIFFERENT splits at both
+  // verify scales (sf0.01: ~15 vs ~31 rows/region; sf0.1: ~156 vs ~312)
+  private val RebalTarget = 20L
 
   import VectorQueries.{vecTables, sqlL2SqG}
 
@@ -69,6 +73,30 @@ object IndexQueries extends QueryProvider {
           max("n").as("max_size"),
           min("n").as("min_size"),
           round(max("n").cast("double") * count(lit(1)) / sum("n"), 4).as("imbalance"))
+    }),
+    // Routed-HNSW drift/rebalance plan (VERDICT r8 #6) — the
+    // model-staleness readout a 100 TB ingest pipeline runs after append
+    // waves: frozen balance splits come from "yesterday's" slice (even
+    // ids) under the same deterministic centroids, the graph then indexes
+    // the FULL corpus under that frozen model (exactly what
+    // appendBatchToRoutedHnsw produces), and driftReport recovers each
+    // row's region from its physical shard id and flags every region
+    // whose integer split requirement ceil(n/target) moved. The rebuild
+    // itself (RoutedHnswIndex.rebalance: changed regions only,
+    // bit-identical to a fresh build) is asserted in MaintenanceSpec —
+    // this row hash-grades the detection arithmetic end to end.
+    "routed_rebalance_plan" -> ((s, dir) => {
+      val (corpus, _) = vecTables(s, dir)
+      val cents = Centroids.bucketMeans(corpus, Nlist)
+      val baseCounts = corpus.where(col("id") % 2 === 0)
+        .select(Centroids.nearest(col("vec"), cents, Metric.L2).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val frozenSub = (0 until Nlist).map(c => math.max(1L,
+        (baseCounts.getOrElse(c, 0L) + RebalTarget - 1) / RebalTarget).toInt)
+      val model = RoutedHnswModel(cents, frozenSub, Metric.L2)
+      val graph = RoutedHnswIndex.build(corpus, model)
+      RoutedHnswIndex.driftReport(graph, model, RebalTarget)
     }),
     // J3 + T1: probe-pruned IVF search (ivf.go:123-160)
     "knn_ivf_det" -> ((s, dir) => {
@@ -1162,6 +1190,22 @@ object IndexQueries extends QueryProvider {
     "ivf_assign_det" ->
       s"""WITH $base
          |SELECT id, cluster_id FROM assign""".stripMargin,
+    "routed_rebalance_plan" ->
+      s"""WITH $base,
+         |bs AS (SELECT cluster_id AS region, count(*) AS n FROM assign
+         |       WHERE id % 2 = 0 GROUP BY cluster_id),
+         |fs AS (SELECT cluster_id AS region, count(*) AS n FROM assign
+         |       GROUP BY cluster_id)
+         |SELECT CAST(r.region AS INT) AS region,
+         |       CAST(coalesce(fs.n, 0) AS BIGINT) AS n_rows,
+         |       CAST(greatest(1, (coalesce(bs.n, 0) + ${RebalTarget - 1}) // $RebalTarget) AS INT) AS sub_frozen,
+         |       CAST(greatest(1, (coalesce(fs.n, 0) + ${RebalTarget - 1}) // $RebalTarget) AS INT) AS sub_required,
+         |       CASE WHEN greatest(1, (coalesce(bs.n, 0) + ${RebalTarget - 1}) // $RebalTarget)
+         |              <> greatest(1, (coalesce(fs.n, 0) + ${RebalTarget - 1}) // $RebalTarget)
+         |            THEN 'resplit' ELSE 'keep' END AS action
+         |FROM range(0, $Nlist) r(region)
+         |LEFT JOIN bs ON bs.region = r.region
+         |LEFT JOIN fs ON fs.region = r.region""".stripMargin,
     "ivf_list_sizes" ->
       s"""WITH $base
          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors

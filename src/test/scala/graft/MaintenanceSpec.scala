@@ -153,6 +153,63 @@ class MaintenanceSpec extends AnyFunSuite {
       s"appended vector not found by routed search: $hit")
   }
 
+  test("routed-HNSW rebalance: drift detected, changed regions rebuilt bit-identical " +
+      "to a from-scratch build, untouched regions byte-moved, no-op when balanced") {
+    val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    // "yesterday": train + split on the first half, then the graph indexes
+    // the FULL corpus under the frozen model (the post-append state)
+    val maxId = corpus.agg(max(col("id"))).first().getLong(0)
+    val base = corpus.where(col("id") <= maxId / 2)
+    val target = 32L
+    val cents = Centroids.kMeans(base, 4, metric = Metric.L2)
+    val baseSizes = base
+      .select(Centroids.nearest(col("vec"), cents, Metric.L2).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val frozenSub = (0 until 4).map(c =>
+      math.max(1L, (baseSizes.getOrElse(c, 0L) + target - 1) / target).toInt)
+    val frozen = RoutedHnswModel(cents, frozenSub, Metric.L2)
+    val grown = RoutedHnswIndex.build(corpus, frozen).cache(); grown.count()
+
+    // drift is real: doubling the corpus must move at least one region's split
+    val report = RoutedHnswIndex.driftReport(grown, frozen, target).collect()
+    assert(report.length == 4 && report.map(_.getLong(1)).sum == corpus.count())
+    assert(report.exists(_.getString(4) == "resplit"), "doubling the corpus produced no drift")
+    report.foreach { r =>
+      assert(r.getInt(2) == frozenSub(r.getInt(0)), "sub_frozen must echo the model")
+      val want = math.max(1L, (r.getLong(1) + target - 1) / target).toInt
+      assert(r.getInt(3) == want, s"sub_required ${r.getInt(3)} != ceil(n/target) $want")
+    }
+
+    val (nm, rebal) = RoutedHnswIndex.rebalance(grown, frozen, target)
+    assert(nm.centroids == frozen.centroids, "rebalance must not retrain centroids")
+    assert(nm.subShards != frozen.subShards, "rebalance must refresh the splits")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("id"), col("level"), col("edges"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(snap(rebal) == snap(RoutedHnswIndex.build(corpus, nm)),
+      "rebalanced graph differs from a from-scratch build under the new model")
+    // the refreshed index serves exactly like the fresh one
+    val a = RoutedHnswIndex.knn(rebal, nm, queries, 5, probeRegions = 2)
+      .collect().map(_.toString).sorted
+    val b = RoutedHnswIndex.knn(RoutedHnswIndex.build(corpus, nm), nm, queries, 5,
+      probeRegions = 2).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // a balanced graph is a no-op (same model instance, graph untouched)
+    val (nm2, same) = RoutedHnswIndex.rebalance(rebal, nm, target)
+    assert((nm2 eq nm) && (same eq rebal), "balanced rebalance must be a no-op")
+
+    // replicated graphs rebalance through the same path: region identity
+    // comes from the stored shard (closure assignment), and the result
+    // equals a from-scratch replicated build under the refreshed model
+    val rep = RoutedHnswIndex.buildReplicated(corpus, frozen, eps = 0.4, maxReplicas = 2)
+    val (nmR, rebalR) = RoutedHnswIndex.rebalance(rep, frozen, target)
+    assert(snap(rebalR) == snap(RoutedHnswIndex.buildReplicated(corpus, nmR,
+      eps = 0.4, maxReplicas = 2)),
+      "replicated rebalance differs from a fresh replicated build")
+    grown.unpersist()
+  }
+
   test("HNSW remove drops nodes and dangling edges; search skips them") {
     import spark.implicits._
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)
