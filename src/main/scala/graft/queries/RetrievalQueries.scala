@@ -66,6 +66,22 @@ object RetrievalQueries extends QueryProvider {
     * plan shape below is unchanged by that swap. */
   private val MaxSimPrimes = Seq(101, 103, 107, 109, 113, 127, 131, 137)
 
+  /** PLAID-shape first stage (Santhanam et al. 2022): token-embedding
+    * centroid count and per-query-token probe width. The hash-derived
+    * token embeddings are isotropic (no cluster structure to exploit),
+    * so on the 31-token synthetic vocab the quantizer needs C near the
+    * vocab size to rank usefully — C=24 measures recall@10 ≈ 0.8–0.9 vs
+    * exhaustive MaxSim (pinned in RetrievalSpec). Real contextual
+    * embeddings cluster, so production dials C ≈ 2^18 ≪ distinct
+    * tokens; every plan shape below is count-independent. */
+  private val PlaidC = 24
+  private val PlaidNprobe = 2
+
+  /** A token's deterministic pseudo-embedding over [[MaxSimPrimes]] —
+    * component j = (hash % p_j) + 1 (see maxsim_rerank's notes). */
+  private def maxSimTokVec(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array(MaxSimPrimes.map(p => ((h % p) + 1).cast("double")): _*)
+
   /** phrase_search / knn_doc_pooled query-batch sizes and result width. */
   private val PhraseQueries = 4
   private val PooledQueries = 4
@@ -500,39 +516,32 @@ object RetrievalQueries extends QueryProvider {
           Window.partitionBy("query_id").orderBy(col("j").desc, col("id"))))
         .where(col("lex_rank") <= CascadeN)
         .select(col("query_id"), col("id"))
-      def tokVec(h: org.apache.spark.sql.Column) =
-        array(MaxSimPrimes.map(p => ((h % p) + 1).cast("double")): _*)
-      val qtok = d.where(col("doc_id") < FuseQueries)
-        .select(col("doc_id").as("query_id"),
-          explode(array_distinct(toks(col("text")))).as("qt"))
-        .withColumn("qv", tokVec(tokenHash(col("qt"))))
-      val dtok = d.join(broadcast(cands.select(col("id")).distinct()),
-          col("doc_id") === col("id"))
-        .select(col("doc_id").as("id"),
-          explode(array_distinct(toks(col("text")))).as("dt"))
-        .withColumn("dv", tokVec(tokenHash(col("dt"))))
-      import graft.functions.VectorFunctions
-      val dot = VectorFunctions.dot(col("qv"), col("dv"))
-      val na = VectorFunctions.norm(col("qv"))
-      val nb = VectorFunctions.norm(col("dv"))
-      val sim = when(na === 0.0 || nb === 0.0, lit(0.0))
-        .otherwise(least(lit(1.0), greatest(lit(-1.0), dot / (na * nb))))
-      val perQt = broadcast(cands)
-        .join(qtok, Seq("query_id"))
-        .join(dtok, Seq("id"))
-        .select(col("query_id"), col("id"), col("qt"), sim.as("sim"))
-        .groupBy(col("query_id"), col("id"), col("qt"))
-        .agg(max(col("sim")).as("mx"))
-      perQt.groupBy(col("query_id"), col("id"))
-        .agg(
-          aggregate(array_sort(collect_list(struct(col("qt"), col("mx")))),
-            lit(0.0), (a, x) => a + x.getField("mx")).as("score"),
-          count(lit(1)).cast("int").as("n_qtok"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))))
-        .where(col("rank") <= CascadeK)
-        .select(col("query_id"), col("id"), round(col("score"), 4).as("maxsim"),
-          col("n_qtok"), col("rank"))
+      maxSimExact(d, cands)
+    }),
+    // PLAID-shape FIRST-stage multi-vector retrieval (Santhanam et al.
+    // 2022, the ColBERTv2 serving form): instead of a lexical stage
+    // feeding MaxSim, the candidate generator IS the token-embedding
+    // index. Corpus token embeddings route to their nearest centroid
+    // (deterministic centroids: the PlaidC smallest distinct token
+    // hashes — the kmeans-seed stand-in, same discipline as the IVF
+    // `_det` rows); posting lists invert centroid → doc. A query token
+    // probes its top-nprobe centroids, candidates surface through the
+    // posting equi-join, and the centroid-interaction score — per query
+    // token, max cos(qtok, centroid) over the doc's matched centroids,
+    // summed in token order — ranks the pool. Top-CascadeN survivors go
+    // through the SAME exact MaxSim stage as maxsim_rerank.
+    // 100 TB story: the corpus token table NEVER meets the query batch —
+    // assignment is one vocab×C broadcast expansion (C is a model
+    // constant; with per-occurrence contextual embeddings the same join
+    // runs per token occurrence), posting lists shuffle ∝ corpus tokens
+    // once at build, and a query touches only its probed centroids'
+    // postings — the inverted-file contract, applied to token-level
+    // late interaction. Exact token-pair arithmetic runs on
+    // queries × CascadeN candidates only.
+    "maxsim_first_stage" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      maxSimExact(d, plaidCandidates(d))
     }),
     // DSIR-style importance resampling (Xie et al. 2023 shape): score each
     // raw doc by how target-like its hashed n-gram feature profile is —
@@ -648,25 +657,141 @@ object RetrievalQueries extends QueryProvider {
       ("bm25_impact_served" -> oraclesBase("bm25_batch"))
   }
 
+  /** PLAID candidate generation (lazy — the plan PlanQualitySpec pins):
+    * deterministic token centroids (the PlaidC smallest distinct token
+    * hashes — the kmeans-seed stand-in, same discipline as the IVF
+    * `_det` rows), vocab→centroid assignment, centroid→doc posting
+    * inversion, query routing to top-[[PlaidNprobe]] centroids, and the
+    * centroid-interaction rank (per query token, max cos over the doc's
+    * FULL centroid set — exact MaxSim with the doc token quantized to
+    * its centroid), keeping top-[[CascadeN]] per query.
+    *
+    * 100 TB shapes: assignment is one vocab × C broadcast expansion (C
+    * is a model constant; per-occurrence contextual embeddings run the
+    * same join per token occurrence), posting lists shuffle ∝ corpus
+    * tokens once at build, and a query batch touches only its probed
+    * centroids' postings — the inverted-file contract applied to
+    * token-level late interaction. The corpus token table never meets
+    * the query batch outside the posting equi-join. */
+  private[graft] def plaidCandidates(d: DataFrame): DataFrame = {
+    val dt = d.select(col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("t"))
+      .withColumn("th", tokenHash(col("t")))
+    val vocab = dt.select(col("th")).distinct()
+    val cents = vocab.orderBy(col("th")).limit(PlaidC)
+      .select(col("th").as("cent"))
+    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      import graft.functions.VectorFunctions
+      val (dot, na, nb) =
+        (VectorFunctions.dot(a, b), VectorFunctions.norm(a), VectorFunctions.norm(b))
+      when(na === 0.0 || nb === 0.0, lit(0.0))
+        .otherwise(least(lit(1.0), greatest(lit(-1.0), dot / (na * nb))))
+    }
+    val assign = vocab.crossJoin(broadcast(cents))
+      .select(col("th"), col("cent"),
+        cos(maxSimTokVec(col("th")), maxSimTokVec(col("cent"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("th").orderBy(col("sim").desc, col("cent"))))
+      .where(col("rn") === 1)
+      .select(col("th"), col("cent"))
+    val post = dt.join(broadcast(assign), "th")
+      .select(col("cent"), col("doc_id")).distinct()
+    val qtoks = d.where(col("doc_id") < FuseQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(toks(col("text")))).as("qt"))
+      .withColumn("qh", tokenHash(col("qt")))
+    // the query-token × centroid similarity table — queries × |q| × C
+    // rows, the per-batch "centroid score" table PLAID precomputes
+    val qcent = qtoks.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qt"), col("cent"),
+        cos(maxSimTokVec(col("qh")), maxSimTokVec(col("cent"))).as("csim"))
+    // candidate GENERATION probes only the top-nprobe centroids per
+    // query token; candidate SCORING (below) sees the doc's full
+    // centroid set — the PLAID stage-1/stage-2 split
+    val probed = qcent
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id", "qt").orderBy(col("csim").desc, col("cent"))))
+      .where(col("rn") <= PlaidNprobe)
+      .select(col("query_id"), col("cent")).distinct()
+    val cands0 = post.join(broadcast(probed), "cent")
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    // centroid-interaction score: per query token, max csim over the
+    // doc's centroids (its token set quantized to centroid ids), then
+    // the token-ordered fold — exact MaxSim with dv ↦ centroid(dv)
+    val perQt = post.join(broadcast(cands0), "doc_id")
+      .join(broadcast(qcent), Seq("query_id", "cent"))
+      .groupBy(col("query_id"), col("doc_id"), col("qt"))
+      .agg(max(col("csim")).as("mx"))
+    perQt.groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("qt"), col("mx")))),
+        lit(0.0), (a, x) => a + x.getField("mx")).as("approx"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx").desc, col("doc_id"))))
+      .where(col("rn") <= CascadeN)
+      .select(col("query_id"), col("doc_id").as("id"))
+  }
+
+  /** The exact late-interaction stage shared by maxsim_rerank and
+    * maxsim_first_stage: token-pair cosines over a (query_id, id)
+    * candidate frame, per-query-token max, token-ordered fold, top-
+    * [[CascadeK]] rank. The candidate frame is a bounded
+    * queries × CascadeN artifact, so it is materialized ONCE to a local
+    * literal relation — its (possibly expensive) generating plan never
+    * re-executes for the two places the exact stage consumes it, and
+    * the pair arithmetic is ∝ |cands| × |q|·|d| tokens — the corpus is
+    * never dense-scanned regardless of which first stage produced the
+    * candidates. */
+  private[graft] def maxSimExact(d: DataFrame, cands0: DataFrame): DataFrame = {
+    val sess = d.sparkSession
+    import sess.implicits._
+    val cands = sess.createDataset(
+        cands0.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+      .toDF("query_id", "id")
+    val qtok = d.where(col("doc_id") < FuseQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(toks(col("text")))).as("qt"))
+      .withColumn("qv", maxSimTokVec(tokenHash(col("qt"))))
+    val dtok = d.join(broadcast(cands.select(col("id")).distinct()),
+        col("doc_id") === col("id"))
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(toks(col("text")))).as("dt"))
+      .withColumn("dv", maxSimTokVec(tokenHash(col("dt"))))
+    import graft.functions.VectorFunctions
+    val dot = VectorFunctions.dot(col("qv"), col("dv"))
+    val na = VectorFunctions.norm(col("qv"))
+    val nb = VectorFunctions.norm(col("dv"))
+    val sim = when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(least(lit(1.0), greatest(lit(-1.0), dot / (na * nb))))
+    val perQt = broadcast(cands)
+      .join(qtok, Seq("query_id"))
+      .join(dtok, Seq("id"))
+      .select(col("query_id"), col("id"), col("qt"), sim.as("sim"))
+      .groupBy(col("query_id"), col("id"), col("qt"))
+      .agg(max(col("sim")).as("mx"))
+    perQt.groupBy(col("query_id"), col("id"))
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("qt"), col("mx")))),
+          lit(0.0), (a, x) => a + x.getField("mx")).as("score"),
+        count(lit(1)).cast("int").as("n_qtok"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("id"))))
+      .where(col("rank") <= CascadeK)
+      .select(col("query_id"), col("id"), round(col("score"), 4).as("maxsim"),
+        col("n_qtok"), col("rank"))
+  }
+
   /** Token pseudo-embedding as a DuckDB list literal over an expression
     * `h` (the token hash) — the exact mirror of the Spark `tokVec`. */
   private def maxSimVecSql(h: String): String =
     "[" + MaxSimPrimes.map(p => s"CAST(($h) % $p + 1 AS DOUBLE)").mkString(", ") + "]"
 
-  private val maxSimSql: String = {
+  /** The exact-stage oracle tail shared by maxsim_rerank and
+    * maxsim_first_stage — expects CTEs `d(doc_id, tk)` and the candidate
+    * frame `lt(query_id, id)` to already be in scope. */
+  private val maxSimExactSqlTail: String = {
     val cosSim = VectorQueries.sqlCosineSimG("qv", "dv")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-       |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
-       |        j -> tk[j] || ' ' || tk[j+1])) AS bg FROM d),
-       |lx AS (SELECT q.doc_id AS query_id, c.doc_id AS id,
-       |         ${sqlJaccard("q.bg", "c.bg")} AS j
-       |       FROM g q JOIN g c ON c.doc_id <> q.doc_id
-       |       WHERE q.doc_id < $FuseQueries),
-       |lt AS (SELECT query_id, id FROM (
-       |         SELECT query_id, id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY j DESC, id) AS lex_rank
-       |         FROM lx) WHERE lex_rank <= $CascadeN),
-       |qh AS (SELECT query_id, qt, ${maxSimVecSql(sqlTokenHash("qt"))} AS qv
+    s"""qh AS (SELECT query_id, qt, ${maxSimVecSql(sqlTokenHash("qt"))} AS qv
        |       FROM (SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS qt
        |             FROM d WHERE doc_id < $FuseQueries)),
        |dh AS (SELECT id, dt, ${maxSimVecSql(sqlTokenHash("dt"))} AS dv
@@ -690,6 +815,68 @@ object RetrievalQueries extends QueryProvider {
        |FROM r WHERE rank <= $CascadeK""".stripMargin
   }
 
+  private val maxSimSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
+       |        j -> tk[j] || ' ' || tk[j+1])) AS bg FROM d),
+       |lx AS (SELECT q.doc_id AS query_id, c.doc_id AS id,
+       |         ${sqlJaccard("q.bg", "c.bg")} AS j
+       |       FROM g q JOIN g c ON c.doc_id <> q.doc_id
+       |       WHERE q.doc_id < $FuseQueries),
+       |lt AS (SELECT query_id, id FROM (
+       |         SELECT query_id, id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY j DESC, id) AS lex_rank
+       |         FROM lx) WHERE lex_rank <= $CascadeN),
+       |$maxSimExactSqlTail""".stripMargin
+
+  /** maxsim_first_stage oracle: centroid selection, vocab assignment,
+    * posting inversion, query routing, and the centroid-interaction
+    * candidate rank — then the shared exact tail over `lt`. */
+  private val maxSimFirstStageSql: String = {
+    val centSim = VectorQueries.sqlCosineSimG("av", "bv")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |dt AS (SELECT doc_id, ${sqlTokenHash("t")} AS th
+       |       FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM d)),
+       |vh AS (SELECT DISTINCT th FROM dt),
+       |cents AS (SELECT th AS cent FROM vh ORDER BY th LIMIT $PlaidC),
+       |ac AS (SELECT vh.th, c.cent, ${maxSimVecSql("vh.th")} AS av,
+       |              ${maxSimVecSql("c.cent")} AS bv
+       |       FROM vh CROSS JOIN cents c),
+       |asg AS (SELECT th, cent FROM (
+       |          SELECT th, cent,
+       |            row_number() OVER (PARTITION BY th ORDER BY $centSim DESC, cent) AS rn
+       |          FROM ac) WHERE rn = 1),
+       |post AS (SELECT DISTINCT a.cent, dt.doc_id FROM dt JOIN asg a ON a.th = dt.th),
+       |qt0 AS (SELECT doc_id AS query_id, t AS qt, ${sqlTokenHash("t")} AS th0
+       |        FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t
+       |              FROM d WHERE doc_id < $FuseQueries)),
+       |rc AS (SELECT q.query_id, q.qt, c.cent, ${maxSimVecSql("q.th0")} AS av,
+       |              ${maxSimVecSql("c.cent")} AS bv
+       |       FROM qt0 q CROSS JOIN cents c),
+       |qc AS (SELECT query_id, qt, cent, $centSim AS csim FROM rc),
+       |probed AS (SELECT DISTINCT query_id, cent FROM (
+       |             SELECT query_id, qt, cent,
+       |               row_number() OVER (PARTITION BY query_id, qt
+       |                 ORDER BY csim DESC, cent) AS rn
+       |             FROM qc) WHERE rn <= $PlaidNprobe),
+       |cand0 AS (SELECT DISTINCT pr.query_id, po.doc_id
+       |          FROM probed pr JOIN post po ON po.cent = pr.cent
+       |          WHERE po.doc_id <> pr.query_id),
+       |pq AS (SELECT c0.query_id, c0.doc_id, q2.qt, max(q2.csim) AS mxc
+       |       FROM cand0 c0 JOIN post po ON po.doc_id = c0.doc_id
+       |       JOIN qc q2 ON q2.query_id = c0.query_id AND q2.cent = po.cent
+       |       GROUP BY c0.query_id, c0.doc_id, q2.qt),
+       |ap AS (SELECT query_id, doc_id,
+       |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(mxc ORDER BY qt)),
+       |           (x, y) -> x + y) AS approx
+       |       FROM pq GROUP BY query_id, doc_id),
+       |lt AS (SELECT query_id, id FROM (
+       |         SELECT query_id, doc_id AS id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY approx DESC, doc_id) AS rn
+       |         FROM ap) WHERE rn <= $CascadeN),
+       |$maxSimExactSqlTail""".stripMargin
+  }
+
   /** knn_doc_pooled's pooled vector as 8 per-component token-order folds
     * (avoids nested-lambda closures; addition order per component is
     * exactly the Spark zip_with accumulator's). */
@@ -705,6 +892,7 @@ object RetrievalQueries extends QueryProvider {
 
   private lazy val oraclesBase: Map[String, String] = Map(
     "maxsim_rerank" -> maxSimSql,
+    "maxsim_first_stage" -> maxSimFirstStageSql,
     "phrase_search" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |post AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok FROM d),

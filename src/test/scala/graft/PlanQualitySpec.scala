@@ -329,6 +329,31 @@ class PlanQualitySpec extends AnyFunSuite {
       s"the interaction stage must never cross-join token streams:\n$plan")
   }
 
+  test("maxsim_first_stage: the corpus token table never cross-joins the " +
+      "query batch — queries reach docs only through the centroid posting " +
+      "equi-join; the only nested-loop builds broadcast the C-row centroid frame") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val plan = planOf(graft.queries.RetrievalQueries.plaidCandidates(d))
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast cross-join anywhere in the first stage:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"posting/candidate joins must be broadcast equi-joins:\n$plan")
+    // the centroid-expansion cross-joins (vocab × cents in the
+    // assignment, qtokens × cents in the routing table — the latter
+    // consumed twice: probe selection and interaction scoring) are the
+    // ONLY nested-loop joins, and every one builds the model-sized
+    // centroid frame. One more would mean queries×corpus leaked out of
+    // the posting-list path.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 4, s"expected only centroid expansions, got $bnlj:\n$plan")
+    // the full row never cross-joins anything unbroadcast either
+    val full = planOf(
+      graft.queries.RetrievalQueries.queries("maxsim_first_stage")(spark, TestSession.Sf0001))
+    assert(!full.contains("CartesianProduct"), s"exact stage cross-join:\n$full")
+  }
+
   test("phrase_search: positional joins are hash equi-joins with the phrase " +
       "table broadcast — no cartesian, no sort-merge of posting streams") {
     val plan = planOf(

@@ -206,4 +206,28 @@ class RetrievalSpec extends AnyFunSuite {
       assert(ranks == (1 to rows.size).toSeq, s"query $qid ranks dense")
     }
   }
+
+  test("maxsim_first_stage: centroid-routed candidates recover the " +
+    "exhaustive MaxSim top-k (recall >= 0.8), scores are exact-stage values") {
+    import org.apache.spark.sql.functions.col
+    val dir = TestSession.Sf0001
+    val d = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    // exhaustive reference: the same exact stage over ALL (query, doc)
+    // pairs — what a brute-force late-interaction scan would return
+    val ids = d.select(col("doc_id").as("id"))
+    val qids = d.where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"))
+    val allPairs = qids.crossJoin(ids).where(col("id") =!= col("query_id"))
+    val exact = RetrievalQueries.maxSimExact(d, allPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = RetrievalQueries.queries("maxsim_first_stage")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && got.nonEmpty)
+    val recall = (exact & got).size.toDouble / exact.size
+    // measured 0.875 at sf0.001 with C=24, nprobe=2 — deterministic, but
+    // pinned with slack so a constants re-dial fails only on real loss
+    assert(recall >= 0.8, s"first-stage recall@10 vs exhaustive: $recall")
+    assert(got.forall { case (q, i) => q != i }, "self excluded")
+  }
 }
