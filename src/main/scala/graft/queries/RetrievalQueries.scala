@@ -84,6 +84,10 @@ object RetrievalQueries extends QueryProvider {
 
   /** phrase_search / knn_doc_pooled query-batch sizes and result width. */
   private val PhraseQueries = 4
+
+  /** bm25_phrase: weight of the exact-phrase clause relative to the term
+    * clauses (the classic Lucene-style phrase boost). */
+  private val PhraseBoost = 2.0
   private val PooledQueries = 4
   private val PooledTop = 10
 
@@ -446,6 +450,91 @@ object RetrievalQueries extends QueryProvider {
           col("k3") === col("t3"))
       m.groupBy(col("phrase_id"), col("doc_id"))
         .agg(count(lit(1)).as("n_occ"), min(col("pos")).as("first_pos"))
+    }),
+    // BM25 with a phrase-proximity clause (the classic serving-side
+    // "phrase boost"): score(q, d) = Σ_term BM25(term, d) +
+    // PhraseBoost · BM25(exact phrase, d), where the phrase acts as a
+    // virtual term — its tf is the positional-intersection occurrence
+    // count (phrase_search's machinery), its df the number of docs
+    // containing the phrase, and the same K1/B length normalization
+    // applies. Docs matching only loose terms still score; exact-phrase
+    // hits get the boost on top — the Lucene `"a b c"~` + terms query.
+    // 100 TB shapes: both stages are bm25_batch's (corpus streams once
+    // into a semi-join-filtered tf frame; positional postings equi-join
+    // with the broadcast 4-row phrase table); df/lens/stats frames are
+    // shared; final score is one broadcast left join of two per-(query,
+    // doc) frames — never a corpus cross-join. Term contributions fold
+    // in term order; the phrase clause adds AFTER the fold (one
+    // deterministic addition both engines replay).
+    "bm25_phrase" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val lens = d.select(col("doc_id"), size(col("tk")).as("dl"))
+      val stats = lens.agg(
+        sum(col("dl")).cast("double").as("tot"),
+        count(lit(1)).cast("double").as("n_docs"))
+      val ph = d.where(col("doc_id") < PhraseQueries)
+        .select(col("doc_id").as("phrase_id"),
+          element_at(col("tk"), 1).as("t1"),
+          element_at(col("tk"), 2).as("t2"),
+          element_at(col("tk"), 3).as("t3"))
+      val qterms = ph.select(col("phrase_id"),
+          explode(array(col("t1"), col("t2"), col("t3"))).as("term"))
+        .distinct()
+      val wanted = qterms.select("term").distinct()
+      // one saturated-tf BM25 contribution — shared by the term clauses
+      // and the virtual phrase term (identical normalization)
+      def bm25c(tfc: org.apache.spark.sql.Column, dfc: org.apache.spark.sql.Column) =
+        log((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0)) *
+          (tfc * lit(K1 + 1.0)) /
+          (tfc + lit(K1) * (lit(1.0) - lit(B) +
+            lit(B) * col("dl").cast("double") / (col("tot") / col("n_docs"))))
+      val tf = d.select(col("doc_id"), explode(col("tk")).as("term"))
+        .join(broadcast(wanted), Seq("term"), "left_semi")
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast("double").as("df"))
+      val termScore = tf
+        .join(broadcast(dfq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", bm25c(col("tf").cast("double"), col("df")))
+        .join(broadcast(qterms), Seq("term"))
+        .groupBy(col("phrase_id"), col("doc_id"))
+        .agg(aggregate(array_sort(collect_list(struct(col("term"), col("contrib")))),
+          lit(0.0), (a, x) => a + x.getField("contrib")).as("tscore"))
+      val post = d.select(col("doc_id"),
+        posexplode(col("tk")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+      val p2 = post.select(col("doc_id").as("d2"), col("pos").as("q2"),
+        col("tok").as("k2"))
+      val p3 = post.select(col("doc_id").as("d3"), col("pos").as("q3"),
+        col("tok").as("k3"))
+      val occ = post.join(broadcast(ph), col("tok") === col("t1"))
+        .select(col("phrase_id"), col("doc_id"), col("pos"), col("t2"), col("t3"))
+        .join(p2, col("d2") === col("doc_id") && col("q2") === col("pos") + 1 &&
+          col("k2") === col("t2"))
+        .join(p3, col("d3") === col("doc_id") && col("q3") === col("pos") + 2 &&
+          col("k3") === col("t3"))
+        .groupBy(col("phrase_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"))
+      val dfp = occ.groupBy(col("phrase_id"))
+        .agg(count(lit(1)).cast("double").as("dfp"))
+      val pscore = occ.join(broadcast(dfp), "phrase_id")
+        .join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("phrase_id"), col("doc_id"), col("n_occ"),
+          (lit(PhraseBoost) * bm25c(col("n_occ").cast("double"), col("dfp"))).as("pscore"))
+      termScore.join(pscore, Seq("phrase_id", "doc_id"), "left")
+        .select(col("phrase_id"), col("doc_id"),
+          (col("tscore") + coalesce(col("pscore"), lit(0.0))).as("score"),
+          coalesce(col("n_occ"), lit(0L)).cast("int").as("n_occ"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("phrase_id").orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rank") <= BatchTop)
+        .select(col("phrase_id"), col("doc_id"), round(col("score"), 4).as("bm25p"),
+          col("n_occ"), col("rank"))
     }),
     // The embed → pool → index pipeline end-to-end: documents become
     // dense vectors by mean-pooling their token embeddings (the
@@ -893,6 +982,58 @@ object RetrievalQueries extends QueryProvider {
   private lazy val oraclesBase: Map[String, String] = Map(
     "maxsim_rerank" -> maxSimSql,
     "maxsim_first_stage" -> maxSimFirstStageSql,
+    "bm25_phrase" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |l AS (SELECT doc_id, len(tk) AS dl FROM d),
+         |st AS (SELECT CAST(sum(dl) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS n_docs FROM l),
+         |ph AS (SELECT doc_id AS phrase_id, tk[1] AS t1, tk[2] AS t2, tk[3] AS t3
+         |       FROM d WHERE doc_id < $PhraseQueries),
+         |qt AS (SELECT DISTINCT phrase_id, t AS term
+         |       FROM (SELECT phrase_id, unnest([t1, t2, t3]) AS t FROM ph)),
+         |tf AS (SELECT doc_id, t AS term, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS t FROM d)
+         |       WHERE t IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, t),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |c AS (SELECT qt.phrase_id, tf.doc_id, tf.term,
+         |        ln((st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+         |          (CAST(tf.tf AS DOUBLE) * ${K1 + 1.0}) /
+         |          (CAST(tf.tf AS DOUBLE) +
+         |            $K1 * (1.0 - $B + $B * CAST(l.dl AS DOUBLE) / (st.tot / st.n_docs))) AS contrib
+         |      FROM tf CROSS JOIN st
+         |      JOIN dfq ON dfq.term = tf.term
+         |      JOIN l ON l.doc_id = tf.doc_id
+         |      JOIN qt ON qt.term = tf.term),
+         |ts AS (SELECT phrase_id, doc_id,
+         |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(contrib ORDER BY term)),
+         |           (x, y) -> x + y) AS tscore
+         |       FROM c GROUP BY phrase_id, doc_id),
+         |post AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok FROM d),
+         |occ AS (SELECT ph.phrase_id, p1.doc_id, count(*) AS n_occ
+         |        FROM post p1 JOIN ph ON p1.tok = ph.t1
+         |        JOIN post p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+         |                    AND p2.tok = ph.t2
+         |        JOIN post p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+         |                    AND p3.tok = ph.t3
+         |        GROUP BY ph.phrase_id, p1.doc_id),
+         |dfp AS (SELECT phrase_id, CAST(count(*) AS DOUBLE) AS dfp FROM occ GROUP BY phrase_id),
+         |pc AS (SELECT o.phrase_id, o.doc_id, o.n_occ,
+         |         $PhraseBoost * (ln((st.n_docs - dfp.dfp + 0.5) / (dfp.dfp + 0.5) + 1.0) *
+         |           (CAST(o.n_occ AS DOUBLE) * ${K1 + 1.0}) /
+         |           (CAST(o.n_occ AS DOUBLE) +
+         |             $K1 * (1.0 - $B + $B * CAST(l.dl AS DOUBLE) / (st.tot / st.n_docs)))) AS pscore
+         |       FROM occ o CROSS JOIN st
+         |       JOIN dfp ON dfp.phrase_id = o.phrase_id
+         |       JOIN l ON l.doc_id = o.doc_id),
+         |sc AS (SELECT ts.phrase_id, ts.doc_id,
+         |         ts.tscore + COALESCE(pc.pscore, 0.0) AS score,
+         |         COALESCE(pc.n_occ, 0) AS n_occ
+         |       FROM ts LEFT JOIN pc ON pc.phrase_id = ts.phrase_id AND pc.doc_id = ts.doc_id),
+         |r AS (SELECT phrase_id, doc_id, score, n_occ,
+         |        row_number() OVER (PARTITION BY phrase_id ORDER BY score DESC, doc_id) AS rank
+         |      FROM sc)
+         |SELECT phrase_id, doc_id, round(score, 4) AS bm25p, CAST(n_occ AS INT) AS n_occ,
+         |       CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $BatchTop""".stripMargin,
     "phrase_search" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |post AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos, unnest(tk) AS tok FROM d),

@@ -354,6 +354,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!full.contains("CartesianProduct"), s"exact stage cross-join:\n$full")
   }
 
+  test("bm25_phrase: both clauses stay equi-joins — phrase table and stats " +
+      "broadcast, no cartesian anywhere") {
+    val plan = planOf(
+      graft.queries.RetrievalQueries.queries("bm25_phrase")(spark, TestSession.Sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"phrase/df/len frames must broadcast into the scans:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no corpus cross-join in either clause:\n$plan")
+  }
+
   test("phrase_search: positional joins are hash equi-joins with the phrase " +
       "table broadcast — no cartesian, no sort-merge of posting streams") {
     val plan = planOf(

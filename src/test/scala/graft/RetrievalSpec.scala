@@ -230,4 +230,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"first-stage recall@10 vs exhaustive: $recall")
     assert(got.forall { case (q, i) => q != i }, "self excluded")
   }
+
+  test("bm25_phrase: the phrase's source doc contains its own phrase and " +
+    "the boost lifts exact-phrase hits; ranks dense per phrase") {
+    val rows = RetrievalQueries.queries("bm25_phrase")(spark, TestSession.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (pid, rs) =>
+      assert(rs.map(_._5).sorted.toSeq == (1 to rs.length),
+        s"phrase $pid ranks dense")
+      // the doc the phrase was lifted from trivially contains it — it
+      // must surface with at least one exact occurrence
+      val self = rs.find(_._2 == pid)
+      assert(self.exists(_._4 >= 1),
+        s"phrase $pid: source doc missing or n_occ=0 in top-k: $self")
+      // at least one returned doc carries the exact-phrase clause (else
+      // the row degenerates to plain bm25_batch)
+      assert(rs.exists(_._4 > 0), s"phrase $pid: no exact-phrase hit in top-k")
+    }
+  }
 }
