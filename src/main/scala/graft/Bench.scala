@@ -286,7 +286,10 @@ object Bench {
       "knn_classify", "eval_recall_ivf", "winnow_fingerprints",
       "media_cdc_chunks", "eval_rank_metrics", "phrase_search",
       "knn_doc_pooled", "bpe_merges", "bpe_segment", "near_dup_edit_verify",
-      "hybrid_rrf3")
+      "hybrid_rrf3",
+      // round 9: learned quality classifier, PLAID-shape first stage,
+      // BM25 phrase boost
+      "quality_nb_classify", "maxsim_first_stage", "bm25_phrase")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())
