@@ -1,0 +1,155 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.{tokenHash, toks}
+
+/** PLAID-shape token-centroid posting index (Santhanam et al. 2022 —
+  * the ColBERTv2 serving form): the first-stage candidate generator for
+  * late-interaction (MaxSim) retrieval, as a persistable index kind.
+  *
+  * Structure: a frozen quantizer (C seed token hashes — each hash is
+  * both the centroid id and, through the prime-modulus pseudo-embedding,
+  * the centroid vector) plus inverted posting lists (centroid → doc).
+  * A query token probes its top-nprobe centroids; candidates surface
+  * through the posting equi-join and are ranked by the
+  * centroid-interaction score (exact MaxSim with each doc token
+  * quantized to its centroid). The exact MaxSim stage then re-scores
+  * survivors (see RetrievalQueries.maxSimExact).
+  *
+  * The reference has no multi-vector index — this is the
+  * beyond-reference serving rung above the pooled dense path. A learned
+  * token embedding swaps in for [[tokVec]] and a k-means codebook for
+  * [[train]]; every plan shape is unchanged by either swap.
+  *
+  * 100 TB shapes: train is one distinct+TakeOrdered over the vocab
+  * (the model is C longs); build/append assign the vocab through one
+  * vocab × C broadcast expansion and shuffle posting rows ∝ corpus
+  * tokens ONCE; queries touch only their probed centroids' postings.
+  * Appended batches encode under the FROZEN model (the add-after-train
+  * rule), so append ≡ rebuild on the union — MaintenanceSpec asserts it.
+  */
+object PlaidIndex {
+
+  /** Token pseudo-embedding primes — shared with the MaxSim query rows:
+    * component j of a token's embedding is (tokenHash % p_j) + 1
+    * (deterministic, strictly positive, integer-derived doubles both
+    * engines reproduce bit-for-bit). */
+  val Primes: Seq[Int] = Seq(101, 103, 107, 109, 113, 127, 131, 137)
+
+  /** The token pseudo-embedding over an already-hashed token column. */
+  def tokVec(h: Column): Column =
+    array(Primes.map(p => ((h % p) + 1).cast("double")): _*)
+
+  /** Clamped cosine similarity (zero-norm → 0.0) — the exact expression
+    * the MaxSim oracle mirrors. */
+  def cosSim(a: Column, b: Column): Column = {
+    import graft.functions.VectorFunctions
+    val (dot, na, nb) =
+      (VectorFunctions.dot(a, b), VectorFunctions.norm(a), VectorFunctions.norm(b))
+    when(na === 0.0 || nb === 0.0, lit(0.0))
+      .otherwise(least(lit(1.0), greatest(lit(-1.0), dot / (na * nb))))
+  }
+
+  /** Frozen quantizer: centroid ids ARE their seed token hashes. */
+  final case class PlaidModel(cents: Seq[Long], nprobe: Int)
+
+  /** Per-doc distinct token hashes — static embeddings dedup assignment
+    * to the vocabulary; contextual embeddings would skip the distinct
+    * and run per occurrence with identical shapes. */
+  private def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("t"))
+      .withColumn("th", tokenHash(col("t")))
+      .select(col("doc_id"), col("th"))
+
+  private def centFrame(spark: SparkSession, model: PlaidModel): DataFrame = {
+    import spark.implicits._
+    model.cents.toDF("cent")
+  }
+
+  /** Deterministic training: the C smallest distinct token hashes act
+    * as centroid seeds (the kmeans-init stand-in, same discipline as
+    * the IVF `_det` rows). One distinct + TakeOrdered; the collected
+    * model is C longs — a bounded artifact. */
+  def train(docs: DataFrame, c: Int, nprobe: Int): PlaidModel = {
+    val cents = docTokens(docs).select(col("th")).distinct()
+      .orderBy(col("th")).limit(c)
+      .collect().map(_.getLong(0)).toSeq
+    PlaidModel(cents, nprobe)
+  }
+
+  /** Nearest-centroid assignment of a distinct token-hash frame under
+    * the FROZEN model (ties break on centroid id) — build and append
+    * share this, so they cannot drift. */
+  def assign(hashes: DataFrame, model: PlaidModel): DataFrame = {
+    val cents = centFrame(hashes.sparkSession, model)
+    hashes.crossJoin(broadcast(cents))
+      .select(col("th"), col("cent"),
+        cosSim(tokVec(col("th")), tokVec(col("cent"))).as("sim"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("th").orderBy(col("sim").desc, col("cent"))))
+      .where(col("rn") === 1)
+      .select(col("th"), col("cent"))
+  }
+
+  /** Posting lists (cent, doc_id) for a doc batch under the frozen
+    * model. Append IS build on the new batch (frozen quantizer +
+    * deterministic assignment ⇒ build(old ∪ new) ≡ build(old) ∪
+    * build(new) row-for-row). */
+  def build(docs: DataFrame, model: PlaidModel): DataFrame = {
+    val dt = docTokens(docs)
+    val asg = assign(dt.select(col("th")).distinct(), model)
+    dt.join(broadcast(asg), "th")
+      .select(col("cent"), col("doc_id")).distinct()
+  }
+
+  /** The add-after-train entry point — alias of [[build]] under the
+    * frozen model, named for the maintenance call sites. */
+  def append(newDocs: DataFrame, model: PlaidModel): DataFrame =
+    build(newDocs, model)
+
+  /** First-stage candidate generation over (possibly persisted) posting
+    * lists: queries (query_id, text) route to their top-nprobe
+    * centroids, candidates surface through the posting equi-join, and
+    * the centroid-interaction score (per query token, max cosine over
+    * the doc's FULL centroid set, token-ordered fold) ranks the pool to
+    * topN per query. Query ids share the doc-id space (the repo's
+    * docs-as-queries convention) and self matches are excluded. */
+  def candidates(post: DataFrame, queries: DataFrame, model: PlaidModel,
+      topN: Int): DataFrame = {
+    val qtoks = queries.select(col("query_id"),
+        explode(array_distinct(toks(col("text")))).as("qt"))
+      .withColumn("qh", tokenHash(col("qt")))
+    val cents = centFrame(queries.sparkSession, model)
+    // the query-token × centroid similarity table — queries × |q| × C
+    // rows, the per-batch "centroid score" table PLAID precomputes
+    val qcent = qtoks.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("qt"), col("cent"),
+        cosSim(tokVec(col("qh")), tokVec(col("cent"))).as("csim"))
+    // candidate GENERATION probes only the top-nprobe centroids per
+    // query token; candidate SCORING sees the doc's full centroid set —
+    // the PLAID stage-1/stage-2 split
+    val probed = qcent
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id", "qt").orderBy(col("csim").desc, col("cent"))))
+      .where(col("rn") <= model.nprobe)
+      .select(col("query_id"), col("cent")).distinct()
+    val cands0 = post.join(broadcast(probed), "cent")
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+    val perQt = post.join(broadcast(cands0), "doc_id")
+      .join(broadcast(qcent), Seq("query_id", "cent"))
+      .groupBy(col("query_id"), col("doc_id"), col("qt"))
+      .agg(max(col("csim")).as("mx"))
+    perQt.groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("qt"), col("mx")))),
+        lit(0.0), (a, x) => a + x.getField("mx")).as("approx"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("approx").desc, col("doc_id"))))
+      .where(col("rn") <= topN)
+      .select(col("query_id"), col("doc_id").as("id"))
+  }
+}

@@ -328,6 +328,31 @@ object IndexIO {
         meta("k1").toDouble, meta("b").toDouble))
   }
 
+  /** PLAID-shape token-centroid index (graft.index.PlaidIndex): posting
+    * lists partitioned by centroid — probing nprobe centroids is a
+    * partition-pruned scan, the token-level analogue of the IVF kinds'
+    * cluster_id layout. The frozen quantizer (C seed hashes) rides in
+    * the metadata sidecar: the model IS C longs + nprobe. */
+  def savePlaid(spark: SparkSession, path: String, postings: DataFrame,
+      model: PlaidIndex.PlaidModel): Unit = {
+    postings.repartition(col("cent"))
+      .write.mode("overwrite").partitionBy("cent").parquet(s"$path/postings")
+    writeMeta(path, Map(
+      "index_type" -> "plaid",
+      "cents" -> model.cents.mkString(","),
+      "nprobe" -> model.nprobe.toString))
+  }
+  def loadPlaid(spark: SparkSession, path: String): (DataFrame, PlaidIndex.PlaidModel) = {
+    val meta = loadChecked(path, "plaid")
+    val model = PlaidIndex.PlaidModel(
+      meta("cents").split(",").map(_.toLong).toSeq, meta("nprobe").toInt)
+    // partition-column inference widens cent and appends it after the
+    // data columns — restore the (cent, doc_id) build order and LONG key
+    val postings = spark.read.parquet(s"$path/postings")
+      .select(col("cent").cast("long").as("cent"), col("doc_id"))
+    (postings, model)
+  }
+
   private def loadChecked(path: String, expectedType: String): Map[String, String] = {
     val meta = readMeta(path)
     checkCompatible(meta("version"))

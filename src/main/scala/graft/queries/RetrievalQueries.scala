@@ -64,7 +64,7 @@ object RetrievalQueries extends QueryProvider {
     * and pure integer arithmetic both engines reproduce bit-for-bit.
     * A real system swaps in a learned token-embedding column; every
     * plan shape below is unchanged by that swap. */
-  private val MaxSimPrimes = Seq(101, 103, 107, 109, 113, 127, 131, 137)
+  private val MaxSimPrimes = graft.index.PlaidIndex.Primes
 
   /** PLAID-shape first stage (Santhanam et al. 2022): token-embedding
     * centroid count and per-query-token probe width. The hash-derived
@@ -78,9 +78,10 @@ object RetrievalQueries extends QueryProvider {
   private val PlaidNprobe = 2
 
   /** A token's deterministic pseudo-embedding over [[MaxSimPrimes]] —
-    * component j = (hash % p_j) + 1 (see maxsim_rerank's notes). */
+    * component j = (hash % p_j) + 1 (see maxsim_rerank's notes; the
+    * single source of truth lives on PlaidIndex). */
   private def maxSimTokVec(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    array(MaxSimPrimes.map(p => ((h % p) + 1).cast("double")): _*)
+    graft.index.PlaidIndex.tokVec(h)
 
   /** phrase_search / knn_doc_pooled query-batch sizes and result width. */
   private val PhraseQueries = 4
@@ -632,6 +633,27 @@ object RetrievalQueries extends QueryProvider {
         .select(col("doc_id"), col("text"))
       maxSimExact(d, plaidCandidates(d))
     }),
+    // The persisted form: train → build → IndexIO.savePlaid (postings
+    // partitioned by centroid — probing is a partition-pruned scan) →
+    // loadPlaid → candidates → exact stage. Result-identical to
+    // maxsim_first_stage by construction (frozen quantizer rides the
+    // metadata sidecar), so it shares that oracle — what this row gates
+    // is the production round trip: the quantizer, posting layout, and
+    // routing survive persistence.
+    "maxsim_first_served" -> ((s, dir) => {
+      import graft.index.PlaidIndex
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val model = PlaidIndex.train(d, PlaidC, PlaidNprobe)
+      val post = PlaidIndex.build(d, model)
+      val path = java.nio.file.Files.createTempDirectory("graft_plaid").toString
+      graft.io.IndexIO.savePlaid(s, path, post, model)
+      val (loaded, loadedModel) = graft.io.IndexIO.loadPlaid(s, path)
+      maxSimExact(d, PlaidIndex.candidates(loaded,
+        d.where(col("doc_id") < FuseQueries)
+          .select(col("doc_id").as("query_id"), col("text")),
+        loadedModel, CascadeN))
+    }),
     // DSIR-style importance resampling (Xie et al. 2023 shape): score each
     // raw doc by how target-like its hashed n-gram feature profile is —
     // weight = Σ_f n_f(doc) · (ln p_target(f) − ln p_raw(f)) with add-one
@@ -743,82 +765,23 @@ object RetrievalQueries extends QueryProvider {
     // reuse discipline), gating the persistence round trip
     oraclesBase +
       ("knn_sparse_served" -> oraclesBase("knn_sparse_dot")) +
-      ("bm25_impact_served" -> oraclesBase("bm25_batch"))
+      ("bm25_impact_served" -> oraclesBase("bm25_batch")) +
+      ("maxsim_first_served" -> oraclesBase("maxsim_first_stage"))
   }
 
-  /** PLAID candidate generation (lazy — the plan PlanQualitySpec pins):
-    * deterministic token centroids (the PlaidC smallest distinct token
-    * hashes — the kmeans-seed stand-in, same discipline as the IVF
-    * `_det` rows), vocab→centroid assignment, centroid→doc posting
-    * inversion, query routing to top-[[PlaidNprobe]] centroids, and the
-    * centroid-interaction rank (per query token, max cos over the doc's
-    * FULL centroid set — exact MaxSim with the doc token quantized to
-    * its centroid), keeping top-[[CascadeN]] per query.
-    *
-    * 100 TB shapes: assignment is one vocab × C broadcast expansion (C
-    * is a model constant; per-occurrence contextual embeddings run the
-    * same join per token occurrence), posting lists shuffle ∝ corpus
-    * tokens once at build, and a query batch touches only its probed
-    * centroids' postings — the inverted-file contract applied to
-    * token-level late interaction. The corpus token table never meets
-    * the query batch outside the posting equi-join. */
+  /** PLAID candidate generation for the query row: deterministic train
+    * + posting build + centroid-interaction ranking, all via
+    * [[graft.index.PlaidIndex]] (the persistable index kind — the
+    * served row routes the same calls through IndexIO). Scale notes
+    * live on PlaidIndex; PlanQualitySpec pins this composed plan. */
   private[graft] def plaidCandidates(d: DataFrame): DataFrame = {
-    val dt = d.select(col("doc_id"),
-        explode(array_distinct(toks(col("text")))).as("t"))
-      .withColumn("th", tokenHash(col("t")))
-    val vocab = dt.select(col("th")).distinct()
-    val cents = vocab.orderBy(col("th")).limit(PlaidC)
-      .select(col("th").as("cent"))
-    def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
-      import graft.functions.VectorFunctions
-      val (dot, na, nb) =
-        (VectorFunctions.dot(a, b), VectorFunctions.norm(a), VectorFunctions.norm(b))
-      when(na === 0.0 || nb === 0.0, lit(0.0))
-        .otherwise(least(lit(1.0), greatest(lit(-1.0), dot / (na * nb))))
-    }
-    val assign = vocab.crossJoin(broadcast(cents))
-      .select(col("th"), col("cent"),
-        cos(maxSimTokVec(col("th")), maxSimTokVec(col("cent"))).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("th").orderBy(col("sim").desc, col("cent"))))
-      .where(col("rn") === 1)
-      .select(col("th"), col("cent"))
-    val post = dt.join(broadcast(assign), "th")
-      .select(col("cent"), col("doc_id")).distinct()
-    val qtoks = d.where(col("doc_id") < FuseQueries)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(toks(col("text")))).as("qt"))
-      .withColumn("qh", tokenHash(col("qt")))
-    // the query-token × centroid similarity table — queries × |q| × C
-    // rows, the per-batch "centroid score" table PLAID precomputes
-    val qcent = qtoks.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qt"), col("cent"),
-        cos(maxSimTokVec(col("qh")), maxSimTokVec(col("cent"))).as("csim"))
-    // candidate GENERATION probes only the top-nprobe centroids per
-    // query token; candidate SCORING (below) sees the doc's full
-    // centroid set — the PLAID stage-1/stage-2 split
-    val probed = qcent
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id", "qt").orderBy(col("csim").desc, col("cent"))))
-      .where(col("rn") <= PlaidNprobe)
-      .select(col("query_id"), col("cent")).distinct()
-    val cands0 = post.join(broadcast(probed), "cent")
-      .where(col("doc_id") =!= col("query_id"))
-      .select(col("query_id"), col("doc_id")).distinct()
-    // centroid-interaction score: per query token, max csim over the
-    // doc's centroids (its token set quantized to centroid ids), then
-    // the token-ordered fold — exact MaxSim with dv ↦ centroid(dv)
-    val perQt = post.join(broadcast(cands0), "doc_id")
-      .join(broadcast(qcent), Seq("query_id", "cent"))
-      .groupBy(col("query_id"), col("doc_id"), col("qt"))
-      .agg(max(col("csim")).as("mx"))
-    perQt.groupBy(col("query_id"), col("doc_id"))
-      .agg(aggregate(array_sort(collect_list(struct(col("qt"), col("mx")))),
-        lit(0.0), (a, x) => a + x.getField("mx")).as("approx"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("approx").desc, col("doc_id"))))
-      .where(col("rn") <= CascadeN)
-      .select(col("query_id"), col("doc_id").as("id"))
+    import graft.index.PlaidIndex
+    val model = PlaidIndex.train(d, PlaidC, PlaidNprobe)
+    val post = PlaidIndex.build(d, model)
+    PlaidIndex.candidates(post,
+      d.where(col("doc_id") < FuseQueries)
+        .select(col("doc_id").as("query_id"), col("text")),
+      model, CascadeN)
   }
 
   /** The exact late-interaction stage shared by maxsim_rerank and

@@ -210,6 +210,28 @@ class MaintenanceSpec extends AnyFunSuite {
     grown.unpersist()
   }
 
+  test("PLAID append under the frozen quantizer equals a from-scratch rebuild " +
+      "on the union, and appended docs surface as candidates") {
+    val d = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val old = d.where(col("doc_id") % 2 === 0)
+    val fresh = d.where(col("doc_id") % 2 =!= 0)
+    // train on the OLD corpus only — the frozen-model staleness rule
+    val model = PlaidIndex.train(old, 24, 2)
+    val appended = PlaidIndex.build(old, model)
+      .unionByName(PlaidIndex.append(fresh, model))
+    val rebuilt = PlaidIndex.build(d, model)
+    assert(appended.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(appended).count() == 0,
+      "append(new) ∪ build(old) must be row-identical to build(old ∪ new)")
+    // an appended (odd-id) doc must be reachable as a candidate
+    val q = d.where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val cands = PlaidIndex.candidates(appended, q, model, 20)
+    assert(cands.where(col("id") % 2 =!= 0).count() > 0,
+      "appended docs must surface through the posting probe")
+  }
+
   test("HNSW remove drops nodes and dangling edges; search skips them") {
     import spark.implicits._
     val (corpus, queries) = VectorQueries.vecTables(spark, TestSession.Sf0001)

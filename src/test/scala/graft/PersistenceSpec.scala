@@ -119,6 +119,25 @@ class PersistenceSpec extends AnyFunSuite {
     assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
   }
 
+  test("plaid round-trip: quantizer and centroid-partitioned postings survive; " +
+      "candidates identical before/after persistence") {
+    val d = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val model = PlaidIndex.train(d, 24, 2)
+    val post = PlaidIndex.build(d, model)
+    val path = tmp()
+    IndexIO.savePlaid(spark, path, post, model)
+    val (loaded, loadedModel) = IndexIO.loadPlaid(spark, path)
+    assert(loadedModel == model, "frozen quantizer must ride the sidecar unchanged")
+    assert(loaded.exceptAll(post).count() == 0 && post.exceptAll(loaded).count() == 0,
+      "posting rows must survive the centroid-partitioned layout")
+    val q = d.where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val before = PlaidIndex.candidates(post, q, model, 20)
+    val after = PlaidIndex.candidates(loaded, q, loadedModel, 20)
+    assert(before.exceptAll(after).count() == 0 && after.exceptAll(before).count() == 0)
+  }
+
   test("version compatibility rule (version.go:27-37)") {
     IndexIO.checkCompatible("1.0.0")
     intercept[IllegalArgumentException](IndexIO.checkCompatible("2.0.0"))
