@@ -946,6 +946,18 @@ object Bench {
           results(s"hnsw_routed_c_r${r}_recall") = recallVs(cFlat, res)
           res.unpersist()
         }
+        // saturation attribution: the R-dial plateaus once routing has
+        // found every true neighbor's region — past that point the
+        // residual misses belong to the per-shard WALK (efSearch), not
+        // to routing. If this ef-deepened row climbs above the R=8 row
+        // while R=4→8 was flat, the plateau is walk depth (the
+        // documented-saturation case); if it's flat too, the misses are
+        // structural (replication's job — the _cr_ rows).
+        val (resEf, secEf) = searchBest2(() =>
+          RoutedHnswIndex.knn(cg, cModel, cq, K, probeRegions = 4, efSearch = 200))
+        results("hnsw_routed_c_r4_ef200_qps") = benchQ / secEf
+        results("hnsw_routed_c_r4_ef200_recall") = recallVs(cFlat, resEf)
+        resEf.unpersist()
         cg.unpersist()
         // Boundary replication (SPANN closure assignment): same routing
         // model, boundary vectors copied into their runner-up region when

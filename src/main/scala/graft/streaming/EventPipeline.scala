@@ -133,6 +133,16 @@ object EventPipeline {
       .sortWithinPartitions("term", "doc_id")
       .write.mode("append").parquet(s"$indexPath/postings")
 
+  /** Continuous PLAID maintenance: a new doc batch's tokens assign with
+    * the FROZEN quantizer ([[graft.index.PlaidIndex.append]] — the
+    * add-after-train rule), landing as new files inside their centroid
+    * partitions so probe-time partition pruning keeps working. A
+    * stateless pure projection of the batch, like [[appendBatchToBm25]]. */
+  def appendBatchToPlaid(model: graft.index.PlaidIndex.PlaidModel, indexPath: String)(
+      batch: DataFrame, batchId: Long): Unit =
+    graft.index.PlaidIndex.append(batch, model)
+      .write.mode("append").partitionBy("cent").parquet(s"$indexPath/postings")
+
   /** Continuous OPQ maintenance: new vectors encode with the FROZEN
     * rotation + codebooks (the add-after-train rule) — a stateless pure
     * projection like [[appendBatchToSq8]], idempotent per batch. */

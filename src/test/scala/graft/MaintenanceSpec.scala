@@ -230,6 +230,15 @@ class MaintenanceSpec extends AnyFunSuite {
     val cands = PlaidIndex.candidates(appended, q, model, 20)
     assert(cands.where(col("id") % 2 =!= 0).count() > 0,
       "appended docs must surface through the posting probe")
+    // the persisted streaming path lands the same rows inside the
+    // centroid-partitioned layout
+    val path = Files.createTempDirectory("graft_plaid_app").toString
+    IndexIO.savePlaid(spark, path, PlaidIndex.build(old, model), model)
+    graft.streaming.EventPipeline.appendBatchToPlaid(model, path)(fresh, 0L)
+    val (loaded, _) = IndexIO.loadPlaid(spark, path)
+    assert(loaded.exceptAll(rebuilt).count() == 0 &&
+      rebuilt.exceptAll(loaded).count() == 0,
+      "streamed append must be row-identical to the from-scratch build")
   }
 
   test("HNSW remove drops nodes and dangling edges; search skips them") {
