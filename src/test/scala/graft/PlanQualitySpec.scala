@@ -333,9 +333,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "query batch — queries reach docs only through the centroid posting " +
       "equi-join; the only nested-loop builds broadcast the C-row centroid frame") {
     import org.apache.spark.sql.functions.col
+    import graft.index.PlaidIndex
     val d = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
       .select(col("doc_id"), col("text"))
-    val plan = planOf(graft.queries.RetrievalQueries.plaidCandidates(d))
+    val model = PlaidIndex.train(d, 24, 2)
+    val q = d.where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val plan = planOf(
+      PlaidIndex.candidates(PlaidIndex.build(d, model), q, model, 20))
     assert(!plan.contains("CartesianProduct"),
       s"no unbroadcast cross-join anywhere in the first stage:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
