@@ -47,24 +47,27 @@ object TextFunctions {
       acc => acc.getField("best"))
 
   /** Rolling polynomial hash of a token: fold (acc*31 + codepoint) % Mod.
+    * Native codegen kernel (sparkx.TokenHashExpr) — value-identical to
+    * the original HOF fold over split(t, "") (fuzz-pinned by
+    * TextHashSpec), which interpreted a lambda per CHARACTER and
+    * allocated a single-char UTF8String each step.
     * (Spark's split("") emits a trailing "" that DuckDB's doesn't —
     * filtered out; both then agree, including on empty tokens → 0.) */
   def tokenHash(t: Column): Column =
-    aggregate(
-      filter(split(t, ""), c => c =!= ""),
-      lit(0L),
-      (acc, c) => (acc * 31L + ascii(c)) % Mod)
+    org.apache.spark.sql.graftx.TextHashExpressions.tokenHash(t)
 
-  /** Document fingerprint: fold token hashes with the same recurrence. */
+  /** Document fingerprint: fold token hashes with the same recurrence.
+    * Native kernel (sparkx.DocFingerprintExpr) ≡ the nested HOF fold —
+    * fuzz-pinned by TextHashSpec; the HOF form interpreted a lambda per
+    * character and allocated a single-char UTF8String each step. */
   def docFingerprint(text: Column): Column =
-    aggregate(toks(text), lit(0L),
-      (acc, t) => (acc * 31L + tokenHash(t)) % Mod)
+    org.apache.spark.sql.graftx.TextHashExpressions.docFingerprint(text)
 
   /** MinHash signature (ARRAY<LONG>, length H) over the *distinct* token
     * set: sig[i] = min over tokens of ((2i+1)·h(t) + 7919·i) mod Mod.
     * Order-independent (min), so engine-side set ordering is irrelevant. */
   def minhashSig(text: Column): Column =
-    minhashFromHashes(transform(array_distinct(toks(text)), t => tokenHash(t)))
+    org.apache.spark.sql.graftx.TextHashExpressions.minhashSig(text, MinhashH)
 
   /** MinHash signature over an ALREADY-hashed distinct-token array.
     * Loop order matters under interpreted HOF evaluation (no codegen

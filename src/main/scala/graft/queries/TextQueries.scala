@@ -316,32 +316,45 @@ object TextQueries extends QueryProvider {
       .groupBy("doc_id", "lang", "b100", "b").agg(count(lit(1)).as("n"))
       .cache()
     val train = docBuckets.where(col("b100") < 90)
-    val stats = train.groupBy("lang")
-      .agg(sum("n").as("tok_c"), countDistinct("doc_id").as("doc_c"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val nTrainDocs = stats.map(_._3).sum.toDouble
+    // per-class token totals from the bucket frame; per-class DOC counts
+    // from the (doc_id, lang, b100)-distinct projection of the same frame
+    // (every doc has ≥1 bucket row — toks("") is [""]), avoiding a
+    // countDistinct Expand over the corpus-sized frame
+    val tokC = train.groupBy("lang").agg(sum("n").as("tok_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val docC = train.select("doc_id", "lang").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("doc_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val langs = tokC.keys.toSeq.sorted
+    val nTrainDocs = docC.values.sum.toDouble
     val cnt = train.groupBy(col("lang"), col("b")).agg(sum("n").as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
-    // dense (class × bucket) likelihood table — a missing count still
-    // contributes its smoothed ln(1/(tok_c+B)) mass, so the scoring join
-    // can be INNER (every bucket 0..B-1 resolves for every class)
-    val model = stats.flatMap { case (lang, tokC, docC) =>
-      val prior = math.log(docC / nTrainDocs)
-      (0 until NbBuckets).map { b =>
-        (lang, b,
-          math.log((cnt.getOrElse((lang, b), 0L) + 1L).toDouble / (tokC + NbBuckets)),
-          prior)
-      }
-    }.toSeq.toDF("mlang", "b", "lp", "prior")
-    val scored = docBuckets
-      .join(broadcast(model), Seq("b"))
-      .groupBy(col("doc_id"), col("lang"), col("b100"), col("mlang"), col("prior"))
-      .agg(aggregate(
-        array_sort(collect_list(struct(col("b"), (col("n") * col("lp")).as("t")))),
-        lit(0.0), (a, x) => a + x.getField("t")).as("s"))
+    // dense per-class likelihood ARRAY (lp[b] for b in 0..B-1) — a
+    // missing count still contributes its smoothed ln(1/(tok_c+B))
+    // mass. Shipped as a 5-row broadcast of (class, prior, lp-array)
+    // instead of a (class × B)-row flat table: scoring then folds each
+    // doc's own bucket array once per class (docs × classes rows)
+    // rather than re-grouping a (doc-buckets × classes) join (measured
+    // ~5× fewer agg input rows at sf0.1; same b-ordered fold, same
+    // BIGINT×DOUBLE products — value-identical, same oracle).
+    val model = langs.map { lang =>
+      val tc = tokC(lang)
+      val prior = math.log(docC(lang) / nTrainDocs)
+      (lang, prior,
+        (0 until NbBuckets).map(b =>
+          math.log((cnt.getOrElse((lang, b), 0L) + 1L).toDouble / (tc + NbBuckets))))
+    }.toDF("mlang", "prior", "lp")
+    // one b-sorted (b, n) array per doc, then a per-(doc, class) ordered
+    // fold: score = prior + Σ_b n_b · lp[b], summed in bucket order —
+    // the identical float sequence the grouped form produced
+    val perDoc = docBuckets.groupBy("doc_id", "lang", "b100")
+      .agg(array_sort(collect_list(struct(col("b"), col("n")))).as("bn"))
+    val scored = perDoc.crossJoin(broadcast(model))
       .select(col("doc_id"), col("lang").as("lang_actual"), col("b100"),
-        col("mlang"), (col("prior") + col("s")).as("score"))
+        col("mlang"),
+        (col("prior") + aggregate(col("bn"), lit(0.0),
+          (a, x) => a + x.getField("n") *
+            element_at(col("lp"), x.getField("b").cast("int") + 1))).as("score"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("mlang"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
