@@ -65,11 +65,6 @@ object PlaidIndex {
       .withColumn("th", tokenHash(col("t")))
       .select(col("doc_id"), col("th"))
 
-  private def centFrame(spark: SparkSession, model: PlaidModel): DataFrame = {
-    import spark.implicits._
-    model.cents.toDF("cent")
-  }
-
   /** Deterministic training: the C smallest distinct token hashes act
     * as centroid seeds (the kmeans-init stand-in, same discipline as
     * the IVF `_det` rows). One distinct + TakeOrdered; the collected
@@ -85,14 +80,18 @@ object PlaidIndex {
     * the FROZEN model (ties break on centroid id) — build and append
     * share this, so they cannot drift. */
   def assign(hashes: DataFrame, model: PlaidModel): DataFrame = {
-    val cents = centFrame(hashes.sparkSession, model)
-    hashes.crossJoin(broadcast(cents))
-      .select(col("th"), col("cent"),
-        cosSim(tokVec(col("th")), tokVec(col("cent"))).as("sim"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("th").orderBy(col("sim").desc, col("cent"))))
-      .where(col("rn") === 1)
-      .select(col("th"), col("cent"))
+    // one fused kernel per hash row (similarity to every centroid as a
+    // positional array), argmax via first-position-of-max — ties land on
+    // the LOWEST array index, and the frozen model's cents are ascending
+    // (train orders them), so ties break to the smallest centroid id:
+    // the same rule the former sim-desc/cent-asc window applied, without
+    // the vocab-sized shuffle that window needed.
+    import org.apache.spark.sql.graftx.IndexExpressions
+    hashes.select(col("th"),
+        IndexExpressions.plaidCsims(col("th"), model.cents, Primes).as("csims"))
+      .select(col("th"),
+        element_at(typedLit(model.cents),
+          array_position(col("csims"), array_max(col("csims"))).cast("int")).as("cent"))
   }
 
   /** Posting lists (cent, doc_id) for a doc batch under the frozen
@@ -120,33 +119,53 @@ object PlaidIndex {
     * docs-as-queries convention) and self matches are excluded. */
   def candidates(post: DataFrame, queries: DataFrame, model: PlaidModel,
       topN: Int): DataFrame = {
-    val qtoks = queries.select(col("query_id"),
+    import org.apache.spark.sql.graftx.IndexExpressions
+    // per query token, similarity to EVERY centroid as a positional
+    // array (position = the centroid's rank in the frozen model) — the
+    // per-batch "centroid score" table PLAID precomputes. The model is
+    // a plan constant, so the C-way expansion is C inline scalar
+    // expressions over each token row, not a join.
+    val qtokSims = queries.select(col("query_id"),
         explode(array_distinct(toks(col("text")))).as("qt"))
       .withColumn("qh", tokenHash(col("qt")))
-    val cents = centFrame(queries.sparkSession, model)
-    // the query-token × centroid similarity table — queries × |q| × C
-    // rows, the per-batch "centroid score" table PLAID precomputes
-    val qcent = qtoks.crossJoin(broadcast(cents))
-      .select(col("query_id"), col("qt"), col("cent"),
-        cosSim(tokVec(col("qh")), tokVec(col("cent"))).as("csim"))
+      .select(col("query_id"), col("qt"),
+        IndexExpressions.plaidCsims(col("qh"), model.cents, Primes).as("csims"))
     // candidate GENERATION probes only the top-nprobe centroids per
     // query token; candidate SCORING sees the doc's full centroid set —
     // the PLAID stage-1/stage-2 split
-    val probed = qcent
+    val probed = qtokSims
+      .select(col("query_id"), col("qt"),
+        posexplode(col("csims")).as(Seq("ci", "csim")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id", "qt").orderBy(col("csim").desc, col("cent"))))
+        Window.partitionBy("query_id", "qt")
+          .orderBy(col("csim").desc, col("ci"))))
       .where(col("rn") <= model.nprobe)
-      .select(col("query_id"), col("cent")).distinct()
+      .select(col("query_id"),
+        element_at(typedLit(model.cents), col("ci") + 1).as("cent"))
+      .distinct()
     val cands0 = post.join(broadcast(probed), "cent")
       .where(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id")).distinct()
-    val perQt = post.join(broadcast(cands0), "doc_id")
-      .join(broadcast(qcent), Seq("query_id", "cent"))
-      .groupBy(col("query_id"), col("doc_id"), col("qt"))
-      .agg(max(col("csim")).as("mx"))
-    perQt.groupBy(col("query_id"), col("doc_id"))
-      .agg(aggregate(array_sort(collect_list(struct(col("qt"), col("mx")))),
-        lit(0.0), (a, x) => a + x.getField("mx")).as("approx"))
+    // interaction scoring: one fused kernel per (query, doc) pair over
+    // (the query's qt-sorted token×centroid matrix) × (the doc's
+    // centroid index set). Value-identical to the posting⋈candidate⋈
+    // query-token join + per-qt max + qt-ordered fold it replaces
+    // (CentroidInteractionExpr scaladoc), but the shuffled row count is
+    // |cands0|, not |cands0|·|doc cents|·|q| — on corpora where
+    // quantization barely prunes (tiny vocab ⇒ every doc in ~all
+    // centroids) that join degenerated to docs×cents×tokens.
+    val qmat = qtokSims.groupBy("query_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("qt"), col("csims")))),
+        x => x.getField("csims")).as("qmat"))
+    val centIdx = typedLit(model.cents.zipWithIndex.toMap)
+    val docCents = post
+      .select(col("doc_id"), element_at(centIdx, col("cent")).as("ci"))
+      .groupBy("doc_id").agg(collect_list(col("ci")).as("dc"))
+    cands0.join(docCents, "doc_id")
+      .join(broadcast(qmat), "query_id")
+      .select(col("query_id"), col("doc_id"),
+        IndexExpressions.centroidInteraction(col("qmat"), col("dc")).as("approx"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("approx").desc, col("doc_id"))))
       .where(col("rn") <= topN)
