@@ -289,7 +289,8 @@ object Bench {
       "hybrid_rrf3",
       // round 9: learned quality classifier, PLAID-shape first stage,
       // BM25 phrase boost
-      "quality_nb_classify", "maxsim_first_stage", "bm25_phrase")
+      "quality_nb_classify", "maxsim_first_stage", "bm25_phrase",
+      "plaid_stats")
     headline.foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
         val (_, sec) = time(fn(spark, sfDir).count())

@@ -654,6 +654,26 @@ object RetrievalQueries extends QueryProvider {
     // metadata sidecar), so it shares that oracle — what this row gates
     // is the production round trip: the quantizer, posting layout, and
     // routing survive persistence.
+    // Posting-list balance stats for the multi-vector kind — the A4
+    // (ivf_stats) readout one level down: token-centroid posting sizes
+    // bound first-stage probe cost the way IVF list sizes bound probe
+    // scans, so imbalance is the same p99-serving signal. One
+    // aggregation over the built posting frame; the summary is a
+    // single row.
+    "plaid_stats" -> ((s, dir) => {
+      import graft.index.PlaidIndex
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val model = PlaidIndex.train(d, PlaidC, PlaidNprobe)
+      PlaidIndex.build(d, model)
+        .groupBy("cent").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_nonempty"),
+          sum("n").as("n_postings"),
+          max("n").as("max_size"),
+          min("n").as("min_size"),
+          round(max("n").cast("double") * count(lit(1)) / sum("n"), 4)
+            .as("imbalance"))
+    }),
     "maxsim_first_served" -> ((s, dir) => {
       import graft.index.PlaidIndex
       val d = Tables.load(s, dir, "documents")
@@ -881,12 +901,12 @@ object RetrievalQueries extends QueryProvider {
        |         FROM lx) WHERE lex_rank <= $CascadeN),
        |$maxSimExactSqlTail""".stripMargin
 
-  /** maxsim_first_stage oracle: centroid selection, vocab assignment,
-    * posting inversion, query routing, and the centroid-interaction
-    * candidate rank — then the shared exact tail over `lt`. */
-  private val maxSimFirstStageSql: String = {
+  /** The PLAID build-side oracle CTEs shared by maxsim_first_stage and
+    * plaid_stats: centroid selection, vocab assignment, and the
+    * posting inversion, ending with `post(cent, doc_id)` in scope. */
+  private val plaidPostSqlCtes: String = {
     val centSim = VectorQueries.sqlCosineSimG("av", "bv")
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |dt AS (SELECT doc_id, ${sqlTokenHash("t")} AS th
        |       FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM d)),
        |vh AS (SELECT DISTINCT th FROM dt),
@@ -898,7 +918,16 @@ object RetrievalQueries extends QueryProvider {
        |          SELECT th, cent,
        |            row_number() OVER (PARTITION BY th ORDER BY $centSim DESC, cent) AS rn
        |          FROM ac) WHERE rn = 1),
-       |post AS (SELECT DISTINCT a.cent, dt.doc_id FROM dt JOIN asg a ON a.th = dt.th),
+       |post AS (SELECT DISTINCT a.cent, dt.doc_id FROM dt JOIN asg a ON a.th = dt.th)"""
+      .stripMargin
+  }
+
+  /** maxsim_first_stage oracle: centroid selection, vocab assignment,
+    * posting inversion, query routing, and the centroid-interaction
+    * candidate rank — then the shared exact tail over `lt`. */
+  private val maxSimFirstStageSql: String = {
+    val centSim = VectorQueries.sqlCosineSimG("av", "bv")
+    s"""WITH $plaidPostSqlCtes,
        |qt0 AS (SELECT doc_id AS query_id, t AS qt, ${sqlTokenHash("t")} AS th0
        |        FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t
        |              FROM d WHERE doc_id < $FuseQueries)),
@@ -945,6 +974,15 @@ object RetrievalQueries extends QueryProvider {
   private lazy val oraclesBase: Map[String, String] = Map(
     "maxsim_rerank" -> maxSimSql,
     "maxsim_first_stage" -> maxSimFirstStageSql,
+    "plaid_stats" ->
+      s"""WITH $plaidPostSqlCtes,
+         |sz AS (SELECT cent, count(*) AS n FROM post GROUP BY cent)
+         |SELECT CAST(count(*) AS BIGINT) AS n_nonempty,
+         |       CAST(sum(n) AS BIGINT) AS n_postings,
+         |       CAST(max(n) AS BIGINT) AS max_size,
+         |       CAST(min(n) AS BIGINT) AS min_size,
+         |       round(CAST(max(n) AS DOUBLE) * count(*) / sum(n), 4) AS imbalance
+         |FROM sz""".stripMargin,
     "bm25_phrase" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |l AS (SELECT doc_id, len(tk) AS dl FROM d),
