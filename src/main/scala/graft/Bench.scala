@@ -299,6 +299,38 @@ object Bench {
     }
     logSection(results, "headline")
 
+    // -- in-process late-interaction serving over the PLAID index --
+    // the multi-vector kind's single-heap deployment shape: postings +
+    // doc token hashes resident, full pipeline (route → probe →
+    // interaction rank → exact MaxSim rerank) per query with zero Spark
+    // jobs; parity with the distributed row is LocalServeSpec-pinned.
+    {
+      import org.apache.spark.sql.functions.col
+      val d = graft.core.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val model = graft.index.PlaidIndex.train(d, 24, 2)
+      val post = graft.index.PlaidIndex.build(d, model).cache()
+      val t0 = System.nanoTime()
+      val server = new graft.query.LocalPlaidServer(d, post, model)
+      results("serve_local_plaid_open_sec") = (System.nanoTime() - t0) / 1e9
+      post.unpersist()
+      val qTexts = d.where(col("doc_id") < 100)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      server.search(qTexts.head._1, qTexts.head._2, 20, 10) // warm
+      System.gc()
+      val times = qTexts.map { case (id, text) =>
+        val t1 = System.nanoTime()
+        server.search(id, text, 20, 10)
+        (System.nanoTime() - t1) / 1e6
+      }.sorted
+      def pct(p: Double) = times(math.min(times.length - 1, (p * times.length).toInt))
+      results("serve_local_plaid_p50_ms") = pct(0.50)
+      results("serve_local_plaid_p95_ms") = pct(0.95)
+      results("serve_local_plaid_p99_ms") = pct(0.99)
+      results("serve_local_plaid_qps") = 1000.0 * times.length / times.sum
+      logSection(results, "serve_local_plaid")
+    }
+
     // -- BASELINE-comparable synthetic vector benchmark --
     val vectors = syntheticVectors(spark, benchN, dim, 0L, "id", "vec").cache()
     vectors.count() // materialize outside the timed sections

@@ -59,7 +59,7 @@ object PlaidIndex {
   /** Per-doc distinct token hashes — static embeddings dedup assignment
     * to the vocabulary; contextual embeddings would skip the distinct
     * and run per occurrence with identical shapes. */
-  private def docTokens(docs: DataFrame): DataFrame =
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(array_distinct(toks(col("text")))).as("t"))
       .withColumn("th", tokenHash(col("t")))

@@ -398,7 +398,14 @@ object CentroidSimsKernel {
     * dot and normSq are ascending `acc + x*y` folds, norm = sqrt,
     * sim = least(1, greatest(-1, dot/(na*nb))), zero-norm → 0. */
   def eval(h: Long, primes: Array[Int], centVecs: Array[Array[Double]],
-      centNorms: Array[Double]): UnsafeArrayData = {
+      centNorms: Array[Double]): UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(raw(h, primes, centVecs, centNorms))
+
+  /** The same similarities as a plain array — the in-process serving
+    * path ([[graft.query.LocalPlaidServer]]) shares this kernel so
+    * local ≡ distributed is float-for-float. */
+  def raw(h: Long, primes: Array[Int], centVecs: Array[Array[Double]],
+      centNorms: Array[Double]): Array[Double] = {
     val d = primes.length
     val q = new Array[Double](d)
     var i = 0
@@ -420,7 +427,7 @@ object CentroidSimsKernel {
         else math.min(1.0, math.max(-1.0, dt / (na * nb)))
       c += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    out
   }
 }
 

@@ -133,4 +133,37 @@ class LocalServeSpec extends AnyFunSuite {
     }
     dist.unpersist()
   }
+
+  test("LocalPlaidServer ≡ the distributed late-interaction pipeline " +
+      "(first-stage candidates AND the exact-rerank row)") {
+    import org.apache.spark.sql.functions.col
+    val d = graft.core.Tables.load(spark, TestSession.Sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val model = PlaidIndex.train(d, 24, 2)
+    val post = PlaidIndex.build(d, model).cache()
+    val local = new LocalPlaidServer(d, post, model)
+    val texts = d.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the query ROW's output — query_id, id, maxsim, n_qtok, rank at the
+    // row's own constants (CascadeN = 20 first-stage pool, rank ≤ 10)
+    val expected = graft.queries.RetrievalQueries
+      .queries("maxsim_first_stage")(spark, TestSession.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._4).toSeq).toMap
+    // distributed first stage for candidate-set parity
+    val qframe = d.where(col("doc_id") < 40)
+      .select(col("doc_id").as("query_id"), col("text"))
+    val distCands = PlaidIndex.candidates(post, qframe, model, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    expected.foreach { case (qid, rows) =>
+      val got = local.search(qid, texts(qid), 20, 10).toSeq
+        .map { case (id, ms, nq, rk) => (id, ms, nq, rk) }
+      assert(got == rows, s"full-pipeline divergence for query $qid")
+      assert(local.candidates(qid, texts(qid), 20).toSet == distCands(qid),
+        s"first-stage candidate set divergence for query $qid")
+    }
+    assert(expected.nonEmpty)
+    post.unpersist()
+  }
 }
