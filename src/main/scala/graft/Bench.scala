@@ -820,6 +820,37 @@ object Bench {
         val local = new graft.query.LocalHnswServer(hnswGraph, Metric.L2, hnswShards)
         timeSingles(results, "serve_local_hnsw", singles,
           1000.0 * hnswSec / benchQ)(q => local.search(q, K, efSearch = 50))
+        // in-process BATCH throughput at VERIFIED recall — the honest
+        // counterpart of the reference's in-memory BatchSearch number
+        // (whose recall row is broken at 0.0004): the full query batch
+        // fanned across the common pool over the same resident graphs
+        // the single-query row walks, recall graded against the exact
+        // ground truth like every other *_recall row.
+        val qArr = queries.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val truth = flatRes.select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0))
+          .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+        val out = new Array[Array[(Long, Double, Int)]](qArr.length)
+        def runBatch(): Double = {
+          val t0 = System.nanoTime()
+          java.util.stream.IntStream.range(0, qArr.length).parallel()
+            .forEach(i => out(i) = local.search(qArr(i)._2, K, efSearch = 50))
+          (System.nanoTime() - t0) / 1e9
+        }
+        runBatch() // warm
+        val batchSec = math.min(runBatch(), runBatch())
+        results("hnsw_local_batch_qps") = benchQ / batchSec
+        results("hnsw_local_batch_recall") = {
+          var hits = 0L
+          var total = 0L
+          qArr.indices.foreach { i =>
+            val t = truth(qArr(i)._1)
+            total += t.size
+            hits += out(i).count { case (id, _, _) => t.contains(id) }
+          }
+          hits.toDouble / total
+        }
       }
     }
     hnswServer.unpersist()
@@ -1061,6 +1092,8 @@ object Bench {
       "bq_qps", "bq_recall", "bq_rerank_qps", "bq_rerank_recall",
       "lsh_qps", "lsh_recall",
       "hnsw_build_sec", "hnsw_qps", "hnsw_recall",
+      "hnsw_local_batch_qps", "hnsw_local_batch_recall",
+      "serve_local_plaid_p50_ms",
       "hnsw_routed_r24_qps", "hnsw_routed_r24_recall",
       "hnsw_routed_warm_qps", "hnsw_routed_warm_recall",
       "serve_routed_p50_ms",
