@@ -110,6 +110,35 @@ object PlaidIndex {
   def append(newDocs: DataFrame, model: PlaidModel): DataFrame =
     build(newDocs, model)
 
+  /** Posting-drift report — the model-staleness readout for the
+    * multi-vector kind (the RoutedHnswIndex.driftReport analogue one
+    * level down): appends encode under the FROZEN quantizer, so posting
+    * lists grow past the physical chunk budget the centroid-partitioned
+    * layout ([[graft.io.IndexIO.savePlaid]]) was sized for. Dense over
+    * the model's centroids, one grouped count over the posting frame
+    * (shuffle ∝ C): (cent, n_postings, chunks_required, action) with
+    * action = 'chunk' where one partition no longer holds the list.
+    * The quantizer itself is NOT retrained — same contract as IVF/
+    * routed appends: re-centering is an explicit retrain, list chunking
+    * is the balance operation. All-integer arithmetic —
+    * oracle-reproducible. */
+  def driftReport(post: DataFrame, model: PlaidModel,
+      targetPostings: Long): DataFrame = {
+    require(targetPostings >= 1, "targetPostings must be >= 1")
+    val spark = post.sparkSession
+    import spark.implicits._
+    val cents = model.cents.toDF("cent")
+    val counts = post.groupBy("cent").agg(count(lit(1)).as("n_postings"))
+    cents.join(counts, Seq("cent"), "left")
+      .select(col("cent"),
+        coalesce(col("n_postings"), lit(0L)).as("n_postings"),
+        greatest(lit(1L),
+          (coalesce(col("n_postings"), lit(0L)) + (targetPostings - 1))
+            / targetPostings).cast("int").as("chunks_required"))
+      .withColumn("action",
+        when(col("chunks_required") > 1, "chunk").otherwise("keep"))
+  }
+
   /** First-stage candidate generation over (possibly persisted) posting
     * lists: queries (query_id, text) route to their top-nprobe
     * centroids, candidates surface through the posting equi-join, and

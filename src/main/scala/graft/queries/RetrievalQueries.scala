@@ -76,6 +76,10 @@ object RetrievalQueries extends QueryProvider {
     * tokens; every plan shape below is count-independent. */
   private val PlaidC = 24
   private val PlaidNprobe = 2
+  /** Physical posting-chunk budget for the drift readout — sized so the
+    * sf0.1 corpus (≈4.8k postings/centroid) needs multi-chunk lists
+    * while sf0.01 stays single-chunk: both regimes hash-match. */
+  private val PlaidChunkTarget = 2048L
 
   /** A token's deterministic pseudo-embedding over [[MaxSimPrimes]] —
     * component j = (hash % p_j) + 1 (see maxsim_rerank's notes; the
@@ -674,6 +678,23 @@ object RetrievalQueries extends QueryProvider {
           round(max("n").cast("double") * count(lit(1)) / sum("n"), 4)
             .as("imbalance"))
     }),
+    // Posting-drift readout after append waves — the routed
+    // rebalance-plan analogue for the multi-vector kind: the quantizer
+    // trains on "yesterday's" slice (even doc ids), the posting frame
+    // then indexes the FULL corpus under that frozen model (exactly
+    // what appendBatchToPlaid produces), and driftReport flags every
+    // centroid whose list outgrew the physical chunk budget the
+    // centroid-partitioned layout was sized for. Integer arithmetic end
+    // to end — a full hash-match row.
+    "plaid_drift_report" -> ((s, dir) => {
+      import graft.index.PlaidIndex
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val model = PlaidIndex.train(
+        d.where(col("doc_id") % 2 === 0), PlaidC, PlaidNprobe)
+      PlaidIndex.driftReport(
+        PlaidIndex.build(d, model), model, PlaidChunkTarget)
+    }),
     "maxsim_first_served" -> ((s, dir) => {
       import graft.index.PlaidIndex
       val d = Tables.load(s, dir, "documents")
@@ -901,16 +922,18 @@ object RetrievalQueries extends QueryProvider {
        |         FROM lx) WHERE lex_rank <= $CascadeN),
        |$maxSimExactSqlTail""".stripMargin
 
-  /** The PLAID build-side oracle CTEs shared by maxsim_first_stage and
-    * plaid_stats: centroid selection, vocab assignment, and the
-    * posting inversion, ending with `post(cent, doc_id)` in scope. */
-  private val plaidPostSqlCtes: String = {
+  /** The PLAID build-side oracle CTEs shared by maxsim_first_stage,
+    * plaid_stats, and plaid_drift_report: centroid selection, vocab
+    * assignment, and the posting inversion, ending with
+    * `post(cent, doc_id)` in scope. `centSrc` picks the training slice
+    * for the centroid seeds (the frozen-model rows train on a subset). */
+  private def plaidPostCtesFrom(centSrc: String): String = {
     val centSim = VectorQueries.sqlCosineSimG("av", "bv")
     s"""d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
        |dt AS (SELECT doc_id, ${sqlTokenHash("t")} AS th
        |       FROM (SELECT doc_id, unnest(list_distinct(tk)) AS t FROM d)),
        |vh AS (SELECT DISTINCT th FROM dt),
-       |cents AS (SELECT th AS cent FROM vh ORDER BY th LIMIT $PlaidC),
+       |cents AS (SELECT th AS cent FROM ($centSrc) ORDER BY th LIMIT $PlaidC),
        |ac AS (SELECT vh.th, c.cent, ${maxSimVecSql("vh.th")} AS av,
        |              ${maxSimVecSql("c.cent")} AS bv
        |       FROM vh CROSS JOIN cents c),
@@ -921,6 +944,9 @@ object RetrievalQueries extends QueryProvider {
        |post AS (SELECT DISTINCT a.cent, dt.doc_id FROM dt JOIN asg a ON a.th = dt.th)"""
       .stripMargin
   }
+
+  /** The full-corpus-trained variant (maxsim_first_stage, plaid_stats). */
+  private val plaidPostSqlCtes: String = plaidPostCtesFrom("SELECT th FROM vh")
 
   /** maxsim_first_stage oracle: centroid selection, vocab assignment,
     * posting inversion, query routing, and the centroid-interaction
@@ -974,6 +1000,16 @@ object RetrievalQueries extends QueryProvider {
   private lazy val oraclesBase: Map[String, String] = Map(
     "maxsim_rerank" -> maxSimSql,
     "maxsim_first_stage" -> maxSimFirstStageSql,
+    "plaid_drift_report" ->
+      s"""WITH ${plaidPostCtesFrom(s"SELECT DISTINCT th FROM dt WHERE doc_id % 2 = 0")},
+         |sz AS (SELECT cent, count(*) AS n FROM post GROUP BY cent)
+         |SELECT c.cent,
+         |       CAST(coalesce(sz.n, 0) AS BIGINT) AS n_postings,
+         |       CAST(greatest(1, (coalesce(sz.n, 0) + ${PlaidChunkTarget - 1})
+         |         // $PlaidChunkTarget) AS INT) AS chunks_required,
+         |       CASE WHEN greatest(1, (coalesce(sz.n, 0) + ${PlaidChunkTarget - 1})
+         |         // $PlaidChunkTarget) > 1 THEN 'chunk' ELSE 'keep' END AS action
+         |FROM cents c LEFT JOIN sz ON sz.cent = c.cent""".stripMargin,
     "plaid_stats" ->
       s"""WITH $plaidPostSqlCtes,
          |sz AS (SELECT cent, count(*) AS n FROM post GROUP BY cent)
