@@ -313,7 +313,6 @@ object Bench {
       val t0 = System.nanoTime()
       val server = new graft.query.LocalPlaidServer(d, post, model)
       results("serve_local_plaid_open_sec") = (System.nanoTime() - t0) / 1e9
-      post.unpersist()
       val qTexts = d.where(col("doc_id") < 100)
         .collect().map(r => (r.getLong(0), r.getString(1)))
       server.search(qTexts.head._1, qTexts.head._2, 20, 10) // warm
@@ -329,6 +328,23 @@ object Bench {
       results("serve_local_plaid_p99_ms") = pct(0.99)
       results("serve_local_plaid_qps") = 1000.0 * times.length / times.sum
       logSection(results, "serve_local_plaid")
+      // the cluster path: executor-resident per-doc rows, one job per
+      // query, driver rerank ∝ topN (result-identical — LocalServeSpec)
+      val distServer = new graft.query.PlaidServer(d, post, model).warm()
+      distServer.search(qTexts.head._1, qTexts.head._2, 20, 10) // warm
+      System.gc()
+      val dTimes = qTexts.map { case (id, text) =>
+        val t1 = System.nanoTime()
+        distServer.search(id, text, 20, 10)
+        (System.nanoTime() - t1) / 1e6
+      }.sorted
+      def dPct(p: Double) = dTimes(math.min(dTimes.length - 1, (p * dTimes.length).toInt))
+      results("serve_plaid_p50_ms") = dPct(0.50)
+      results("serve_plaid_p95_ms") = dPct(0.95)
+      results("serve_plaid_p99_ms") = dPct(0.99)
+      distServer.unpersist()
+      post.unpersist()
+      logSection(results, "serve_plaid")
     }
 
     // -- BASELINE-comparable synthetic vector benchmark --
@@ -1093,7 +1109,7 @@ object Bench {
       "lsh_qps", "lsh_recall",
       "hnsw_build_sec", "hnsw_qps", "hnsw_recall",
       "hnsw_local_batch_qps", "hnsw_local_batch_recall",
-      "serve_local_plaid_p50_ms",
+      "serve_local_plaid_p50_ms", "serve_plaid_p50_ms",
       "hnsw_routed_r24_qps", "hnsw_routed_r24_recall",
       "hnsw_routed_warm_qps", "hnsw_routed_warm_recall",
       "serve_routed_p50_ms",

@@ -1,0 +1,171 @@
+package graft.query
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, collect_list}
+import org.apache.spark.sql.graftx.{CentroidSimsKernel, TextHashKernel}
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.index.{BoundedTopK, PlaidIndex}
+import graft.index.PlaidIndex.PlaidModel
+
+/** Distributed resident serving for the PLAID kind — the `ServingRdd`
+  * path the vector kinds' *Server classes follow, for state that
+  * outgrows one heap: per-doc rows (centroid index set + distinct token
+  * hashes) stay partitioned across executors; one query is ONE job that
+  * ships the query's token×centroid similarity matrix plus the probed
+  * mask in the closure, scores each partition's probed-overlap docs with
+  * the [[org.apache.spark.sql.graftx.CentroidInteractionExpr]] loop into
+  * a per-partition bounded heap (carrying the winners' token hashes),
+  * and exact-MaxSim-reranks the globally merged topN on the driver —
+  * bounded work ∝ topN, the same split as the DataFrame pipeline.
+  * Result-identical to [[LocalPlaidServer.search]] and therefore to the
+  * maxsim_first_stage row (LocalServeSpec pins the chain).
+  */
+final class PlaidServer(docs: DataFrame, post: DataFrame, model: PlaidModel)
+    extends ServingRdd {
+  private val primes: Array[Int] = PlaidIndex.Primes.toArray
+  private val cents: Array[Long] = model.cents.toArray
+  private val centVecs: Array[Array[Double]] =
+    cents.map(c => primes.map(p => ((c % p) + 1).toDouble))
+  private val centNorms: Array[Double] = centVecs.map { v =>
+    var s = 0.0; var i = 0
+    while (i < v.length) { s = s + v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  // resident per-doc rows: (id, centroid index set, distinct token
+  // hashes) — built from the SAME posting + token frames the DataFrame
+  // pipeline reads, packed one array per partition
+  private val rdd: RDD[Array[(Long, Array[Int], Array[Long])]] = {
+    val centIdx = model.cents.zipWithIndex.toMap
+    val dc = post.select(col("cent"), col("doc_id"))
+      .groupBy("doc_id").agg(collect_list(col("cent")).as("cs"))
+    val dt = PlaidIndex.docTokens(docs)
+      .groupBy("doc_id").agg(collect_list(col("th")).as("ths"))
+    dc.join(dt, "doc_id").rdd.mapPartitions { it =>
+      Iterator.single(it.map { r =>
+        (r.getLong(0),
+          r.getSeq[Long](1).map(centIdx(_)).toArray,
+          r.getSeq[Long](2).toArray)
+      }.toArray)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Materialize the serving partitions (call once before timing). */
+  def warm(): this.type = { rdd.count(); this }
+
+  protected def servingRdd: RDD[_] = rdd
+
+  /** One query text → the late-interaction result rows
+    * (id, maxsim rounded 4, n_qtok, rank) — the maxsim_first_stage
+    * shape, rank ≤ k over a first-stage pool of topN. */
+  def search(queryId: Long, text: String, topN: Int, k: Int): Array[(Long, Double, Int, Int)] = {
+    require(topN > 0 && k > 0, s"serving requires topN, k > 0, got $topN, $k")
+    // driver-side query prep — model constants, no Spark work
+    val seen = new java.util.LinkedHashSet[String]
+    text.split(" ", -1).foreach(seen.add)
+    val qts = seen.toArray(new Array[String](seen.size))
+      .map(t => (UTF8String.fromString(t), t))
+      .sortWith((a, b) => a._1.compareTo(b._1) < 0).map(_._2)
+    val qhs = qts.map(t => TextHashKernel.tokenHash(UTF8String.fromString(t)))
+    val qmat = qhs.map(CentroidSimsKernel.raw(_, primes, centVecs, centNorms))
+    val probed = new Array[Boolean](cents.length)
+    qmat.foreach { csims =>
+      val order = csims.indices.sortWith { (i, j) =>
+        if (csims(i) != csims(j)) csims(i) > csims(j) else i < j
+      }
+      order.take(model.nprobe).foreach(i => probed(i) = true)
+    }
+    // one job: per-partition interaction scoring into a bounded heap
+    // (key = −approx ⇒ BoundedTopK's (key asc, id asc) IS the pipeline's
+    // (approx desc, doc_id asc) order), winners carry their token hashes
+    val (qmatL, probedL, qid, n) = (qmat, probed, queryId, topN)
+    val partials = rdd.mapPartitions { it =>
+      it.flatMap { rows =>
+        val heap = new BoundedTopK(n)
+        var x = 0
+        while (x < rows.length) {
+          val (id, dc, _) = rows(x)
+          if (id != qid) {
+            var hit = false
+            var j = 0
+            while (!hit && j < dc.length) { hit = probedL(dc(j)); j += 1 }
+            if (hit) {
+              var s = 0.0
+              var i = 0
+              while (i < qmatL.length) {
+                val row = qmatL(i)
+                var best = Double.NegativeInfinity
+                var jj = 0
+                while (jj < dc.length) {
+                  val v = row(dc(jj)); if (v > best) best = v; jj += 1
+                }
+                s += best
+                i += 1
+              }
+              heap.insert(id, -s)
+            }
+          }
+          x += 1
+        }
+        val approxOf = new scala.collection.mutable.LongMap[Double]
+        heap.drainIterator.foreach { case (id, negA) => approxOf(id) = -negA }
+        rows.iterator.filter(r => approxOf.contains(r._1))
+          .map { case (id, _, toks) => (id, approxOf(id), toks) }
+      }
+    }.collect()
+    // global first-stage merge, then the exact rerank on the driver —
+    // bounded ∝ topN, the same stage split as the DataFrame pipeline
+    val top = new BoundedTopK(topN)
+    val toksOf = new scala.collection.mutable.LongMap[Array[Long]]
+    partials.foreach { case (id, approx, toks) =>
+      top.insert(id, -approx)
+      toksOf(id) = toks
+    }
+    val qvs = qhs.map(embed)
+    val rescored = top.drainIterator.map(_._1).toArray.map { id =>
+      val dvs = toksOf(id).map(embed)
+      var score = 0.0
+      var i = 0
+      while (i < qvs.length) {
+        val (qv, qn) = qvs(i)
+        var best = Double.NegativeInfinity
+        var j = 0
+        while (j < dvs.length) {
+          val (dv, dn) = dvs(j)
+          var dt = 0.0
+          var c = 0
+          while (c < qv.length) { dt = dt + qv(c) * dv(c); c += 1 }
+          val sim =
+            if (qn == 0.0 || dn == 0.0) 0.0
+            else math.min(1.0, math.max(-1.0, dt / (qn * dn)))
+          if (sim > best) best = sim
+          j += 1
+        }
+        score += best
+        i += 1
+      }
+      (id, score)
+    }
+    rescored.sortWith { case ((ida, sa), (idb, sb)) =>
+      if (sa != sb) sa > sb else ida < idb
+    }.take(k).zipWithIndex.map { case ((id, s), r) =>
+      (id, JBigDecimal.valueOf(s).setScale(4, RoundingMode.HALF_UP).doubleValue(),
+        qts.length, r + 1)
+    }
+  }
+
+  private def embed(h: Long): (Array[Double], Double) = {
+    val v = new Array[Double](primes.length)
+    var i = 0
+    while (i < primes.length) { v(i) = ((h % primes(i)) + 1).toDouble; i += 1 }
+    var s = 0.0
+    i = 0
+    while (i < v.length) { s = s + v(i) * v(i); i += 1 }
+    (v, math.sqrt(s))
+  }
+}

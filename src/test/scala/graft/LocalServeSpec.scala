@@ -164,6 +164,14 @@ class LocalServeSpec extends AnyFunSuite {
         s"first-stage candidate set divergence for query $qid")
     }
     assert(expected.nonEmpty)
+    // the distributed resident server closes the chain: PlaidServer ≡
+    // LocalPlaidServer ≡ the maxsim_first_stage row
+    val dist = new PlaidServer(d, post, model).warm()
+    expected.foreach { case (qid, rows) =>
+      assert(dist.search(qid, texts(qid), 20, 10).toSeq == rows,
+        s"resident-server divergence for query $qid")
+    }
+    dist.unpersist()
     post.unpersist()
   }
 }
