@@ -130,11 +130,15 @@ object PlaidIndex {
     val cents = model.cents.toDF("cent")
     val counts = post.groupBy("cent").agg(count(lit(1)).as("n_postings"))
     cents.join(counts, Seq("cent"), "left")
-      .select(col("cent"),
-        coalesce(col("n_postings"), lit(0L)).as("n_postings"),
+      .select(col("cent"), coalesce(col("n_postings"), lit(0L)).as("n_postings"))
+      // exact integral ceil-division via SQL `div` (LONG op): Column `/`
+      // promotes LONG/LONG to DOUBLE, whose rounding can cross an integer
+      // boundary (and diverge from the oracle's `//`) once the numerator
+      // approaches 2^53 — a silent hazard for a general API parameter
+      .select(col("cent"), col("n_postings"),
         greatest(lit(1L),
-          (coalesce(col("n_postings"), lit(0L)) + (targetPostings - 1))
-            / targetPostings).cast("int").as("chunks_required"))
+          expr(s"(n_postings + ${targetPostings - 1}L) div ${targetPostings}L"))
+          .cast("int").as("chunks_required"))
       .withColumn("action",
         when(col("chunks_required") > 1, "chunk").otherwise("keep"))
   }

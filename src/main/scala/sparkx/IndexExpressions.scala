@@ -24,13 +24,19 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * the *configured* metric (ivf.go:133-135, 240-252), so assignment must
   * be metric-aware too. Ties break toward the lower row index (strict
   * `<`), matching `Metric.rankKeyScalar` bit-for-bit. */
-case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]],
+case class NearestIndexExpr(child: Expression, matrixSeq: Seq[Seq[Double]],
     mode: String = "l2")
     extends UnaryExpression with ExpectsInputTypes {
   require(Set("l2", "dot", "cosine", "manhattan")(mode),
     s"unknown nearest-centroid mode '$mode'")
+  // model params are Seq-typed so case-class equals/hashCode compare by
+  // VALUE (Array params compare by reference, defeating expression
+  // canonicalization and CSE when the same model column is referenced
+  // twice); the hot loops run over these memoized array forms
+  @transient private lazy val matrix: Array[Array[Double]] =
+    matrixSeq.map(_.toArray).toArray
   // centroid norms, used by the cosine mode only
-  private lazy val rowNorms: Array[Double] =
+  @transient private lazy val rowNorms: Array[Double] =
     matrix.map(r => math.sqrt(r.map(x => x * x).sum))
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
@@ -149,10 +155,12 @@ case class NearestIndexExpr(child: Expression, matrix: Array[Array[Double]],
 }
 
 /** PQ encode: per subspace m, argmin over codebooks(m) rows → ARRAY<INT>. */
-case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]])
+case class PqEncodeExpr(child: Expression, codebookSeq: Seq[Seq[Seq[Double]]])
     extends UnaryExpression with ExpectsInputTypes {
-  private val m = codebooks.length
-  private val dsub = codebooks(0)(0).length
+  @transient private lazy val codebooks: Array[Array[Array[Double]]] =
+    codebookSeq.map(_.map(_.toArray).toArray).toArray
+  private val m = codebookSeq.length
+  private val dsub = codebookSeq.head.head.length
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_pq_encode"
@@ -221,10 +229,12 @@ case class PqEncodeExpr(child: Expression, codebooks: Array[Array[Array[Double]]
 
 /** ADC: Σ_m ‖qvec[m·dsub..] − codebooks(m)(code(m))‖² → DOUBLE. */
 case class PqAdcExpr(left: Expression, right: Expression,
-    codebooks: Array[Array[Array[Double]]])
+    codebookSeq: Seq[Seq[Seq[Double]]])
     extends BinaryExpression with ExpectsInputTypes {
-  private val m = codebooks.length
-  private val dsub = codebooks(0)(0).length
+  @transient private lazy val codebooks: Array[Array[Array[Double]]] =
+    codebookSeq.map(_.map(_.toArray).toArray).toArray
+  private val m = codebookSeq.length
+  private val dsub = codebookSeq.head.head.length
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), ArrayType(IntegerType))
   override def dataType: DataType = DoubleType
@@ -280,8 +290,10 @@ case class PqAdcExpr(left: Expression, right: Expression,
 /** vec − matrix(cluster_id): the residual projection (ivfpq.go:139-147)
   * as one fused loop → ARRAY<DOUBLE>. */
 case class ResidualExpr(left: Expression, right: Expression,
-    matrix: Array[Array[Double]])
+    matrixSeq: Seq[Seq[Double]])
     extends BinaryExpression with ExpectsInputTypes {
+  @transient private lazy val matrix: Array[Array[Double]] =
+    matrixSeq.map(_.toArray).toArray
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(DoubleType), IntegerType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -436,14 +448,15 @@ object CentroidSimsKernel {
   * quantizer, positionally in model order. The model (centroid seed
   * hashes + embedding primes) is a plan constant, embedded as reference
   * objects with the centroid vectors pre-embedded once per plan. */
-case class PlaidCsimsExpr(child: Expression, cents: Array[Long], primes: Array[Int])
+case class PlaidCsimsExpr(child: Expression, centSeq: Seq[Long], primeSeq: Seq[Int])
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(org.apache.spark.sql.types.LongType)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_plaid_csims"
 
+  @transient private lazy val primes: Array[Int] = primeSeq.toArray
   @transient private lazy val centVecs: Array[Array[Double]] =
-    cents.map(c => primes.map(p => ((c % p) + 1).toDouble))
+    centSeq.toArray.map(c => primes.map(p => ((c % p) + 1).toDouble))
   @transient private lazy val centNorms: Array[Double] =
     centVecs.map { v =>
       var s = 0.0; var i = 0
@@ -468,16 +481,18 @@ object IndexExpressions {
   def centroidInteraction(qmat: Column, dcIdx: Column): Column =
     column(CentroidInteractionExpr(expression(qmat), expression(dcIdx)))
 
+  // model params stay Seq-typed end-to-end: value-equal models produce
+  // equal expressions, so canonicalization/CSE dedups repeated references
   def plaidCsims(tokenHash: Column, cents: Seq[Long], primes: Seq[Int]): Column =
-    column(PlaidCsimsExpr(expression(tokenHash), cents.toArray, primes.toArray))
+    column(PlaidCsimsExpr(expression(tokenHash), cents.toVector, primes.toVector))
 
   def residual(vec: Column, clusterId: Column, matrix: Seq[Seq[Double]]): Column =
-    column(ResidualExpr(expression(vec), expression(clusterId), matrix.map(_.toArray).toArray))
+    column(ResidualExpr(expression(vec), expression(clusterId), matrix.map(_.toVector).toVector))
 
   def nearestIndex(vec: Column, matrix: Seq[Seq[Double]], mode: String = "l2"): Column =
-    column(NearestIndexExpr(expression(vec), matrix.map(_.toArray).toArray, mode))
+    column(NearestIndexExpr(expression(vec), matrix.map(_.toVector).toVector, mode))
   def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
-    column(PqEncodeExpr(expression(vec), codebooks.map(_.map(_.toArray).toArray).toArray))
+    column(PqEncodeExpr(expression(vec), codebooks.map(_.map(_.toVector).toVector).toVector))
   def pqAdc(qvec: Column, code: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
-    column(PqAdcExpr(expression(qvec), expression(code), codebooks.map(_.map(_.toArray).toArray).toArray))
+    column(PqAdcExpr(expression(qvec), expression(code), codebooks.map(_.map(_.toVector).toVector).toVector))
 }

@@ -25,8 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHashKernel {
   val Mod = 1000000007L
 
-  /** fold (acc·31 + codePoint) % Mod over s[from, until) */
-  private def hashRange(s: UTF8String, from: Int, until: Int, bytes: Array[Byte]): Long = {
+  /** fold (acc·31 + codePoint) % Mod over bytes[from, until).
+    * Code points decode arithmetically from the UTF-8 bytes (no
+    * per-code-point UTF8String/String allocation — the non-ASCII path
+    * used to allocate both, making it far slower than the ASCII one);
+    * identical to `codePointAt` for all valid sequences, including the
+    * 4-byte supplementary plane. Malformed input is explicit: a
+    * continuation byte (0x80–0xBF) in lead position contributes U+FFFD
+    * and advances one byte. */
+  private def hashRange(from: Int, until: Int, bytes: Array[Byte]): Long = {
     var acc = 0L
     var i = from
     while (i < until) {
@@ -35,10 +42,24 @@ object TextHashKernel {
         acc = (acc * 31L + b) % Mod
         i += 1
       } else {
-        // multi-byte: decode this code point from its UTF-8 sequence
         val ub = b & 0xff
-        val nb = if (ub < 0xe0) 2 else if (ub < 0xf0) 3 else 4
-        val cp = UTF8String.fromBytes(bytes, i, nb).toString.codePointAt(0)
+        var cp = 0
+        var nb = 1
+        if (ub < 0xc0 || // malformed: continuation byte as lead, or a
+            // sequence truncated by the range end — both U+FFFD, 1 byte
+            i + (if (ub < 0xe0) 2 else if (ub < 0xf0) 3 else 4) > until) {
+          cp = 0xfffd
+        } else if (ub < 0xe0) {
+          nb = 2
+          cp = ((ub & 0x1f) << 6) | (bytes(i + 1) & 0x3f)
+        } else if (ub < 0xf0) {
+          nb = 3
+          cp = ((ub & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+        } else {
+          nb = 4
+          cp = ((ub & 0x07) << 18) | ((bytes(i + 1) & 0x3f) << 12) |
+            ((bytes(i + 2) & 0x3f) << 6) | (bytes(i + 3) & 0x3f)
+        }
         acc = (acc * 31L + cp) % Mod
         i += nb
       }
@@ -48,7 +69,7 @@ object TextHashKernel {
 
   def tokenHash(t: UTF8String): Long = {
     val bytes = t.getBytes
-    hashRange(t, 0, bytes.length, bytes)
+    hashRange(0, bytes.length, bytes)
   }
 
   /** split on ' ' (keeping empty segments, incl. trailing — Spark's
@@ -61,7 +82,7 @@ object TextHashKernel {
     var i = 0
     while (i <= n) {
       if (i == n || bytes(i) == ' '.toByte) {
-        acc = (acc * 31L + hashRange(text, start, i, bytes)) % Mod
+        acc = (acc * 31L + hashRange(start, i, bytes)) % Mod
         start = i + 1
       }
       i += 1
@@ -81,7 +102,7 @@ object TextHashKernel {
     var i = 0
     while (i <= n) {
       if (i == n || bytes(i) == ' '.toByte) {
-        val th = hashRange(text, start, i, bytes)
+        val th = hashRange(start, i, bytes)
         var k = 0
         while (k < h) {
           val cand = ((2L * k + 1L) * th + 7919L * k) % Mod
