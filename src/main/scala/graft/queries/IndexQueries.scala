@@ -98,6 +98,84 @@ object IndexQueries extends QueryProvider {
       val graph = RoutedHnswIndex.build(corpus, model)
       RoutedHnswIndex.driftReport(graph, model, RebalTarget)
     }),
+    // IVF staleness readout (VERDICT r9 #7 — the ivf.go:93-112 analogue:
+    // add-after-train means appended vectors use yesterday's centroids
+    // until an explicit retrain; this row is the detector an ingest
+    // pipeline runs to decide WHEN). Centroids freeze on the even-id
+    // slice, the full corpus assigns under that frozen model, and each
+    // cluster reports how many appended (odd-id) rows landed OUTSIDE the
+    // trained radius (max assigned distance² among the training rows —
+    // the quantization-envelope test; a cluster whose appends mostly
+    // fall outside it has drifted and flags 'retrain'). Shapes at
+    // 100 TB: assignment is a broadcast-model projection, the radius
+    // table is nlist rows broadcast back, both aggregations partial
+    // (map-side combine) — shuffle ∝ nlist·partitions.
+    "ivf_drift_report" -> ((s, dir) => {
+      val spark = s
+      import spark.implicits._
+      val (corpus, _) = vecTables(s, dir)
+      // even ids = "yesterday's" slice; id div 2 keeps residues dense
+      // so bucket-mean training stays oracle-positional
+      val frozen = IvfModel(Centroids.bucketMeans(
+        corpus.where(col("id") % 2 === 0)
+          .select(expr("id div 2").as("id"), col("vec")), Nlist), Metric.L2)
+      val cdf = frozen.centroids.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("cluster_id", "cvec")
+      val withD2 = IvfIndex.assign(corpus, frozen)
+        .join(broadcast(cdf), "cluster_id")
+        .select(col("id"), col("cluster_id"),
+          org.apache.spark.sql.graftx.DistanceExpressions
+            .l2SqFast(col("vec"), col("cvec")).as("d2"))
+      val radius = withD2.where(col("id") % 2 === 0)
+        .groupBy("cluster_id").agg(max(col("d2")).as("r2"))
+      val agg = withD2.join(broadcast(radius), Seq("cluster_id"), "left")
+        .groupBy("cluster_id").agg(
+          count(when(col("id") % 2 === 0, lit(1))).as("n_base"),
+          count(when(col("id") % 2 === 1, lit(1))).as("n_new"),
+          // a cluster with NO training rows has no envelope — every
+          // append is outside (coalesce to -1: d2 ≥ 0 always exceeds it)
+          count(when(col("id") % 2 === 1 &&
+            col("d2") > coalesce(col("r2"), lit(-1.0)), lit(1))).as("n_outside"))
+      // dense over the model's clusters, like the rebalance plan
+      s.range(Nlist).select(col("id").cast("int").as("cluster_id"))
+        .join(agg, Seq("cluster_id"), "left")
+        .join(broadcast(radius), Seq("cluster_id"), "left")
+        .select(col("cluster_id"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_outside"), lit(0L)).as("n_outside"),
+          round(coalesce(col("r2"), lit(0.0)), 4).as("radius2_base"),
+          when(coalesce(col("n_outside"), lit(0L)) * 4 >
+              coalesce(col("n_new"), lit(0L)), "retrain")
+            .otherwise("keep").as("action"))
+    }),
+    // SQ8 staleness readout: the affine byte quantizer trains per-dim
+    // [min, max] once; appended vectors whose components fall outside
+    // the trained range CLIP at encode time (codeExpr's least/greatest),
+    // silently degrading reconstruction. Per dimension: the trained
+    // range (computed as raw min/max — identical to the model's
+    // [min, min+255·scale] envelope, without replaying the FP of
+    // scale·255), appended-component counts in/out of range, and
+    // 'requant' where >5% of appended components clip. Both passes are
+    // partial aggregations; shuffle ∝ dim·partitions.
+    "sq8_drift_report" -> ((s, dir) => {
+      val (corpus, _) = vecTables(s, dir)
+      val ex = corpus.select(col("id"), posexplode(col("vec")).as(Seq("d", "x")))
+      val trained = ex.where(col("id") % 2 === 0)
+        .groupBy("d").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      ex.where(col("id") % 2 === 1)
+        .join(broadcast(trained), "d")
+        .groupBy("d").agg(
+          min(col("lo")).as("lo0"), min(col("hi")).as("hi0"),
+          count(lit(1)).as("n_new"),
+          count(when(col("x") < col("lo") || col("x") > col("hi"), lit(1)))
+            .as("n_clipped"))
+        .select(col("d"),
+          round(col("lo0"), 4).as("lo"), round(col("hi0"), 4).as("hi"),
+          col("n_new"), col("n_clipped"),
+          when(col("n_clipped") * 20 > col("n_new"), "requant")
+            .otherwise("keep").as("action"))
+    }),
     // J3 + T1: probe-pruned IVF search (ivf.go:123-160)
     "knn_ivf_det" -> ((s, dir) => {
       val (corpus, queries, model) = detIvf(s, dir)
@@ -1206,6 +1284,50 @@ object IndexQueries extends QueryProvider {
          |FROM range(0, $Nlist) r(region)
          |LEFT JOIN bs ON bs.region = r.region
          |LEFT JOIN fs ON fs.region = r.region""".stripMargin,
+    "ivf_drift_report" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |bl AS (SELECT CAST((id // 2) % $Nlist AS INT) AS bucket,
+         |              generate_subscripts(ev, 1) AS pos, unnest(ev) AS x
+         |       FROM v WHERE id % 2 = 0),
+         |cent AS (SELECT bucket, list(mm ORDER BY pos) AS cv
+         |         FROM (SELECT bucket, pos, avg(x) AS mm FROM bl GROUP BY bucket, pos)
+         |         GROUP BY bucket),
+         |ad AS (SELECT v.id, c.bucket, ${sqlL2SqG("ev", "cv")} AS d2
+         |       FROM v CROSS JOIN cent c),
+         |asg AS (SELECT id, bucket AS cluster_id, d2 FROM (
+         |  SELECT id, bucket, d2, row_number() OVER (PARTITION BY id ORDER BY d2, bucket) AS rn
+         |  FROM ad) WHERE rn = 1),
+         |rad AS (SELECT cluster_id, max(d2) AS r2 FROM asg WHERE id % 2 = 0 GROUP BY cluster_id),
+         |agg AS (SELECT a.cluster_id,
+         |          sum(CASE WHEN a.id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+         |          sum(CASE WHEN a.id % 2 = 1 THEN 1 ELSE 0 END) AS n_new,
+         |          sum(CASE WHEN a.id % 2 = 1 AND a.d2 > coalesce(rad.r2, -1.0)
+         |              THEN 1 ELSE 0 END) AS n_outside
+         |        FROM asg a LEFT JOIN rad ON rad.cluster_id = a.cluster_id
+         |        GROUP BY a.cluster_id)
+         |SELECT CAST(r.c AS INT) AS cluster_id,
+         |       CAST(coalesce(agg.n_base, 0) AS BIGINT) AS n_base,
+         |       CAST(coalesce(agg.n_new, 0) AS BIGINT) AS n_new,
+         |       CAST(coalesce(agg.n_outside, 0) AS BIGINT) AS n_outside,
+         |       round(coalesce(rad.r2, 0.0), 4) AS radius2_base,
+         |       CASE WHEN coalesce(agg.n_outside, 0) * 4 > coalesce(agg.n_new, 0)
+         |            THEN 'retrain' ELSE 'keep' END AS action
+         |FROM range(0, $Nlist) r(c)
+         |LEFT JOIN agg ON agg.cluster_id = r.c
+         |LEFT JOIN rad ON rad.cluster_id = r.c""".stripMargin,
+    "sq8_drift_report" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+         |ex AS (SELECT id, generate_subscripts(ev, 1) - 1 AS d, unnest(ev) AS x FROM v),
+         |trained AS (SELECT d, min(x) AS lo, max(x) AS hi FROM ex WHERE id % 2 = 0 GROUP BY d)
+         |SELECT CAST(n.d AS INT) AS d, round(t.lo, 4) AS lo, round(t.hi, 4) AS hi,
+         |       CAST(count(*) AS BIGINT) AS n_new,
+         |       CAST(sum(CASE WHEN n.x < t.lo OR n.x > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_clipped,
+         |       CASE WHEN sum(CASE WHEN n.x < t.lo OR n.x > t.hi THEN 1 ELSE 0 END) * 20
+         |              > count(*) THEN 'requant' ELSE 'keep' END AS action
+         |FROM (SELECT d, x FROM ex WHERE id % 2 = 1) n
+         |JOIN trained t ON t.d = n.d
+         |GROUP BY n.d, t.lo, t.hi""".stripMargin,
     "ivf_list_sizes" ->
       s"""WITH $base
          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors

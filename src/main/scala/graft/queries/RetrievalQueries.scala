@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -29,6 +29,7 @@ object RetrievalQueries extends QueryProvider {
     * string (swapping in a real query is a literal change). */
   private val Terms = Seq("table", "join", "merge")
   private val TopDocs = 20
+  private val DriftTerms = 30 // bm25_drift_report vocabulary cap
 
   /** Batch-search query table (VERDICT r7 #6 — the facade's batch shape,
     * search.go:92-112, applied to BM25): (query_id, terms), the form a
@@ -189,6 +190,43 @@ object RetrievalQueries extends QueryProvider {
           Window.orderBy(col("score").desc, col("doc_id"))))
         .select(col("doc_id"), round(col("score"), 4).as("bm25"),
           col("n_terms"), col("rank"))
+    }),
+    // BM25 staleness readout (VERDICT r9 #7): a serving BM25 index
+    // freezes df/idf and avgdl at build time; appended docs shift both,
+    // silently mis-weighting every query until a stats refresh. Per term
+    // of the trained (even-doc) corpus, top-DriftTerms by trained df:
+    // document frequency and idf under the trained stats vs the full
+    // (post-append) corpus, the idf delta, and 'reweight' where the
+    // shift exceeds 0.05 nats. One distinct-token pass over the corpus
+    // (partial-agg, shuffle ∝ vocab), totals from a 1-row aggregate
+    // crossJoin — no per-query work, no corpus re-scan.
+    "bm25_drift_report" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(toks(col("text")))).as("term"))
+      val counts = dt.groupBy("term").agg(
+        count(when(col("doc_id") % 2 === 0, lit(1))).as("df_base"),
+        count(lit(1)).as("df_full"))
+      val tot = docs.agg(
+        sum(when(col("doc_id") % 2 === 0, lit(1)).otherwise(lit(0)))
+          .cast("double").as("n_base"),
+        count(lit(1)).cast("double").as("n_full"))
+      def idf(n: Column, df: Column): Column =
+        log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      counts.where(col("df_base") > 0)
+        // global rank over the vocab-sized frame (tiny; bounded output)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("df_base").desc, col("term"))))
+        .where(col("rn") <= DriftTerms)
+        .crossJoin(broadcast(tot))
+        .withColumn("ib", idf(col("n_base"), col("df_base").cast("double")))
+        .withColumn("if2", idf(col("n_full"), col("df_full").cast("double")))
+        .select(col("term"), col("df_base"), col("df_full"),
+          round(col("ib"), 4).as("idf_base"),
+          round(col("if2"), 4).as("idf_full"),
+          round(col("if2") - col("ib"), 4).as("idf_delta"),
+          when(abs(col("if2") - col("ib")) > 0.05, "reweight")
+            .otherwise("keep").as("action"))
     }),
     // Batched/parameterized BM25 (VERDICT r7 #6): the same broadcast-df
     // plan as bm25_topk driven by a (query_id, terms) TABLE instead of
@@ -1180,6 +1218,30 @@ object RetrievalQueries extends QueryProvider {
          |SELECT doc_id, round(score, 4) AS bm25, CAST(n_terms AS INT) AS n_terms,
          |       CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= $TopDocs""".stripMargin,
+    "bm25_drift_report" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |dt AS (SELECT DISTINCT doc_id, unnest(tk) AS term FROM d),
+         |counts AS (SELECT term,
+         |             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS df_base,
+         |             count(*) AS df_full
+         |           FROM dt GROUP BY term),
+         |tot AS (SELECT CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n_base,
+         |               CAST(count(*) AS DOUBLE) AS n_full FROM documents),
+         |top AS (SELECT term, df_base, df_full,
+         |          row_number() OVER (ORDER BY df_base DESC, term) AS rn
+         |        FROM counts WHERE df_base > 0),
+         |x AS (SELECT t.term, t.df_base, t.df_full,
+         |        ln((tot.n_base - CAST(t.df_base AS DOUBLE) + 0.5)
+         |           / (CAST(t.df_base AS DOUBLE) + 0.5) + 1.0) AS ib,
+         |        ln((tot.n_full - CAST(t.df_full AS DOUBLE) + 0.5)
+         |           / (CAST(t.df_full AS DOUBLE) + 0.5) + 1.0) AS if2
+         |      FROM top t CROSS JOIN tot WHERE t.rn <= $DriftTerms)
+         |SELECT term, CAST(df_base AS BIGINT) AS df_base,
+         |       CAST(df_full AS BIGINT) AS df_full,
+         |       round(ib, 4) AS idf_base, round(if2, 4) AS idf_full,
+         |       round(if2 - ib, 4) AS idf_delta,
+         |       CASE WHEN abs(if2 - ib) > 0.05 THEN 'reweight' ELSE 'keep' END AS action
+         |FROM x""".stripMargin,
     "hybrid_rrf" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
          |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk)),
