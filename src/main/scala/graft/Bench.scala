@@ -385,6 +385,117 @@ object Bench {
       logSection(results, "serve_plaid")
     }
 
+    // -- PLAID selectivity at realistic vocabulary (VERDICT r9 #2/#3/#4).
+    // The sf corpora carry a ~31-token vocab, so every doc quantizes into
+    // ~all centroids and the rows above never exercise the posting
+    // probe's pruning. This section builds the clustered-vocab world
+    // (vocab 4096 ≫ C 256, topic-pooled token draws — CorpusGen) at a doc
+    // count scaling with the protocol (benchN/10: the 1M run gets 100k
+    // docs × 48 token slots ≈ 4M posting rows, the token-level 10× run),
+    // then measures: the scanned-posting fraction (the IVF nprobe
+    // scan-fraction dial at token level), the recall pruning costs vs the
+    // full-probe pipeline, serving p50 through the probe-pruned
+    // distributed server AND the local one, and the append-under-frozen-
+    // quantizer + drift-report lifecycle at the same scale. --
+    {
+      import graft.index.{PlaidIndex => PI}
+      val selDocs = math.max(4000L, benchN / 10)
+      val selWorld = graft.core.CorpusGen.plaidWorld(spark, selDocs,
+        vocabSize = 4096, c = 256, tokensPerDoc = 48, nprobe = 1)
+      System.gc()
+      val (selPost, selBuild) = time {
+        val p = PI.build(selWorld.docs, selWorld.model).cache(); p.count(); p
+      }
+      results("plaid_sel_build_sec") = selBuild
+      results("plaid_sel_postings") = selPost.count().toDouble
+      val selQ = selWorld.docs.where(col("doc_id") < 100)
+        .select(col("doc_id").as("query_id"), col("text"))
+      val (selStats, selStatsSec) = time {
+        PI.probeStats(selPost, selQ, selWorld.model)
+          .agg(avg(col("scan_frac")), avg(col("cand_frac"))).first()
+      }
+      results("plaid_sel_stats_sec") = selStatsSec
+      results("plaid_sel_scan_frac") = selStats.getDouble(0)
+      results("plaid_sel_cand_frac") = selStats.getDouble(1)
+      logSection(results, "plaid_sel_build")
+      // pruning-loss recall: identical topN/k/rerank, nprobe=1 vs all-C
+      val qTexts = selWorld.docs.where(col("doc_id") < 100)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val local = new graft.query.LocalPlaidServer(
+        selWorld.docs, selPost, selWorld.model)
+      val fullLocal = new graft.query.LocalPlaidServer(selWorld.docs, selPost,
+        selWorld.model.copy(nprobe = selWorld.model.cents.length))
+      var selHits = 0
+      var selTotal = 0
+      qTexts.foreach { case (id, text) =>
+        val pruned = local.search(id, text, 100, 10).map(_._1).toSet
+        val full = fullLocal.search(id, text, 100, 10)
+        selHits += full.count(r => pruned.contains(r._1))
+        selTotal += full.length
+      }
+      results("plaid_sel_recall") = selHits.toDouble / selTotal
+      // the nprobe dial (the multi-vector ivf_np50 row): one step up
+      // recovers the boundary misses at a measured scan-cost multiple
+      val np2Model = selWorld.model.copy(nprobe = 2)
+      val (np2Stats, _) = time {
+        PI.probeStats(selPost, selQ, np2Model)
+          .agg(avg(col("scan_frac"))).first()
+      }
+      results("plaid_sel_np2_scan_frac") = np2Stats.getDouble(0)
+      val np2Local = new graft.query.LocalPlaidServer(
+        selWorld.docs, selPost, np2Model)
+      var np2Hits = 0
+      qTexts.foreach { case (id, text) =>
+        val pruned = np2Local.search(id, text, 100, 10).map(_._1).toSet
+        np2Hits += fullLocal.search(id, text, 100, 10)
+          .count(r => pruned.contains(r._1))
+      }
+      results("plaid_sel_np2_recall") = np2Hits.toDouble / selTotal
+      logSection(results, "plaid_sel_recall_sec")
+      // in-process serving p50 at the pruned config
+      System.gc()
+      val lTimes = qTexts.map { case (id, text) =>
+        val t0 = System.nanoTime()
+        local.search(id, text, 100, 10)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      def selPct(ts: Array[Double], p: Double) =
+        ts(math.min(ts.length - 1, (p * ts.length).toInt))
+      results("serve_local_plaid_sel_p50_ms") = selPct(lTimes, 0.50)
+      results("serve_local_plaid_sel_p95_ms") = selPct(lTimes, 0.95)
+      logSection(results, "plaid_sel_local")
+      // distributed probe-pruned serving: executor-resident inverted
+      // postings, the probe mask carried to the posting level — the
+      // per-query resident scan is ∝ probed posting mass, not corpus size
+      val dist = new graft.query.PlaidServer(
+        selWorld.docs, selPost, selWorld.model).warm()
+      dist.search(qTexts.head._1, qTexts.head._2, 100, 10) // warm
+      System.gc()
+      val dTimes = qTexts.map { case (id, text) =>
+        val t0 = System.nanoTime()
+        dist.search(id, text, 100, 10)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      results("serve_plaid_sel_p50_ms") = selPct(dTimes, 0.50)
+      results("serve_plaid_sel_p95_ms") = selPct(dTimes, 0.95)
+      results("serve_plaid_sel_p99_ms") = selPct(dTimes, 0.99)
+      dist.unpersist()
+      logSection(results, "plaid_sel_serve")
+      // append under the FROZEN quantizer + the drift readout, timed at
+      // the same scale (the 1M-protocol lifecycle evidence)
+      val batch = graft.core.CorpusGen.plaidWorld(spark,
+          math.max(400L, selDocs / 10), vocabSize = 4096, c = 256,
+          tokensPerDoc = 48, nprobe = 1, salt = 99L)
+        .docs.select((col("doc_id") + selDocs).as("doc_id"), col("text"))
+      val (_, appSec) = time(PI.append(batch, selWorld.model).count())
+      results("plaid_sel_append_sec") = appSec
+      val (_, driftSec) = time(
+        PI.driftReport(selPost, selWorld.model, 2048).count())
+      results("plaid_sel_drift_sec") = driftSec
+      selPost.unpersist()
+      logSection(results, "plaid_sel_maint")
+    }
+
     // -- BASELINE-comparable synthetic vector benchmark --
     val vectors = syntheticVectors(spark, benchN, dim, 0L, "id", "vec").cache()
     vectors.count() // materialize outside the timed sections
@@ -1095,15 +1206,22 @@ object Bench {
         // boundary neighbors single assignment loses (recall ↑), at a
         // storage blow-up recorded honestly in the _blowup row.
         System.gc()
-        val (crg, crBuild) = time {
-          val g = RoutedHnswIndex.buildReplicated(
-            cvec, cModel, eps = 0.6, maxReplicas = 2).cache(); g.count(); g
+        // replication-aware balance split (VERDICT r9 #5): shards re-
+        // derive from REPLICATED region counts, so the heap-derived cap
+        // holds under the closure blow-up; serving routes with the
+        // returned model (offsets moved)
+        val (crModel, crg, crBuild) = {
+          val t0 = System.nanoTime()
+          val (m2, g0) = RoutedHnswIndex.buildReplicatedBalanced(
+            cvec, cModel, eps = 0.6, maxReplicas = 2, targetShardRows = shardRows)
+          val g = g0.cache(); g.count()
+          (m2, g, (System.nanoTime() - t0) / 1e9)
         }
         results("hnsw_routed_cr_build_sec") = crBuild
         results("hnsw_routed_cr_blowup") = crg.count().toDouble / benchN
         Seq(2, 4).foreach { r =>
           val (res, sec) = searchBest2(() =>
-            RoutedHnswIndex.knn(crg, cModel, cq, K, probeRegions = r, efSearch = 50))
+            RoutedHnswIndex.knn(crg, crModel, cq, K, probeRegions = r, efSearch = 50))
           results(s"hnsw_routed_cr_r${r}_qps") = benchQ / sec
           results(s"hnsw_routed_cr_r${r}_recall") = recallVs(cFlat, res)
           res.unpersist()
@@ -1160,6 +1278,7 @@ object Bench {
       "hnsw_build_sec", "hnsw_qps", "hnsw_recall",
       "hnsw_local_batch_qps", "hnsw_local_batch_recall",
       "serve_local_plaid_p50_ms", "serve_plaid_p50_ms",
+      "plaid_sel_scan_frac", "plaid_sel_recall", "serve_plaid_sel_p50_ms",
       "hnsw_routed_r24_qps", "hnsw_routed_r24_recall",
       "hnsw_routed_warm_qps", "hnsw_routed_warm_recall",
       "serve_routed_p50_ms",

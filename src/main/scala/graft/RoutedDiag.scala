@@ -110,14 +110,19 @@ object RoutedDiag {
     }
     graph.unpersist()
 
-    val rep = phase(results, "build_replicated") {
-      val g = RoutedHnswIndex.buildReplicated(
-        vecs, model, eps = 0.6, maxReplicas = 2).cache(); g.count(); g
+    // replication-aware balance (VERDICT r9 #5): the closure build
+    // multiplies region mass, so shards are re-split from REPLICATED
+    // counts at the same heap-derived cap — serving routes with the
+    // returned model (shard offsets moved)
+    val (repModel, rep) = phase(results, "build_replicated") {
+      val (m2, g0) = RoutedHnswIndex.buildReplicatedBalanced(
+        vecs, model, eps = 0.6, maxReplicas = 2, targetShardRows = shardRows)
+      val g = g0.cache(); g.count(); (m2, g)
     }
     results("replicated_blowup") = rep.count().toDouble / n
     for (r <- Seq(2, 4); ef <- Seq(50, 200)) {
       val res = phase(results, s"search_rep_r${r}_ef$ef") {
-        val d = RoutedHnswIndex.knn(rep, model, queries, k,
+        val d = RoutedHnswIndex.knn(rep, repModel, queries, k,
           probeRegions = r, efSearch = ef).cache()
         d.count(); d
       }
@@ -129,14 +134,15 @@ object RoutedDiag {
     // the dial that KEEPS working once the R-dial saturates: wider
     // closure replication (more runner-up regions, looser eps) — the
     // storage↔recall trade, measured honestly via the blowup row
-    val repWide = phase(results, "build_replicated_wide") {
-      val g = RoutedHnswIndex.buildReplicated(
-        vecs, model, eps = 1.0, maxReplicas = 3).cache(); g.count(); g
+    val (repWideModel, repWide) = phase(results, "build_replicated_wide") {
+      val (m2, g0) = RoutedHnswIndex.buildReplicatedBalanced(
+        vecs, model, eps = 1.0, maxReplicas = 3, targetShardRows = shardRows)
+      val g = g0.cache(); g.count(); (m2, g)
     }
     results("replicated_wide_blowup") = repWide.count().toDouble / n
     for (r <- Seq(2, 4)) {
       val res = phase(results, s"search_repw_r${r}_ef50") {
-        val d = RoutedHnswIndex.knn(repWide, model, queries, k,
+        val d = RoutedHnswIndex.knn(repWide, repWideModel, queries, k,
           probeRegions = r, efSearch = 50).cache()
         d.count(); d
       }

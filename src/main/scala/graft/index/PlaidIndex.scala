@@ -150,23 +150,24 @@ object PlaidIndex {
     * the doc's FULL centroid set, token-ordered fold) ranks the pool to
     * topN per query. Query ids share the doc-id space (the repo's
     * docs-as-queries convention) and self matches are excluded. */
-  def candidates(post: DataFrame, queries: DataFrame, model: PlaidModel,
-      topN: Int): DataFrame = {
+  /** Per-query-token similarity row against every centroid (the
+    * per-batch "centroid score" table PLAID precomputes). The model is
+    * a plan constant, so the C-way expansion is C inline scalar
+    * expressions over each token row, not a join. */
+  private def qtokSimFrame(queries: DataFrame, model: PlaidModel): DataFrame = {
     import org.apache.spark.sql.graftx.IndexExpressions
-    // per query token, similarity to EVERY centroid as a positional
-    // array (position = the centroid's rank in the frozen model) — the
-    // per-batch "centroid score" table PLAID precomputes. The model is
-    // a plan constant, so the C-way expansion is C inline scalar
-    // expressions over each token row, not a join.
-    val qtokSims = queries.select(col("query_id"),
+    queries.select(col("query_id"),
         explode(array_distinct(toks(col("text")))).as("qt"))
       .withColumn("qh", tokenHash(col("qt")))
       .select(col("query_id"), col("qt"),
         IndexExpressions.plaidCsims(col("qh"), model.cents, Primes).as("csims"))
-    // candidate GENERATION probes only the top-nprobe centroids per
-    // query token; candidate SCORING sees the doc's full centroid set —
-    // the PLAID stage-1/stage-2 split
-    val probed = qtokSims
+  }
+
+  /** Distinct probed centroids per query: per token, the top-nprobe
+    * centroids by similarity (ties to the lower index), unioned over the
+    * query's tokens — the routing half of [[candidates]]. */
+  private def probedCents(qtokSims: DataFrame, model: PlaidModel): DataFrame =
+    qtokSims
       .select(col("query_id"), col("qt"),
         posexplode(col("csims")).as(Seq("ci", "csim")))
       .withColumn("rn", row_number().over(
@@ -176,6 +177,47 @@ object PlaidIndex {
       .select(col("query_id"),
         element_at(typedLit(model.cents), col("ci") + 1).as("cent"))
       .distinct()
+
+  /** Probe-selectivity readout (VERDICT r9 #2): per query, how much of
+    * the index the posting probe actually touches — probed centroids,
+    * scanned posting rows, surfaced candidate docs, and those as
+    * fractions of the whole index. On the degenerate sf corpora
+    * (vocab ≈ 31 ≪ realistic) every doc lands in ~all centroids and
+    * scan_frac ≈ 1; on a clustered-vocab corpus
+    * ([[graft.core.CorpusGen.plaidWorld]]) this is the nprobe
+    * scan-fraction dial of the IVF family (ivf.go:142-150), measured at
+    * the token level. Shapes: routing is queries-side only; sizes is a
+    * C-row broadcast; the candidate count joins postings against the
+    * broadcast probe set — shuffle ∝ probed posting rows. */
+  def probeStats(post: DataFrame, queries: DataFrame, model: PlaidModel): DataFrame = {
+    val probed = probedCents(qtokSimFrame(queries, model), model)
+    val sizes = post.groupBy("cent").agg(count(lit(1)).as("sz"))
+    val totals = post.agg(count(lit(1)).cast("double").as("total_postings"),
+      countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val scanned = probed.join(broadcast(sizes), Seq("cent"), "left")
+      .groupBy("query_id").agg(
+        count(lit(1)).as("n_probed"),
+        sum(coalesce(col("sz"), lit(0L))).as("scanned_postings"))
+    val cands = post.join(broadcast(probed), "cent")
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id")).distinct()
+      .groupBy("query_id").agg(count(lit(1)).as("n_candidates"))
+    scanned.join(cands, Seq("query_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("query_id"), col("n_probed"), col("scanned_postings"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        round(col("scanned_postings") / col("total_postings"), 6).as("scan_frac"),
+        round(coalesce(col("n_candidates"), lit(0L)) / col("n_docs"), 6).as("cand_frac"))
+  }
+
+  def candidates(post: DataFrame, queries: DataFrame, model: PlaidModel,
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.graftx.IndexExpressions
+    val qtokSims = qtokSimFrame(queries, model)
+    // candidate GENERATION probes only the top-nprobe centroids per
+    // query token; candidate SCORING sees the doc's full centroid set —
+    // the PLAID stage-1/stage-2 split
+    val probed = probedCents(qtokSims, model)
     val cands0 = post.join(broadcast(probed), "cent")
       .where(col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id")).distinct()

@@ -167,6 +167,32 @@ object RoutedHnswIndex {
     HnswIndex.buildFromShardCol(exploded, model.numShards, model.metric, m, efConstruction)
   }
 
+  /** [[buildReplicated]] with REPLICATION-AWARE balance splits (VERDICT
+    * r9 #5): the model's `subShards` are sized from unreplicated region
+    * counts, so a closure build multiplies each region's mass by up to
+    * `maxReplicas` ON TOP of the split — per-shard graphs outgrow the
+    * heap-derived `targetShardRows` cap and the serving walk tasks spend
+    * their time in GC (the 1M grid measured `search_repw_r2_ef50` at 58%
+    * GC with the 2.12×-storage wide closure). Here one closure-count
+    * pass re-derives every region's split from its REPLICATED row count
+    * before any graph is built, so the cap holds under any (eps,
+    * maxReplicas). Returns the re-split model — serving must route with
+    * it, since shard offsets moved. */
+  def buildReplicatedBalanced(vectors: DataFrame, model: RoutedHnswModel,
+      eps: Double, maxReplicas: Int, targetShardRows: Long,
+      m: Int = HnswIndex.M, efConstruction: Int = HnswIndex.EfConstruction)
+      : (RoutedHnswModel, DataFrame) = {
+    require(targetShardRows >= 1, "targetShardRows must be >= 1")
+    val sizes = vectors
+      .select(explode(regionsExpr(model, eps, maxReplicas)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sub = Array.tabulate(model.nlist)(c =>
+      requiredSub(sizes.getOrElse(c, 0L), targetShardRows))
+    val rebal = model.copy(subShards = sub.toVector)
+    (rebal, buildReplicated(vectors, rebal, eps, maxReplicas, m, efConstruction))
+  }
+
   /** Build the routed graph table — same (shard, id, vec, level, edges)
     * schema as [[HnswIndex.build]] (save/load and maintenance reuse), with
     * the shard column carrying the k-means route instead of an id hash. */
@@ -209,12 +235,15 @@ object RoutedHnswIndex {
     val counts = graph.select(regionOfShard(model).as("region"))
       .groupBy("region").agg(count(lit(1)).as("n_rows"))
     frozen.join(counts, Seq("region"), "left")
-      .select(col("region"),
-        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
-        col("sub_frozen"),
+      .select(col("region"), coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        col("sub_frozen"))
+      // exact integral ceil-division via SQL `div` (LONG op) — Column `/`
+      // promotes to DOUBLE, whose rounding can cross an integer boundary
+      // near 2^53 (same hazard ADVICE r9 flagged on PlaidIndex.driftReport)
+      .select(col("region"), col("n_rows"), col("sub_frozen"),
         greatest(lit(1L),
-          (coalesce(col("n_rows"), lit(0L)) + (targetShardRows - 1))
-            / targetShardRows).cast("int").as("sub_required"))
+          expr(s"(n_rows + ${targetShardRows - 1}L) div ${targetShardRows}L"))
+          .cast("int").as("sub_required"))
       .withColumn("action",
         when(col("sub_required") =!= col("sub_frozen"), "resplit")
           .otherwise("keep"))

@@ -37,21 +37,36 @@ final class PlaidServer(docs: DataFrame, post: DataFrame, model: PlaidModel)
     math.sqrt(s)
   }
 
-  // resident per-doc rows: (id, centroid index set, distinct token
-  // hashes) — built from the SAME posting + token frames the DataFrame
-  // pipeline reads, packed one array per partition
-  private val rdd: RDD[Array[(Long, Array[Int], Array[Long])]] = {
+  // resident per-partition block: doc rows (id, centroid index set,
+  // distinct token hashes) PLUS the partition-local inverted postings
+  // (centroid index → doc row positions), built from the SAME posting +
+  // token frames the DataFrame pipeline reads. The inverted form is what
+  // lets a query touch only its probed centroids' docs (VERDICT r9 #3:
+  // the previous layout shipped the probe mask but still visited every
+  // resident doc row to test it — a pruning-free scan behind the p50).
+  import PlaidServer.Block
+
+  private val rdd: RDD[Block] = {
     val centIdx = model.cents.zipWithIndex.toMap
+    val nCents = model.cents.length
     val dc = post.select(col("cent"), col("doc_id"))
       .groupBy("doc_id").agg(collect_list(col("cent")).as("cs"))
     val dt = PlaidIndex.docTokens(docs)
       .groupBy("doc_id").agg(collect_list(col("th")).as("ths"))
     dc.join(dt, "doc_id").rdd.mapPartitions { it =>
-      Iterator.single(it.map { r =>
+      val rows = it.map { r =>
         (r.getLong(0),
           r.getSeq[Long](1).map(centIdx(_)).toArray,
           r.getSeq[Long](2).toArray)
-      }.toArray)
+      }.toArray
+      val byCent = Array.fill(nCents)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      var x = 0
+      while (x < rows.length) {
+        rows(x)._2.foreach(ci => byCent(ci) += x)
+        x += 1
+      }
+      Iterator.single(Block(rows.map(_._1), rows.map(_._2), rows.map(_._3),
+        byCent.map(_.toArray)))
     }.persist(StorageLevel.MEMORY_AND_DISK)
   }
 
@@ -80,42 +95,82 @@ final class PlaidServer(docs: DataFrame, post: DataFrame, model: PlaidModel)
       }
       order.take(model.nprobe).foreach(i => probed(i) = true)
     }
-    // one job: per-partition interaction scoring into a bounded heap
-    // (key = −approx ⇒ BoundedTopK's (key asc, id asc) IS the pipeline's
-    // (approx desc, doc_id asc) order), winners carry their token hashes
+    // one job: per-partition candidate collection + interaction scoring
+    // into a bounded heap (key = −approx ⇒ BoundedTopK's (key asc, id
+    // asc) IS the pipeline's (approx desc, doc_id asc) order), winners
+    // carry their token hashes. Candidates come from the partition-local
+    // inverted postings — only probed centroids' doc lists are touched —
+    // with the SAME density-adaptive fallback as LocalPlaidServer: when
+    // the probed posting mass exceeds the partition's doc count (the
+    // degenerate every-doc-in-every-centroid corpora), one row scan with
+    // an early-exit membership test is cheaper than unioning the lists.
+    // The candidate set is identical either way (docs sharing ≥1 probed
+    // centroid), so result parity is unchanged.
     val (qmatL, probedL, qid, n) = (qmat, probed, queryId, topN)
     val partials = rdd.mapPartitions { it =>
-      it.flatMap { rows =>
+      it.flatMap { blk =>
+        val nDocs = blk.ids.length
         val heap = new BoundedTopK(n)
-        var x = 0
-        while (x < rows.length) {
-          val (id, dc, _) = rows(x)
+        def score(x: Int): Unit = {
+          val id = blk.ids(x)
           if (id != qid) {
-            var hit = false
-            var j = 0
-            while (!hit && j < dc.length) { hit = probedL(dc(j)); j += 1 }
-            if (hit) {
-              var s = 0.0
-              var i = 0
-              while (i < qmatL.length) {
-                val row = qmatL(i)
-                var best = Double.NegativeInfinity
-                var jj = 0
-                while (jj < dc.length) {
-                  val v = row(dc(jj)); if (v > best) best = v; jj += 1
-                }
-                s += best
-                i += 1
+            val dc = blk.dcs(x)
+            var s = 0.0
+            var i = 0
+            while (i < qmatL.length) {
+              val row = qmatL(i)
+              var best = Double.NegativeInfinity
+              var jj = 0
+              while (jj < dc.length) {
+                val v = row(dc(jj)); if (v > best) best = v; jj += 1
               }
-              heap.insert(id, -s)
+              s += best
+              i += 1
+            }
+            heap.insert(id, -s)
+          }
+        }
+        var probedMass = 0L
+        var ci = 0
+        while (ci < blk.postIdx.length) {
+          if (probedL(ci)) probedMass += blk.postIdx(ci).length
+          ci += 1
+        }
+        val winners: Iterator[Int] =
+          if (probedMass >= nDocs) {
+            var x = 0
+            while (x < nDocs) {
+              val dc = blk.dcs(x)
+              var hit = false
+              var j = 0
+              while (!hit && j < dc.length) { hit = probedL(dc(j)); j += 1 }
+              if (hit) score(x)
+              x += 1
+            }
+            Iterator.range(0, nDocs)
+          } else {
+            val cand = new java.util.BitSet(nDocs)
+            ci = 0
+            while (ci < blk.postIdx.length) {
+              if (probedL(ci)) {
+                val lst = blk.postIdx(ci)
+                var t = 0
+                while (t < lst.length) { cand.set(lst(t)); t += 1 }
+              }
+              ci += 1
+            }
+            var x = cand.nextSetBit(0)
+            while (x >= 0) { score(x); x = cand.nextSetBit(x + 1) }
+            new Iterator[Int] {
+              private var cur = cand.nextSetBit(0)
+              def hasNext: Boolean = cur >= 0
+              def next(): Int = { val r = cur; cur = cand.nextSetBit(cur + 1); r }
             }
           }
-          x += 1
-        }
         val approxOf = new scala.collection.mutable.LongMap[Double]
         heap.drainIterator.foreach { case (id, negA) => approxOf(id) = -negA }
-        rows.iterator.filter(r => approxOf.contains(r._1))
-          .map { case (id, _, toks) => (id, approxOf(id), toks) }
+        winners.filter(x => approxOf.contains(blk.ids(x)))
+          .map(x => (blk.ids(x), approxOf(blk.ids(x)), blk.toks(x)))
       }
     }.collect()
     // global first-stage merge, then the exact rerank on the driver —
@@ -168,4 +223,12 @@ final class PlaidServer(docs: DataFrame, post: DataFrame, model: PlaidModel)
     while (i < v.length) { s = s + v(i) * v(i); i += 1 }
     (v, math.sqrt(s))
   }
+}
+
+object PlaidServer {
+  /** Resident partition block: doc rows + the partition-local inverted
+    * postings (centroid index → doc row positions). Top-level so task
+    * closures don't capture the server (whose DataFrames can't ship). */
+  private[query] final case class Block(ids: Array[Long], dcs: Array[Array[Int]],
+      toks: Array[Array[Long]], postIdx: Array[Array[Int]])
 }
