@@ -1,29 +1,39 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 // temporary profiling scratchpad — not part of the library surface.
+// Warm/cold timing for named SparkEntry queries on one box:
+//   runMain graft.tools.Scratch <sfdir> <q1,q2,...> <reps>
+// Prints cold (first run in this JVM) and min/median of the warm reps —
+// the adjudication tool for "is this row slow or was the box busy".
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.lift(1).getOrElse("quality_nb_classify").split(",").map(_.trim)
+    val reps = args.lift(2).map(_.toInt).getOrElse(5)
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val d = graft.core.Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val model = graft.index.PlaidIndex.train(d, 24, 2)
-    val post = graft.index.PlaidIndex.build(d, model).cache()
-    val server = new graft.query.PlaidServer(d, post, model).warm()
-    val qs = d.where(col("doc_id") < 100).collect().map(r => (r.getLong(0), r.getString(1)))
-    server.search(qs.head._1, qs.head._2, 20, 10)
-    val times = qs.map { case (id, t) =>
-      val t1 = System.nanoTime(); server.search(id, t, 20, 10); (System.nanoTime()-t1)/1e6
-    }.sorted
-    println(f"[scratch] serve_plaid p50 ${times(times.length/2)}%.2f ms  p99 ${times((times.length*99)/100)}%.2f ms")
-    server.unpersist(); post.unpersist()
+    names.foreach { n =>
+      graft.SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val cold = once()
+          val warm = Array.fill(reps)(once()).sorted
+          println(f"[scratch] $n cold $cold%.2f s  warm min ${warm.head}%.2f s" +
+            f"  median ${warm(warm.length / 2)}%.2f s  max ${warm.last}%.2f s")
+        case None => println(s"[scratch] unknown query '$n'")
+      }
+    }
     spark.stop()
   }
 }
