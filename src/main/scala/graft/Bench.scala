@@ -137,6 +137,23 @@ object Bench {
     2.0 * reps * a.length / sec / 1e6
   }
 
+  /** Memory-bandwidth micro-burst (MB/s): one strided sweep over a 64 MB
+    * array touches every cache line. The FMA calib is L1-resident and
+    * BLIND to bandwidth contention — the r10 in-run evidence: pmi_topk
+    * read 80 s between two healthy FMA brackets while its Scratch warm
+    * cost is 3.4-4.5 s; shuffle-heavy rows stall on memory while the
+    * tiny FMA loop hums. This burst gives the artifact the second axis. */
+  private val membwArr: Array[Long] = Array.tabulate(8 << 20)(i => i.toLong)
+  private def membwBurst(): Double = {
+    var acc = 0L
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < membwArr.length) { acc += membwArr(i); i += 8 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (acc == Long.MinValue) println(acc) // defeat dead-code elim
+    membwArr.length * 8.0 / (1 << 20) / sec
+  }
+
   private var lastGcMs = 0L
   private var lastWallNs = System.nanoTime()
 
@@ -161,6 +178,7 @@ object Bench {
     results(s"${name}_wall_sec") = (wallNow - lastWallNs) / 1e9
     lastWallNs = wallNow
     results(s"${name}_calib") = calibBurst(2048)
+    results(s"${name}_membw") = membwBurst()
     lastGcMs = gc
     System.err.println(
       s"[bench-section] $name heap_used_mb=$usedMb gc_total_ms=$gc")
@@ -324,11 +342,24 @@ object Bench {
     val bestCalib = math.max(results("calib_mflops"),
       if (rowCalibs.isEmpty) 0.0 else rowCalibs.last)
     val degradedRows = rowCalib.filter(_._2 < bestCalib / 2.0).keys.toVector
-    results("headline_remeasured") = degradedRows.size.toDouble
-    degradedRows.foreach { name =>
+    // Second trigger: a row that DOMINATES the pass total re-measures
+    // regardless of calib brackets. The FMA calib is L1-resident and
+    // misses bandwidth/GC-stall contention entirely — the r10 local run
+    // read pmi_topk at 80 s between two healthy brackets (33% of the
+    // whole headline) for a row whose warm cost is 3.4-4.5 s. A genuine
+    // by-design expensive row reproduces on the retry and the evidence
+    // pair documents it; a stall collapses and min() repairs the total.
+    val firstPassTotal = headline.flatMap(results.get).sum
+    val dominantRows = headline.filter { n =>
+      results.get(n).exists(s => s > 10.0 && s > 0.10 * firstPassTotal) &&
+        !degradedRows.contains(n)
+    }
+    results("headline_remeasured") = (degradedRows.size + dominantRows.size).toDouble
+    (degradedRows ++ dominantRows).foreach { name =>
       SparkEntry.queries.get(name).foreach { fn =>
-        System.err.println(s"[bench-retry] headline $name measured at calib " +
-          f"${rowCalib(name)}%.0f vs run best $bestCalib%.0f — re-measuring once")
+        System.err.println(s"[bench-retry] headline $name (calib " +
+          f"${rowCalib(name)}%.0f vs run best $bestCalib%.0f, " +
+          f"${results(name)}%.1f s of $firstPassTotal%.1f s total) — re-measuring once")
         val first = results(name)
         val again = timedRow(name, fn)
         results(name) = math.min(first, again)
@@ -470,15 +501,28 @@ object Bench {
       val dist = new graft.query.PlaidServer(
         selWorld.docs, selPost, selWorld.model).warm()
       dist.search(qTexts.head._1, qTexts.head._2, 100, 10) // warm
-      System.gc()
-      val dTimes = qTexts.map { case (id, text) =>
-        val t0 = System.nanoTime()
-        dist.search(id, text, 100, 10)
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
+      def distPass(): Array[Double] = {
+        System.gc()
+        qTexts.map { case (id, text) =>
+          val t0 = System.nanoTime()
+          dist.search(id, text, 100, 10)
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+      }
+      val dTimes = distPass()
       results("serve_plaid_sel_p50_ms") = selPct(dTimes, 0.50)
       results("serve_plaid_sel_p95_ms") = selPct(dTimes, 0.95)
       results("serve_plaid_sel_p99_ms") = selPct(dTimes, 0.99)
+      // the r6 serving-retry discipline (the timeSingles rule, applied to
+      // this hand-rolled loop): healthy singles sit at the dispatch
+      // floor; past 100 ms re-measure once and ship both attempts
+      if (selPct(dTimes, 0.50) > 100.0) {
+        System.err.println("[bench-retry] serve_plaid_sel p50 " +
+          f"${selPct(dTimes, 0.50)}%.1f ms > 100 ms — re-measuring once")
+        val d2 = distPass()
+        results("serve_plaid_sel_p50_retry_ms") = selPct(d2, 0.50)
+        results("serve_plaid_sel_p95_retry_ms") = selPct(d2, 0.95)
+      }
       dist.unpersist()
       logSection(results, "plaid_sel_serve")
       // append under the FROZEN quantizer + the drift readout, timed at

@@ -190,7 +190,11 @@ object PlaidIndex {
     * C-row broadcast; the candidate count joins postings against the
     * broadcast probe set — shuffle ∝ probed posting rows. */
   def probeStats(post: DataFrame, queries: DataFrame, model: PlaidModel): DataFrame = {
+    // the probe set is consumed twice (size join + candidate join) and is
+    // bounded at queries×C rows — materialize it once instead of
+    // re-running the routing window subtree per consumer
     val probed = probedCents(qtokSimFrame(queries, model), model)
+      .localCheckpoint(eager = true)
     val sizes = post.groupBy("cent").agg(count(lit(1)).as("sz"))
     val totals = post.agg(count(lit(1)).cast("double").as("total_postings"),
       countDistinct(col("doc_id")).cast("double").as("n_docs"))

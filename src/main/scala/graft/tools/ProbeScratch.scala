@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+// temporary profiling scratchpad — not part of the library surface.
+// Isolates PlaidIndex.probeStats stages on the clustered-vocab world.
+object ProbeScratch {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(10000L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](name: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val world = t("world")(graft.core.CorpusGen.plaidWorld(
+      spark, nDocs, 4096, 256, 48, 1))
+    val post = t("build") {
+      val p = graft.index.PlaidIndex.build(world.docs, world.model).cache()
+      p.count(); p
+    }
+    val selQ = world.docs.where(col("doc_id") < 100)
+      .select(col("doc_id").as("query_id"), col("text"))
+    t("probeStats-1")(graft.index.PlaidIndex
+      .probeStats(post, selQ, world.model)
+      .agg(avg(col("scan_frac"))).first())
+    t("probeStats-2")(graft.index.PlaidIndex
+      .probeStats(post, selQ, world.model)
+      .agg(avg(col("scan_frac"))).first())
+    val selQc = selQ.cache(); selQc.count()
+    t("probeStats-cachedQ")(graft.index.PlaidIndex
+      .probeStats(post, selQc, world.model)
+      .agg(avg(col("scan_frac"))).first())
+    spark.stop()
+  }
+}
