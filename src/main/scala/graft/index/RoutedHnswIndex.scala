@@ -151,7 +151,22 @@ object RoutedHnswIndex {
     * balance split and per-shard graph build as [[build]]. The result
     * serves through the SAME [[knn]]/[[graft.query.LocalRoutedHnswServer]]
     * paths — the merge layers dedup replicated ids — and persists through
-    * the same (shard, id, vec, level, edges) schema. */
+    * the same (shard, id, vec, level, edges) schema.
+    *
+    * Serving-regime contract (measured, 1M × 128d grids r9/r10): the
+    * replicated graph's RESIDENT footprint is blowup × the base graph,
+    * and the serving heap must be provisioned for it — at 2.12× (the
+    * eps=1.0/maxReplicas=3 "wide" closure) the walk phases run 50-67%
+    * GC on a heap sized for the base graph, irrespective of shard
+    * splits. Treat wide closure as a BUILD-TIME recall dial for
+    * deployments that can pay blowup × memory at serve time; the
+    * 1.48× eps=0.6/maxReplicas=2 config is the recommended serving
+    * point. Prefer [[buildReplicatedBalanced]] so per-task residency
+    * stays inside the heap-derived cap under any (eps, maxReplicas) —
+    * the re-split also measurably HELPS recall at equal storage (r10
+    * 1M grid: rep r4/ef200 0.834 → 0.8665, repw r4/ef50 0.7612 →
+    * 0.8046 — more sub-shards per probed region union more local
+    * top-k candidates into the merge). */
   def buildReplicated(vectors: DataFrame, model: RoutedHnswModel, eps: Double,
       maxReplicas: Int = 2, m: Int = HnswIndex.M,
       efConstruction: Int = HnswIndex.EfConstruction): DataFrame = {
