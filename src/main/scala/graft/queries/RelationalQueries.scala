@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,18 +20,32 @@ object RelationalQueries extends QueryProvider {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Wide partial aggregation over the biggest fact table (TPC-H Q1 shape)
+    // Money sums run in DECIMAL (sf1 sweep finding: at 6M rows the
+    // double sum's accumulation order — nondeterministic across Spark's
+    // partial aggregation, sequential in DuckDB — moved sum_charge's
+    // group (N,F) across a half-cent boundary: ...588.3450 rounding .34
+    // vs .35). The per-row product stays double (row-local, identical
+    // IEEE ops in both engines); casting it to DECIMAL(30,10) is a
+    // deterministic per-row rounding, and the decimal SUM is exactly
+    // associative — order-free at any scale, which is the only property
+    // that survives 1000 executors. Averages divide the exact decimal
+    // sum (as double) by the count. TPC-H itself specs these columns
+    // DECIMAL(15,2).
     "q1_lineitem_agg" -> ((s, dir) => {
+      def dsum(c: Column) = sum(c.cast("decimal(30,10)"))
       val li = Tables.load(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          round(dsum(col("l_quantity")), 2).cast("double").as("sum_qty"),
+          round(dsum(col("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+          round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))), 2).cast("double").as("sum_charge"),
+          round(dsum(col("l_quantity")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          round(dsum(col("l_extendedprice")).cast("double") / count(lit(1)), 4).as("avg_price"),
+          round(dsum(col("l_discount")).cast("double") / count(lit(1)), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
     }),
     // Star join: fact ⋈ orders ⋈ customer ⋈ broadcast(nation ⋈ region)
@@ -47,7 +61,9 @@ object RelationalQueries extends QueryProvider {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          // exact decimal sum — same order-free discipline as q1
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(30,10)")), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
     // Per-group top-k via ranking window (T1's batch form on a non-vector table)
@@ -98,20 +114,20 @@ object RelationalQueries extends QueryProvider {
   def oracles: Map[String, String] = Map(
     "q1_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |       round(avg(l_quantity), 4) AS avg_qty,
-        |       round(avg(l_extendedprice), 4) AS avg_price,
-        |       round(avg(l_discount), 4) AS avg_disc,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))), 2) AS DOUBLE) AS sum_charge,
+        |       round(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_price,
+        |       round(CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(*), 4) AS avg_disc,
         |       count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_revenue_by_nation" ->
       """SELECT r_name, n_name,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))), 2) AS DOUBLE) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
