@@ -1,0 +1,240 @@
+package graft.index
+
+import graft.core.Metric
+
+/** Compiled, query-time-only HNSW shard graph in CSR form.
+  *
+  * [[LocalHnsw]] is the BUILD structure (hnsw.go insert/prune mirrored on
+  * a long-keyed node map — mutation needs the map). Query-time it pays a
+  * hash lookup per distance evaluation and allocates a fresh visited set
+  * + two heaps per walk (~36 KB); at the bench batch shape (1000 queries
+  * × 32 shards) that is ~1.2 MB of garbage PER QUERY, and the parallel
+  * batch row measured GC-bound at <10% parallel efficiency. This class
+  * is the same graph frozen for search:
+  *
+  *  - nodes sorted ascending by id; a node's POSITION replaces its id in
+  *    every hot loop, so the engine-wide (rank_key, id) tie-break is
+  *    exactly (rank_key, position) — no order change anywhere;
+  *  - vectors packed in one flat double array (position * dim offsets —
+  *    the [[Metric.rankKeyScalar]] block form, no per-node object);
+  *  - per-layer adjacency in CSR (int positions, not long ids);
+  *  - all per-walk state lives in a per-thread [[HnswScratch]] reused
+  *    across queries: an epoch-stamped visited array (O(1) clear) and
+  *    two primitive heaps. Steady-state search allocates only the
+  *    returned top-k.
+  *
+  * Results are bit-identical to [[LocalHnsw.knn]] (CompiledHnswSpec
+  * fuzzes the parity): same greedy descent (hnsw.go:156-173), same
+  * ef-bounded layer-0 expansion (hnsw.go:343-394), same (rank_key, id)
+  * orderings, same edge iteration order (CSR preserves list order).
+  */
+private[graft] final class CompiledHnsw(
+    val ids: Array[Long], // ascending; position -> id
+    val vecs: Array[Double], // position * dim, packed
+    val dim: Int,
+    metric: Metric,
+    layerOff: Array[Array[Int]], // per layer: n+1 CSR offsets
+    layerAdj: Array[Array[Int]], // per layer: neighbor positions
+    entryPos: Int,
+    maxLevel: Int)
+    extends Serializable {
+
+  val n: Int = ids.length
+
+  @inline private def key(q: Array[Double], pos: Int): Double =
+    metric.walkKeyScalar(q, vecs, pos * dim, dim)
+
+  /** Greedy hill-descent (hnsw.go:156-173 / 295-312): at each layer from
+    * `fromLayer` down to (excl.) `downTo`, follow strictly-improving
+    * edges to a local minimum. Identical scan order to
+    * [[LocalHnsw.descend]] — edges in stored order, running best. */
+  private def descend(q: Array[Double], from: Int, fromLayer: Int, downTo: Int): Int = {
+    var curr = from
+    var currDist = key(q, curr)
+    var lc = fromLayer
+    while (lc > downTo) {
+      val off = layerOff(lc)
+      val adj = layerAdj(lc)
+      var changed = true
+      while (changed) {
+        changed = false
+        var e = off(curr)
+        val end = off(curr + 1)
+        while (e < end) {
+          val nb = adj(e)
+          val d = key(q, nb)
+          if (d < currDist) { currDist = d; curr = nb; changed = true }
+          e += 1
+        }
+      }
+      lc -= 1
+    }
+    curr
+  }
+
+  /** ef-bounded best-first expansion at one layer (hnsw.go:343-394),
+    * mirroring [[LocalHnsw.searchLayer]] comparison-for-comparison; the
+    * ef best survivors are left in `s.results` (worst at the root). */
+  private def searchLayer(q: Array[Double], entry: Int, ef: Int, layer: Int,
+      s: HnswScratch): Unit = {
+    val off = layerOff(layer)
+    val adj = layerAdj(layer)
+    val stamp = s.stamp
+    val ep = s.epoch
+    val frontier = s.frontier
+    val results = s.results
+    val d0 = key(q, entry)
+    frontier.add(d0, entry); results.add(d0, entry); stamp(entry) = ep
+    var done = false
+    while (!done && frontier.size > 0) {
+      val cd = frontier.peekDist
+      val ci = frontier.peekPos
+      // nearest frontier entry beyond the worst keeper: done (position
+      // order IS id order — nodes are sorted ascending by id)
+      if (cd > results.peekDist || (cd == results.peekDist && ci > results.peekPos)) {
+        done = true
+      } else {
+        frontier.poll()
+        var e = off(ci)
+        val end = off(ci + 1)
+        while (e < end) {
+          val nb = adj(e)
+          if (stamp(nb) != ep) {
+            stamp(nb) = ep
+            val d = key(q, nb)
+            if (results.size < ef || d < results.peekDist ||
+                (d == results.peekDist && nb < results.peekPos)) {
+              frontier.add(d, nb); results.add(d, nb)
+              if (results.size > ef) results.poll()
+            }
+          }
+          e += 1
+        }
+      }
+    }
+  }
+
+  /** Search this shard's graph (hnsw.go:141-186): greedy descent through
+    * layers > 0, then layer-0 ef-search; top-k ascending (rankKey, id).
+    * Result-identical to [[LocalHnsw.knn]]. */
+  def knn(q: Array[Double], k: Int, efSearch: Int): Array[(Long, Double)] = {
+    if (n == 0) return Array.empty
+    val s = CompiledHnsw.scratch()
+    s.begin(n)
+    val curr = descend(q, entryPos, maxLevel, 0)
+    searchLayer(q, curr, efSearch, 0, s)
+    val res = s.results
+    val take = math.min(k, res.size)
+    while (res.size > take) res.poll() // shed beyond-k survivors, worst-first
+    val out = new Array[(Long, Double)](take)
+    var i = take - 1
+    while (i >= 0) {
+      out(i) = (ids(res.peekPos), res.peekDist)
+      res.poll()
+      i -= 1
+    }
+    out
+  }
+
+  /** [[knn]] fused into a caller-held merge — the batch hot path: no
+    * per-call tuple array, winners stream straight into the bounded
+    * top-k. `distinct` routes through insertDistinct (replicated
+    * builds, where one id lives in several probed shards). */
+  def knnInto(q: Array[Double], k: Int, efSearch: Int, merge: BoundedTopK,
+      distinct: Boolean = false): Unit = {
+    if (n == 0) return
+    val s = CompiledHnsw.scratch()
+    s.begin(n)
+    val curr = descend(q, entryPos, maxLevel, 0)
+    searchLayer(q, curr, efSearch, 0, s)
+    val res = s.results
+    val take = math.min(k, res.size)
+    while (res.size > take) res.poll()
+    while (res.size > 0) {
+      if (distinct) merge.insertDistinct(ids(res.peekPos), res.peekDist)
+      else merge.insert(ids(res.peekPos), res.peekDist)
+      res.poll()
+    }
+  }
+}
+
+private[graft] object CompiledHnsw {
+
+  /** One scratch per thread per JVM, grown to the largest graph the
+    * thread has walked (stamp = n ints; at the 1M routed shape ~124 KB
+    * per thread). The epoch stamp makes cross-graph reuse safe: every
+    * walk begins with a fresh epoch, so stale stamps — same-position
+    * entries from ANOTHER graph included — never match. */
+  private val tl: ThreadLocal[HnswScratch] =
+    ThreadLocal.withInitial(() => new HnswScratch)
+
+  private[index] def scratch(): HnswScratch = tl.get()
+}
+
+/** Reusable per-thread search state: epoch-stamped visited array and the
+  * two walk heaps. Never shared across threads; a walk runs start-to-
+  * finish on one thread with no internal joins, so per-thread reuse is
+  * re-entrancy-safe even on the ForkJoin common pool. */
+private[graft] final class HnswScratch {
+  var stamp: Array[Int] = new Array[Int](0)
+  var epoch = 0
+  val frontier = new PosDistHeap(maxHeap = false)
+  val results = new PosDistHeap(maxHeap = true)
+
+  def begin(n: Int): Unit = {
+    if (stamp.length < n) { stamp = new Array[Int](n); epoch = 0 }
+    epoch += 1
+    if (epoch == Int.MaxValue) { java.util.Arrays.fill(stamp, 0); epoch = 1 }
+    frontier.clear()
+    results.clear()
+  }
+}
+
+/** [[DistHeap]] over (dist, position) with O(1) clear — position order
+  * is id order in a [[CompiledHnsw]], so the lexicographic (dist, pos)
+  * comparisons here are exactly the engine-wide (dist, id). */
+private[graft] final class PosDistHeap(maxHeap: Boolean) {
+  private var ds = new Array[Double](64)
+  private var ps = new Array[Int](64)
+  var size = 0
+
+  @inline private def before(d1: Double, p1: Int, d2: Double, p2: Int): Boolean =
+    if (maxHeap) d1 > d2 || (d1 == d2 && p1 > p2)
+    else d1 < d2 || (d1 == d2 && p1 < p2)
+
+  def peekDist: Double = ds(0)
+  def peekPos: Int = ps(0)
+  def clear(): Unit = size = 0
+
+  def add(d: Double, pos: Int): Unit = {
+    if (size == ds.length) {
+      ds = java.util.Arrays.copyOf(ds, size * 2)
+      ps = java.util.Arrays.copyOf(ps, size * 2)
+    }
+    var i = size
+    size += 1
+    while (i > 0 && before(d, pos, ds((i - 1) / 2), ps((i - 1) / 2))) {
+      val p = (i - 1) / 2
+      ds(i) = ds(p); ps(i) = ps(p); i = p
+    }
+    ds(i) = d; ps(i) = pos
+  }
+
+  def poll(): Unit = {
+    size -= 1
+    val d = ds(size)
+    val pos = ps(size)
+    var i = 0
+    var done = false
+    while (!done) {
+      var c = 2 * i + 1
+      if (c >= size) done = true
+      else {
+        if (c + 1 < size && before(ds(c + 1), ps(c + 1), ds(c), ps(c))) c += 1
+        if (before(ds(c), ps(c), d, pos)) { ds(i) = ds(c); ps(i) = ps(c); i = c }
+        else done = true
+      }
+    }
+    ds(i) = d; ps(i) = pos
+  }
+}

@@ -200,10 +200,10 @@ object HnswIndex {
           byShard.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((id, v, l, e))
         }
         byShard.valuesIterator.foreach { rows =>
-          val g = LocalHnsw.fromTuples(rows, metric)
+          val g = LocalHnsw.fromTuples(rows, metric).compile()
           var qi = 0
           while (qi < qs.length) {
-            g.knn(qs(qi), k, ef).foreach { case (id, d) => heaps(qi).insert(id, d) }
+            g.knnInto(qs(qi), k, ef, heaps(qi))
             qi += 1
           }
         }
@@ -250,7 +250,7 @@ private[graft] final class LocalHnsw(m: Int, efConstruction: Int, metric: Metric
   private var maxLevel = 0
 
   private def key(q: Array[Double], id: Long): Double =
-    metric.rankKeyScalar(q, nodes(id).vec)
+    metric.walkKeyScalar(q, nodes(id).vec)
 
   /** Greedy hill-descent at one layer: follow strictly-improving edges
     * until a local minimum (hnsw.go:156-173 / 295-312). Returns the id. */
@@ -323,7 +323,7 @@ private[graft] final class LocalHnsw(m: Int, efConstruction: Int, metric: Metric
     var e = 0
     while (e < es.size) {
       val nb = es(e)
-      keep.insert(nb, metric.rankKeyScalar(node.vec, nodes(nb).vec))
+      keep.insert(nb, metric.walkKeyScalar(node.vec, nodes(nb).vec))
       e += 1
     }
     es.clear()
@@ -398,6 +398,64 @@ private[graft] final class LocalHnsw(m: Int, efConstruction: Int, metric: Metric
   /** (id, vec, level, edges-per-level) rows for the graph table. */
   def nodeRows: Iterator[(Long, Array[Double], Int, Array[Array[Long]])] =
     nodes.valuesIterator.map(n => (n.id, n.vec, n.level, n.edges.map(_.toArray)))
+
+  /** Freeze this graph for query-time use: nodes sorted ascending by id
+    * (position order ≡ id order — the engine tie-break carries over),
+    * vectors packed flat, adjacency in per-layer CSR with int positions,
+    * edge order preserved. See [[CompiledHnsw]] for why. */
+  def compile(): CompiledHnsw = {
+    val arr = nodes.values.toArray.sortBy(_.id)
+    val nN = arr.length
+    if (nN == 0)
+      return new CompiledHnsw(Array.emptyLongArray, Array.emptyDoubleArray, 0,
+        metric, Array(Array(0)), Array(Array.emptyIntArray), 0, 0)
+    val dim = arr(0).vec.length
+    val posOf = new mutable.LongMap[Int](nN * 2)
+    var i = 0
+    while (i < nN) { posOf(arr(i).id) = i; i += 1 }
+    val ids = new Array[Long](nN)
+    val vecs = new Array[Double](nN * dim)
+    i = 0
+    while (i < nN) {
+      ids(i) = arr(i).id
+      System.arraycopy(arr(i).vec, 0, vecs, i * dim, dim)
+      i += 1
+    }
+    val nLayers = maxLevel + 1
+    val layerOff = new Array[Array[Int]](nLayers)
+    val layerAdj = new Array[Array[Int]](nLayers)
+    var l = 0
+    while (l < nLayers) {
+      val off = new Array[Int](nN + 1)
+      i = 0
+      while (i < nN) {
+        off(i + 1) = off(i) +
+          (if (l < arr(i).edges.length) arr(i).edges(l).size else 0)
+        i += 1
+      }
+      val adj = new Array[Int](off(nN))
+      i = 0
+      while (i < nN) {
+        if (l < arr(i).edges.length) {
+          val es = arr(i).edges(l)
+          var w = off(i)
+          var e = 0
+          while (e < es.size) {
+            val p = posOf.getOrElse(es(e), -1)
+            require(p >= 0, s"dangling edge ${es(e)} at layer $l")
+            adj(w) = p
+            w += 1; e += 1
+          }
+        }
+        i += 1
+      }
+      layerOff(l) = off
+      layerAdj(l) = adj
+      l += 1
+    }
+    new CompiledHnsw(ids, vecs, dim, metric, layerOff, layerAdj,
+      posOf(entryPoint), maxLevel)
+  }
 }
 
 private[graft] object LocalHnsw {

@@ -365,13 +365,13 @@ object RoutedHnswIndex {
         byShard.iterator.foreach { case (shard, rows) =>
           val qlist = inverted(shard)
           if (qlist.nonEmpty) {
-            val g = LocalHnsw.fromTuples(rows, metric)
+            val g = LocalHnsw.fromTuples(rows, metric).compile()
             var t = 0
             while (t < qlist.length) {
               val qi = qlist(t)
               // insertDistinct: a replicated build ([[buildReplicated]])
               // can surface one id from two shards of the same partition
-              g.knn(qs(qi), k, ef).foreach { case (id, d) => heaps(qi).insertDistinct(id, d) }
+              g.knnInto(qs(qi), k, ef, heaps(qi), distinct = true)
               t += 1
             }
           }

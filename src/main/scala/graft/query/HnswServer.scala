@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 import graft.core.Metric
-import graft.index.{BoundedTopK, HnswIndex, LocalHnsw}
+import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex, LocalHnsw}
 
 /** Online single-query serving over the sharded HNSW graph — the
   * reference's actual in-process serving role (its default index is
@@ -29,7 +29,7 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
 
   private val m = metric
 
-  private val rdd: RDD[LocalHnsw] = {
+  private val rdd: RDD[CompiledHnsw] = {
     val met = metric
     // `numShards` > 0 skips the max(shard) discovery job — pass it when
     // the build config is known (builder, persisted num_shards metadata)
@@ -46,7 +46,7 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
         it.foreach { case (s, id, v, l, e) =>
           byShard.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer) += ((id, v, l, e))
         }
-        byShard.valuesIterator.map(rows => LocalHnsw.fromTuples(rows, met))
+        byShard.valuesIterator.map(rows => LocalHnsw.fromTuples(rows, met).compile())
       }
       .cache()
   }
@@ -76,7 +76,7 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
       it.foreach { g =>
         var qi = 0
         while (qi < qs.length) {
-          g.knn(qs(qi), k, ef).foreach { case (id, d) => heaps(qi).insert(id, d) }
+          g.knnInto(qs(qi), k, ef, heaps(qi))
           qi += 1
         }
       }
@@ -94,7 +94,7 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
     val ef = math.max(efSearch, k)
     val partials = rdd.mapPartitions { it =>
       val merge = new BoundedTopK(k)
-      it.foreach(g => g.knn(q, k, ef).foreach { case (id, d) => merge.insert(id, d) })
+      it.foreach(g => g.knnInto(q, k, ef, merge))
       merge.drainIterator
     }.collect()
     val top = new BoundedTopK(k)

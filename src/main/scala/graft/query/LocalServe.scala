@@ -287,14 +287,16 @@ final class LocalIvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel) {
   * regions' graphs walk. Result-identical to [[graft.index
   * .RoutedHnswIndex.knn]] (same probe order, same walks, same merge). */
 final class LocalRoutedHnswServer(graph: DataFrame, model: RoutedHnswModel) {
-  import graft.index.{HnswIndex, LocalHnsw}
+  import graft.index.{CompiledHnsw, HnswIndex, LocalHnsw}
 
   // indexed by physical shard id; empty shards stay null
-  private val graphs: Array[LocalHnsw] = {
-    val arr = new Array[LocalHnsw](model.numShards)
+  private val graphs: Array[CompiledHnsw] = {
+    val arr = new Array[CompiledHnsw](model.numShards)
     HnswIndex.shardGrouped(graph, model.numShards).collect()
       .groupBy(_._1).foreach { case (s, rs) =>
-        arr(s) = LocalHnsw.fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), model.metric)
+        arr(s) = LocalHnsw
+          .fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), model.metric)
+          .compile()
       }
     arr
   }
@@ -308,8 +310,36 @@ final class LocalRoutedHnswServer(graph: DataFrame, model: RoutedHnswModel) {
     // distinct merge: the graph may be a replicated build, where one id
     // lives in several probed regions' shards
     LocalServe.scan(probed, k, distinct = true) { (g, merge) =>
-      g.knn(q, k, ef).foreach { case (id, d) => merge.insert(id, d) }
+      g.knnInto(q, k, ef, merge)
     }.ranked.map { case (id, d, r) => (id, model.metric.finishRankScalar(d), r) }
+  }
+
+  /** Batch throughput path — queries fan across the common pool, each
+    * query routes (driver-side probe ranking) and walks ONLY its probed
+    * regions' graphs sequentially into one distinct-merging bounded
+    * top-k. This is the engine's honest high-QPS serving shape: per
+    * query O(R · log shard_size) work, constant in corpus size — see
+    * [[graft.index.RoutedHnswIndex]]. Result-identical per query to
+    * [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int, probeRegions: Int,
+      efSearch: Int = graft.index.HnswIndex.EfSearch): Array[Array[(Long, Double, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val ef = math.max(efSearch, k)
+    val out = new Array[Array[(Long, Double, Int)]](qs.length)
+    java.util.stream.IntStream.range(0, qs.length).parallel().forEach { qi =>
+      val merge = new graft.index.BoundedTopK(k)
+      val probed = RoutedHnswIndex.probeShards(qs(qi), model, probeRegions)
+      var s = 0
+      while (s < probed.length) {
+        val g = graphs(probed(s))
+        if (g != null) g.knnInto(qs(qi), k, ef, merge, distinct = true)
+        s += 1
+      }
+      out(qi) = merge.ranked.map { case (id, d, r) =>
+        (id, model.metric.finishRankScalar(d), r)
+      }
+    }
+    out
   }
 }
 
@@ -323,15 +353,16 @@ final class LocalRoutedHnswServer(graph: DataFrame, model: RoutedHnswModel) {
   * are microseconds each; the distributed sibling pays the job-dispatch
   * floor on exactly the same walks. */
 final class LocalHnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1) {
-  import graft.index.{HnswIndex, LocalHnsw}
+  import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex, LocalHnsw}
 
-  private val graphs: Array[LocalHnsw] = {
+  private val graphs: Array[CompiledHnsw] = {
     val nShards =
       if (numShards > 0) numShards
       else graph.agg(org.apache.spark.sql.functions.max(col("shard"))).head.getInt(0) + 1
     HnswIndex.shardGrouped(graph, nShards).collect()
       .groupBy(_._1).values
-      .map(rs => LocalHnsw.fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), metric))
+      .map(rs =>
+        LocalHnsw.fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), metric).compile())
       .toArray
   }
 
@@ -340,8 +371,33 @@ final class LocalHnswServer(graph: DataFrame, metric: Metric, numShards: Int = -
     require(k > 0, s"serving requires k > 0, got $k")
     val ef = math.max(efSearch, k)
     LocalServe.scan(graphs, k) { (g, merge) =>
-      g.knn(q, k, ef).foreach { case (id, d) => merge.insert(id, d) }
+      g.knnInto(q, k, ef, merge)
     }.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+  }
+
+  /** Batch throughput path: queries fan across the common pool; each
+    * query walks every shard SEQUENTIALLY on its worker into one bounded
+    * merge — no per-query fork fan-out, no per-shard partial arrays.
+    * With compiled walks in the microseconds, per-query fork overhead
+    * (32 subtask submissions) would otherwise rival the walks
+    * themselves. Merging all shards into one [[BoundedTopK]] is
+    * order-invariant, so results are identical to [[search]]'s
+    * two-level merge row-for-row. */
+  def searchBatch(qs: Array[Array[Double]], k: Int,
+      efSearch: Int = graft.index.HnswIndex.EfSearch): Array[Array[(Long, Double, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    val ef = math.max(efSearch, k)
+    val out = new Array[Array[(Long, Double, Int)]](qs.length)
+    java.util.stream.IntStream.range(0, qs.length).parallel().forEach { qi =>
+      val merge = new BoundedTopK(k)
+      var g = 0
+      while (g < graphs.length) {
+        graphs(g).knnInto(qs(qi), k, ef, merge)
+        g += 1
+      }
+      out(qi) = merge.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+    }
+    out
   }
 }
 

@@ -122,6 +122,44 @@ class LocalServeSpec extends AnyFunSuite {
     dist.unpersist()
   }
 
+  test("LocalHnswServer.searchBatch ≡ search per query (single-merge fusion)") {
+    val (corpus, _) = vecs
+    val shards = 8
+    val graph = HnswIndex.build(corpus, shards, Metric.L2)
+    val local = new LocalHnswServer(graph, Metric.L2, shards)
+    val out = local.searchBatch(queriesArr.map(_._2), K, efSearch = 50)
+    queriesArr.indices.foreach { i =>
+      assert(out(i).toSeq ==
+        local.search(queriesArr(i)._2, K, efSearch = 50).toSeq,
+        s"query ${queriesArr(i)._1}")
+    }
+  }
+
+  test("LocalRoutedHnswServer.searchBatch ≡ search per query, incl. replicated") {
+    val (corpus, _) = vecs
+    val model = graft.index.RoutedHnswIndex.train(
+      corpus, 8, Metric.L2, targetShardRows = 256)
+    Seq(
+      graft.index.RoutedHnswIndex.build(corpus, model) -> model,
+      {
+        val (m2, g2) = graft.index.RoutedHnswIndex.buildReplicatedBalanced(
+          corpus, model, eps = 0.4, maxReplicas = 2, targetShardRows = 256)
+        g2 -> m2
+      }
+    ).foreach { case (graph, m) =>
+      val local = new LocalRoutedHnswServer(graph, m)
+      Seq(1, 3).foreach { r =>
+        val out = local.searchBatch(queriesArr.map(_._2), K,
+          probeRegions = r, efSearch = 50)
+        queriesArr.indices.foreach { i =>
+          assert(out(i).toSeq ==
+            local.search(queriesArr(i)._2, K, probeRegions = r, efSearch = 50).toSeq,
+            s"R=$r query ${queriesArr(i)._1}")
+        }
+      }
+    }
+  }
+
   test("LocalBqServer ≡ BqServer") {
     val (corpus, _) = vecs
     val model = BqIndex.train(corpus, Metric.L2)
