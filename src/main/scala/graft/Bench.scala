@@ -590,6 +590,44 @@ object Bench {
     results("flat_recall") = 1.0
     logSection(results, "flat")
 
+    // -- shared by the *_local_batch rows: the full query batch + exact
+    // truth, driver-resident. These rows are the apples-to-apples
+    // counterpart of the reference's in-memory BatchSearch numbers
+    // (benchmark_comparison.go): queries fan across the common pool over
+    // the SAME driver-resident blocks the serve_local_* rows scan, each
+    // query's blocks scanned sequentially into one bounded merge
+    // (spec-pinned ≡ the single-query row per query). The DataFrame
+    // *_qps rows above pay a per-batch Spark job the reference never
+    // pays; these pay neither. --
+    val batchQPairs =
+      if (serveQ > 0 && localVecOk)
+        queries.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      else Array.empty[(Long, Array[Double])]
+    val batchQVecs = batchQPairs.map(_._2)
+    val batchTruth: Map[Long, Set[Long]] =
+      if (batchQPairs.nonEmpty)
+        flatRes.select("query_id", "neighbor_id").collect()
+          .groupBy(_.getLong(0)).map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
+      else Map.empty
+    def localBatchRows(prefix: String)(run: () => Array[Array[Long]]): Unit =
+      if (batchQPairs.nonEmpty) {
+        run() // warm
+        var out: Array[Array[Long]] = null
+        def once(): Double = {
+          val t0 = System.nanoTime(); out = run(); (System.nanoTime() - t0) / 1e9
+        }
+        val sec = math.min(once(), once())
+        results(s"${prefix}_qps") = benchQ / sec
+        var hits = 0L
+        var total = 0L
+        batchQPairs.indices.foreach { i =>
+          val t = batchTruth(batchQPairs(i)._1)
+          total += t.size
+          hits += out(i).count(t.contains)
+        }
+        results(s"${prefix}_recall") = hits.toDouble / total
+      }
+
     val nlist = math.max(16, math.sqrt(benchN.toDouble).toInt) // ref: 316 at 100k
     // reference's 5000-row training cap (identical protocol at the 100k
     // config), grown only when IVFPQ's ≥ nlist×10 guard (ivfpq.go:121-123)
@@ -651,6 +689,12 @@ object Bench {
         val localFlat = new graft.query.LocalFlatServer(vectors, Metric.L2)
         timeSingles(results, "serve_local_flat", singles,
           1000.0 * flatSec / benchQ)(q => localFlat.search(q, K))
+        localBatchRows("ivf_local_batch")(() =>
+          localIvf.searchBatch(batchQVecs, K, 10).map(_.map(_._1)))
+        // recall here is 1.0 by construction (the scan IS the truth's
+        // kernel) — kept as a free parity sanity row
+        localBatchRows("flat_local_batch")(() =>
+          localFlat.searchBatch(batchQVecs, K).map(_.map(_._1)))
         logSection(results, "serve_local")
       } else System.err.println(
         s"[bench] serve_local_{flat,ivf,lsh,hnsw} skipped: $benchN x $dim " +
@@ -708,6 +752,8 @@ object Bench {
       val local = new graft.query.LocalPqServer(pqCodes, pqModel)
       timeSingles(results, "serve_local_pq", singles,
         1000.0 * pqSec / benchQ)(q => local.search(q, K))
+      localBatchRows("pq_local_batch")(() =>
+        local.searchBatch(batchQVecs, K).map(_.map(_._1)))
     }
     pqCodes.unpersist()
 
@@ -807,6 +853,8 @@ object Bench {
       val local = new graft.query.LocalSq8Server(sq8Codes, sq8Model)
       timeSingles(results, "serve_local_sq8", singles,
         1000.0 * sq8Sec / benchQ)(q => local.search(q, K))
+      localBatchRows("sq8_local_batch")(() =>
+        local.searchBatch(batchQVecs, K).map(_.map(_._1)))
       // IVF×SQ8 composite serving (round 8, VERDICT r7 #7): the probe
       // mask bounds the per-query resident scan to ~nprobe/nlist of the
       // byte-packed rows — serve_sq8 is the exhaustive-scan upper bound,
@@ -883,6 +931,8 @@ object Bench {
       val local = new graft.query.LocalBqServer(bqCodes, bqModel)
       timeSingles(results, "serve_local_bq", singles,
         1000.0 * bqSec / benchQ)(q => local.search(q, K))
+      localBatchRows("bq_local_batch")(() =>
+        local.searchBatch(batchQVecs, K).map(_.map(_._1)))
     }
     bqCodes.unpersist()
 
@@ -1384,14 +1434,16 @@ object Bench {
       // tier 1 — the BASELINE.md protocol rows + this round's serving
       // matrix; ordered so a budget cut eats from the bottom up
       "calib_mflops", "headline_sec", "headline_calib", "headline_remeasured",
-      "flat_qps", "flat_recall",
+      "flat_qps", "flat_recall", "flat_local_batch_qps",
       "ivf_build_sec", "ivf_qps", "ivf_recall",
       "ivf_np50_qps", "ivf_np50_recall",
-      "pq_build_sec", "pq_qps", "pq_recall",
+      "ivf_local_batch_qps", "ivf_local_batch_recall",
+      "pq_build_sec", "pq_qps", "pq_recall", "pq_local_batch_qps", "pq_local_batch_recall",
       "ivfpq_build_sec", "ivfpq_qps", "ivfpq_recall",
       "opq_ivfpq_rerank_qps", "opq_ivfpq_rerank_recall",
-      "sq8_qps", "sq8_recall",
-      "bq_qps", "bq_recall", "bq_rerank_qps", "bq_rerank_recall",
+      "sq8_qps", "sq8_recall", "sq8_local_batch_qps", "sq8_local_batch_recall",
+      "bq_qps", "bq_recall", "bq_local_batch_qps", "bq_local_batch_recall",
+      "bq_rerank_qps", "bq_rerank_recall",
       "lsh_qps", "lsh_recall",
       "hnsw_build_sec", "hnsw_qps", "hnsw_recall",
       "hnsw_local_batch_qps", "hnsw_local_batch_recall",

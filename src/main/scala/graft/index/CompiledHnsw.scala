@@ -169,6 +169,77 @@ private[graft] object CompiledHnsw {
     ThreadLocal.withInitial(() => new HnswScratch)
 
   private[index] def scratch(): HnswScratch = tl.get()
+
+  /** Compile straight from stored (id, vec, level, edges) rows — the
+    * query-path loader. Skips the [[LocalHnsw]] node-map intermediate
+    * (`fromTuples` allocates a Node + LongMap entry + per-layer
+    * LongArrayLists per row, all garbage the moment compile() finishes;
+    * on the per-job rebuild paths that intermediate dominated the
+    * rebuild's allocation). Structure-identical to
+    * `LocalHnsw.fromTuples(rows, metric).compile()`: same ascending-id
+    * positions, same entry point (min-id node of the max level — the
+    * build-time entry), same stored edge order. */
+  def fromTuples(rows: Iterable[(Long, Seq[Double], Int, Seq[Seq[Long]])],
+      metric: Metric): CompiledHnsw = {
+    val arr = rows.toArray.sortBy(_._1)
+    val n = arr.length
+    if (n == 0)
+      return new CompiledHnsw(Array.emptyLongArray, Array.emptyDoubleArray, 0,
+        metric, Array(Array(0)), Array(Array.emptyIntArray), 0, 0)
+    val dim = arr(0)._2.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Double](n * dim)
+    var entry = 0
+    var top = -1
+    var i = 0
+    while (i < n) {
+      val (id, v, level, _) = arr(i)
+      ids(i) = id
+      val it = v.iterator
+      var j = i * dim
+      while (it.hasNext) { vecs(j) = it.next(); j += 1 }
+      // ascending-id scan: the FIRST node at a strictly-higher level
+      // wins, which is exactly "min id of the max level"
+      if (level > top) { top = level; entry = i }
+      i += 1
+    }
+    val maxLevel = math.max(top, 0)
+    val posOf = new scala.collection.mutable.LongMap[Int](n * 2)
+    i = 0
+    while (i < n) { posOf(ids(i)) = i; i += 1 }
+    val nLayers = maxLevel + 1
+    val layerOff = new Array[Array[Int]](nLayers)
+    val layerAdj = new Array[Array[Int]](nLayers)
+    var l = 0
+    while (l < nLayers) {
+      val off = new Array[Int](n + 1)
+      i = 0
+      while (i < n) {
+        val es = arr(i)._4
+        off(i + 1) = off(i) + (if (l < es.length) es(l).length else 0)
+        i += 1
+      }
+      val adj = new Array[Int](off(n))
+      i = 0
+      while (i < n) {
+        val es = arr(i)._4
+        if (l < es.length) {
+          var w = off(i)
+          es(l).foreach { nb =>
+            val p = posOf.getOrElse(nb, -1)
+            require(p >= 0, s"dangling edge $nb at layer $l")
+            adj(w) = p
+            w += 1
+          }
+        }
+        i += 1
+      }
+      layerOff(l) = off
+      layerAdj(l) = adj
+      l += 1
+    }
+    new CompiledHnsw(ids, vecs, dim, metric, layerOff, layerAdj, entry, maxLevel)
+  }
 }
 
 /** Reusable per-thread search state: epoch-stamped visited array and the

@@ -200,7 +200,7 @@ object HnswIndex {
           byShard.getOrElseUpdate(s, new mutable.ArrayBuffer) += ((id, v, l, e))
         }
         byShard.valuesIterator.foreach { rows =>
-          val g = LocalHnsw.fromTuples(rows, metric).compile()
+          val g = CompiledHnsw.fromTuples(rows, metric)
           var qi = 0
           while (qi < qs.length) {
             g.knnInto(qs(qi), k, ef, heaps(qi))

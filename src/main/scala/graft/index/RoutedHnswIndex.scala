@@ -365,7 +365,7 @@ object RoutedHnswIndex {
         byShard.iterator.foreach { case (shard, rows) =>
           val qlist = inverted(shard)
           if (qlist.nonEmpty) {
-            val g = LocalHnsw.fromTuples(rows, metric).compile()
+            val g = CompiledHnsw.fromTuples(rows, metric)
             var t = 0
             while (t < qlist.length) {
               val qi = qlist(t)

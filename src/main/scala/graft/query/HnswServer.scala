@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 import graft.core.Metric
-import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex, LocalHnsw}
+import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex}
 
 /** Online single-query serving over the sharded HNSW graph — the
   * reference's actual in-process serving role (its default index is
@@ -13,9 +13,9 @@ import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex, LocalHnsw}
   *
   * Same engineering as [[IvfServer]]/[[LshServer]]: ONE single-stage RDD
   * job per query, driver-side merge. The cache here is the per-shard
-  * [[LocalHnsw]] graphs themselves, materialized once on the executors
-  * (deserialized in-memory objects — graph navigation needs pointers,
-  * not packed blocks) and coalesced to [[ServeBlocks.ServePartitions]]
+  * [[graft.index.CompiledHnsw]] graphs themselves, materialized once on
+  * the executors (CSR-packed: flat vectors, int adjacency, per-thread
+  * walk scratch) and coalesced to [[ServeBlocks.ServePartitions]]
   * tasks so scheduling overhead stays out of the tail. Per query each
   * task runs the greedy-descent + ef-search on its resident graphs —
   * O(ef · degree) work per shard, not a corpus scan.
@@ -46,7 +46,7 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
         it.foreach { case (s, id, v, l, e) =>
           byShard.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer) += ((id, v, l, e))
         }
-        byShard.valuesIterator.map(rows => LocalHnsw.fromTuples(rows, met).compile())
+        byShard.valuesIterator.map(rows => CompiledHnsw.fromTuples(rows, met))
       }
       .cache()
   }

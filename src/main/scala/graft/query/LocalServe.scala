@@ -52,6 +52,28 @@ private[graft] object LocalServe {
     blocks
   }
 
+  /** Batch-throughput twin of [[scan]]: QUERIES fan across the common
+    * pool and each query's blocks scan sequentially on its worker into
+    * one bounded heap — no per-query fork fan-out, no per-block partial
+    * arrays (at in-process kernel speeds the fork overhead of a
+    * per-query 32-task fan-out rivals the scans themselves). Merging
+    * every block into one heap is order-invariant, so per query the
+    * result is identical to [[scan]]'s two-level merge. `mk` runs once
+    * per query for per-query precomputation (probe masks, ADC tables,
+    * packed query codes) shared across that query's blocks. */
+  def batch[B](qs: Array[Array[Double]], blocks: Array[B], k: Int)(
+      mk: Array[Double] => (B, BoundedTopK) => Unit): Array[BoundedTopK] = {
+    val out = new Array[BoundedTopK](qs.length)
+    IntStream.range(0, qs.length).parallel().forEach { qi =>
+      val merge = new BoundedTopK(k)
+      val perBlock = mk(qs(qi))
+      var b = 0
+      while (b < blocks.length) { perBlock(blocks(b), merge); b += 1 }
+      out(qi) = merge
+    }
+    out
+  }
+
   /** Parallel per-block scan → merged (id, rank_key) candidates.
     * `distinct` dedups the cross-block merge — required when one id can
     * live in several blocks (the replicated routed graph,
@@ -78,16 +100,26 @@ final class LocalFlatServer(vectors: DataFrame, metric: Metric) {
   private val blocks: Array[ServeBlock] =
     LocalServe.collect(ServeBlocks.pack(vectors.withColumn("tag0", lit(0L)), "tag0"))
 
+  private def scanBlock(q: Array[Double])(blk: ServeBlock, merge: BoundedTopK): Unit = {
+    val dim = blk.dim
+    var r = 0
+    while (r < blk.ids.length) {
+      merge.insert(blk.ids(r), metric.rankKeyScalar(q, blk.data, r * dim, dim))
+      r += 1
+    }
+  }
+
   def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
     require(k > 0, s"serving requires k > 0, got $k")
-    LocalServe.scan(blocks, k) { (blk, merge) =>
-      val dim = blk.dim
-      var r = 0
-      while (r < blk.ids.length) {
-        merge.insert(blk.ids(r), metric.rankKeyScalar(q, blk.data, r * dim, dim))
-        r += 1
-      }
-    }.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+    LocalServe.scan(blocks, k)(scanBlock(q))
+      .ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+  }
+
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Double, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.batch(qs, blocks, k)(q => scanBlock(q))
+      .map(_.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) })
   }
 }
 
@@ -99,12 +131,13 @@ final class LocalIvfServer(assigned: DataFrame, model: IvfModel) {
   private val blocks: Array[ServeBlock] =
     LocalServe.collect(ServeBlocks.pack(assigned, "cluster_id"))
 
-  def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
-    require(k > 0, s"serving requires k > 0, got $k")
+  /** Per-query probe mask + masked-scan closure (precomputation shared
+    * across the query's blocks). */
+  private def maskedScan(q: Array[Double], nprobe: Int): (ServeBlock, BoundedTopK) => Unit = {
     val np = math.min(math.max(nprobe, 1), model.nlist)
     val mask = new Array[Boolean](model.nlist)
     IvfIndex.probeSet(q, cents, metric, np).foreach(mask(_) = true)
-    LocalServe.scan(blocks, k) { (blk, merge) =>
+    (blk, merge) => {
       val dim = blk.dim
       var r = 0
       while (r < blk.ids.length) {
@@ -112,7 +145,21 @@ final class LocalIvfServer(assigned: DataFrame, model: IvfModel) {
           merge.insert(blk.ids(r), metric.rankKeyScalar(q, blk.data, r * dim, dim))
         r += 1
       }
-    }.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+    }
+  }
+
+  def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.scan(blocks, k)(maskedScan(q, nprobe))
+      .ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+  }
+
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int,
+      nprobe: Int): Array[Array[(Long, Double, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.batch(qs, blocks, k)(q => maskedScan(q, nprobe))
+      .map(_.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) })
   }
 }
 
@@ -147,11 +194,11 @@ final class LocalPqServer(codes: DataFrame, model: PqModel) {
   private val blocks: Array[CodeBlock] =
     LocalServe.collect(ServeBlocks.packCodes(codes, None))
 
-  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
-    require(k > 0, s"serving requires k > 0, got $k")
+  /** Per-query ADC table + scan closure. */
+  private def adcScan(q: Array[Double]): (CodeBlock, BoundedTopK) => Unit = {
     val tab = PqIndex.adcTable(q, model)
     val ksub = model.ksub
-    LocalServe.scan(blocks, k) { (blk, merge) =>
+    (blk, merge) => {
       val m = blk.m
       var r = 0
       while (r < blk.ids.length) {
@@ -162,7 +209,20 @@ final class LocalPqServer(codes: DataFrame, model: PqModel) {
         merge.insert(blk.ids(r), d)
         r += 1
       }
-    }.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+    }
+  }
+
+  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.scan(blocks, k)(adcScan(q))
+      .ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Double, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.batch(qs, blocks, k)(q => adcScan(q))
+      .map(_.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) })
   }
 }
 
@@ -174,26 +234,36 @@ final class LocalSq8Server(codes: DataFrame, model: Sq8Model) {
   private val blocks: Array[ByteBlock] =
     LocalServe.collect(ServeBlocks.packBytes(codes))
 
-  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
-    require(k > 0, s"serving requires k > 0, got $k")
+  private def dequantScan(q: Array[Double])(blk: ByteBlock, merge: BoundedTopK): Unit = {
     val mins = model.minsArray
     val scales = model.scalesArray
-    LocalServe.scan(blocks, k) { (blk, merge) =>
-      val dim = blk.dim
-      var r = 0
-      while (r < blk.ids.length) {
-        val off = r * dim
-        var d = 0.0
-        var i = 0
-        while (i < dim) {
-          val t = q(i) - (mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i))
-          d += t * t
-          i += 1
-        }
-        merge.insert(blk.ids(r), d)
-        r += 1
+    val dim = blk.dim
+    var r = 0
+    while (r < blk.ids.length) {
+      val off = r * dim
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val t = q(i) - (mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i))
+        d += t * t
+        i += 1
       }
-    }.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+      merge.insert(blk.ids(r), d)
+      r += 1
+    }
+  }
+
+  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.scan(blocks, k)(dequantScan(q))
+      .ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Double, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.batch(qs, blocks, k)(q => dequantScan(q))
+      .map(_.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) })
   }
 }
 
@@ -287,16 +357,15 @@ final class LocalIvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel) {
   * regions' graphs walk. Result-identical to [[graft.index
   * .RoutedHnswIndex.knn]] (same probe order, same walks, same merge). */
 final class LocalRoutedHnswServer(graph: DataFrame, model: RoutedHnswModel) {
-  import graft.index.{CompiledHnsw, HnswIndex, LocalHnsw}
+  import graft.index.{CompiledHnsw, HnswIndex}
 
   // indexed by physical shard id; empty shards stay null
   private val graphs: Array[CompiledHnsw] = {
     val arr = new Array[CompiledHnsw](model.numShards)
     HnswIndex.shardGrouped(graph, model.numShards).collect()
       .groupBy(_._1).foreach { case (s, rs) =>
-        arr(s) = LocalHnsw
-          .fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), model.metric)
-          .compile()
+        arr(s) = CompiledHnsw.fromTuples(
+          rs.map(t => (t._2, t._3, t._4, t._5)), model.metric)
       }
     arr
   }
@@ -346,14 +415,14 @@ final class LocalRoutedHnswServer(graph: DataFrame, model: RoutedHnswModel) {
 /** In-process sharded HNSW — the reference's flagship serving shape:
   * its search IS an in-memory graph walk (pkg/index/hnsw/hnsw.go), which
   * is where its sub-ms serving rows come from. All shard graphs build
-  * driver-side ONCE (same [[graft.index.LocalHnsw]] structures the
+  * driver-side ONCE (same [[graft.index.CompiledHnsw]] structures the
   * executors hold); per query every shard's logarithmic walk runs on
   * the common pool and merges under the same (rank_key, id) order as
   * [[HnswServer]] — result-identical. 32 graph walks of a 3k-node shard
   * are microseconds each; the distributed sibling pays the job-dispatch
   * floor on exactly the same walks. */
 final class LocalHnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1) {
-  import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex, LocalHnsw}
+  import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex}
 
   private val graphs: Array[CompiledHnsw] = {
     val nShards =
@@ -362,7 +431,7 @@ final class LocalHnswServer(graph: DataFrame, metric: Metric, numShards: Int = -
     HnswIndex.shardGrouped(graph, nShards).collect()
       .groupBy(_._1).values
       .map(rs =>
-        LocalHnsw.fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), metric).compile())
+        CompiledHnsw.fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), metric))
       .toArray
   }
 
@@ -408,11 +477,11 @@ final class LocalBqServer(codes: DataFrame, model: BqModel) {
   private val blocks: Array[WordBlock] =
     LocalServe.collect(ServeBlocks.packWords(codes))
 
-  def search(q: Array[Double], k: Int): Array[(Long, Long, Int)] = {
-    require(k > 0, s"serving requires k > 0, got $k")
+  /** Per-query sign packing + XOR/popcount scan closure. */
+  private def hammingScan(q: Array[Double]): (WordBlock, BoundedTopK) => Unit = {
     val qc = BqIndex.packLocal(q, model.thresholdArray)
     val nw = qc.length
-    LocalServe.scan(blocks, k) { (blk, merge) =>
+    (blk, merge) => {
       require(blk.nWords == nw,
         s"serving block has ${blk.nWords} words, query packs to $nw")
       var r = 0
@@ -424,6 +493,19 @@ final class LocalBqServer(codes: DataFrame, model: BqModel) {
         merge.insert(blk.ids(r), d.toDouble)
         r += 1
       }
-    }.ranked.map { case (id, d, r) => (id, d.toLong, r) }
+    }
+  }
+
+  def search(q: Array[Double], k: Int): Array[(Long, Long, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.scan(blocks, k)(hammingScan(q))
+      .ranked.map { case (id, d, r) => (id, d.toLong, r) }
+  }
+
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Long, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.batch(qs, blocks, k)(q => hammingScan(q))
+      .map(_.ranked.map { case (id, d, r) => (id, d.toLong, r) })
   }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
 import graft.core.Metric
-import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex, LocalHnsw, RoutedHnswIndex, RoutedHnswModel}
+import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex, RoutedHnswIndex, RoutedHnswModel}
 
 /** Distributed single-query serving over the ROUTED sharded HNSW graph —
   * the piece a cluster user actually deploys at 100 TB (VERDICT r8 #4):
@@ -14,7 +14,7 @@ import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex, LocalHnsw, RoutedHnswI
   * one-heap sibling and is capped by driver memory).
   *
   * Composition of the two proven serving disciplines:
-  *  - [[HnswServer]]'s resident cache — per-shard [[LocalHnsw]] graphs
+  *  - [[HnswServer]]'s resident cache — per-shard [[graft.index.CompiledHnsw]] graphs
   *    materialized once on the executors, coalesced to
   *    [[ServeBlocks.ServePartitions]] tasks — except here each partition
   *    keeps its graphs KEYED by physical shard id;
@@ -54,7 +54,7 @@ final class RoutedHnswServer(graph: DataFrame, model: RoutedHnswModel)
           byShard.getOrElseUpdate(s, new scala.collection.mutable.ArrayBuffer) += ((id, v, l, e))
         }
         byShard.iterator.map { case (s, rows) =>
-          (s, LocalHnsw.fromTuples(rows, met).compile())
+          (s, CompiledHnsw.fromTuples(rows, met))
         }
       }
       .cache()

@@ -101,10 +101,15 @@ class CompiledHnswSpec extends AnyFunSuite {
     val reloaded = LocalHnsw.fromTuples(rows, Metric.L2)
     val c1 = g.compile()
     val c2 = reloaded.compile()
+    // the direct loader (query-path) must be structure-identical to the
+    // node-map round trip it replaces
+    val c3 = graft.index.CompiledHnsw.fromTuples(rows, Metric.L2)
     queries(11, 8, 5, quantized = false).foreach { q =>
       val a = c1.knn(q, 10, 50)
       val b = c2.knn(q, 10, 50)
+      val d = c3.knn(q, 10, 50)
       assert(a.toSeq == b.toSeq)
+      assert(a.toSeq == d.toSeq)
     }
   }
 

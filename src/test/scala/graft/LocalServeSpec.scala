@@ -86,6 +86,40 @@ class LocalServeSpec extends AnyFunSuite {
     dist.unpersist()
   }
 
+  test("searchBatch ≡ search per query for every scan kind (flat/ivf/pq/sq8/bq)") {
+    val (corpus, _) = vecs
+    val qs = queriesArr.map(_._2)
+    locally {
+      val flat = new LocalFlatServer(corpus, Metric.L2)
+      val out = flat.searchBatch(qs, K)
+      qs.indices.foreach(i => assert(out(i).toSeq == flat.search(qs(i), K).toSeq))
+    }
+    locally {
+      val model = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
+      val ivf = new LocalIvfServer(IvfIndex.assign(corpus, model), model)
+      val out = ivf.searchBatch(qs, K, nprobe = 3)
+      qs.indices.foreach(i => assert(out(i).toSeq == ivf.search(qs(i), K, nprobe = 3).toSeq))
+    }
+    locally {
+      val model = PqIndex.trainDeterministic(corpus, m = 4, ksub = 16, Metric.L2)
+      val pq = new LocalPqServer(PqIndex.encode(corpus, model), model)
+      val out = pq.searchBatch(qs, K)
+      qs.indices.foreach(i => assert(out(i).toSeq == pq.search(qs(i), K).toSeq))
+    }
+    locally {
+      val model = Sq8Index.train(corpus, Metric.L2)
+      val sq8 = new LocalSq8Server(Sq8Index.encode(corpus, model), model)
+      val out = sq8.searchBatch(qs, K)
+      qs.indices.foreach(i => assert(out(i).toSeq == sq8.search(qs(i), K).toSeq))
+    }
+    locally {
+      val model = BqIndex.train(corpus, Metric.L2)
+      val bq = new LocalBqServer(BqIndex.encode(corpus, model), model)
+      val out = bq.searchBatch(qs, K)
+      qs.indices.foreach(i => assert(out(i).toSeq == bq.search(qs(i), K).toSeq))
+    }
+  }
+
   test("Searcher.localServer() ≡ Searcher.search() for every buildable kind " +
       "(adapter + option mapping, end to end through the facade)") {
     val (corpus, queries) = vecs
