@@ -868,6 +868,8 @@ object Bench {
       val localComposite = new graft.query.LocalIvfSq8Server(ivfSq8Codes, sq8Model, ivfModel)
       timeSingles(results, "serve_local_ivfsq8", singles,
         1000.0 * sq8Sec / benchQ)(q => localComposite.search(q, K, 10))
+      localBatchRows("ivfsq8_local_batch")(() =>
+        localComposite.searchBatch(batchQVecs, K, 10).map(_.map(_._1)))
     }
     sq8Codes.unpersist()
 
@@ -981,6 +983,8 @@ object Bench {
       val local = new graft.query.LocalIvfPqServer(ivfpqCodes, ivfpqModel)
       timeSingles(results, "serve_local_ivfpq", singles,
         1000.0 * ivfpqSec / benchQ)(q => local.search(q, K, 10))
+      localBatchRows("ivfpq_local_batch")(() =>
+        local.searchBatch(batchQVecs, K, 10).map(_.map(_._1)))
     }
     ivfpqCodes.unpersist()
 
@@ -1046,6 +1050,8 @@ object Bench {
         val local = new graft.query.LocalLshServer(mpIdx, mpPlanes, Metric.L2)
         timeSingles(results, "serve_local_lsh", singles,
           1000.0 * mpSec / benchQ)(q => local.search(q, K))
+        localBatchRows("lsh_local_batch")(() =>
+          local.searchBatch(batchQVecs, K).map(_.map(_._1)))
       }
     }
     mpIdx.unpersist()
@@ -1440,11 +1446,12 @@ object Bench {
       "ivf_local_batch_qps", "ivf_local_batch_recall",
       "pq_build_sec", "pq_qps", "pq_recall", "pq_local_batch_qps", "pq_local_batch_recall",
       "ivfpq_build_sec", "ivfpq_qps", "ivfpq_recall",
+      "ivfpq_local_batch_qps", "ivfpq_local_batch_recall",
       "opq_ivfpq_rerank_qps", "opq_ivfpq_rerank_recall",
       "sq8_qps", "sq8_recall", "sq8_local_batch_qps", "sq8_local_batch_recall",
       "bq_qps", "bq_recall", "bq_local_batch_qps", "bq_local_batch_recall",
       "bq_rerank_qps", "bq_rerank_recall",
-      "lsh_qps", "lsh_recall",
+      "lsh_qps", "lsh_recall", "lsh_local_batch_qps", "lsh_local_batch_recall",
       "hnsw_build_sec", "hnsw_qps", "hnsw_recall",
       "hnsw_local_batch_qps", "hnsw_local_batch_recall",
       "serve_local_plaid_p50_ms", "serve_plaid_p50_ms",

@@ -169,14 +169,14 @@ final class LocalLshServer(indexed: DataFrame, planes: Int, metric: Metric) {
   private val blocks: Array[ServeBlock] =
     LocalServe.collect(ServeBlocks.pack(indexed, "bucket"))
 
-  def search(q: Array[Double], k: Int, hamming: Int = 1): Array[(Long, Double, Int)] = {
-    require(k > 0, s"serving requires k > 0, got $k")
+  /** Per-query bucket-probe set + filtered-scan closure. */
+  private def probeScan(q: Array[Double], hamming: Int): (ServeBlock, BoundedTopK) => Unit = {
     require(hamming >= 0 && hamming <= 1, s"hamming radius must be 0 or 1, got $hamming")
     val qb = LshIndex.bucketScalar(q, planes)
     val probes: Array[Long] =
       if (hamming == 0) Array(qb)
       else (qb +: Array.tabulate(planes)(p => qb ^ (1L << p))).sorted
-    LocalServe.scan(blocks, k) { (blk, merge) =>
+    (blk, merge) => {
       val dim = blk.dim
       var r = 0
       while (r < blk.ids.length) {
@@ -184,7 +184,21 @@ final class LocalLshServer(indexed: DataFrame, planes: Int, metric: Metric) {
           merge.insert(blk.ids(r), metric.rankKeyScalar(q, blk.data, r * dim, dim))
         r += 1
       }
-    }.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+    }
+  }
+
+  def search(q: Array[Double], k: Int, hamming: Int = 1): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.scan(blocks, k)(probeScan(q, hamming))
+      .ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) }
+  }
+
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int,
+      hamming: Int = 1): Array[Array[(Long, Double, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.batch(qs, blocks, k)(q => probeScan(q, hamming))
+      .map(_.ranked.map { case (id, d, r) => (id, metric.finishRankScalar(d), r) })
   }
 }
 
@@ -275,6 +289,9 @@ final class LocalOpqServer(codes: DataFrame, model: OpqModel) {
   private val inner = new LocalPqServer(codes, model.pq)
   def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] =
     inner.search(OpqIndex.rotateLocal(rot, q), k)
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Double, Int)]] =
+    inner.searchBatch(qs.map(OpqIndex.rotateLocal(rot, _)), k)
 }
 
 /** In-process IVFPQ: driver probe ranking + hoisted per-cluster residual
@@ -285,8 +302,9 @@ final class LocalIvfPqServer(codes: DataFrame, model: IvfPqModel) {
   private val blocks: Array[CodeBlock] =
     LocalServe.collect(ServeBlocks.packCodes(codes, Some("cluster_id")))
 
-  def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
-    require(k > 0, s"serving requires k > 0, got $k")
+  /** Per-query probe set + hoisted residual ADC tables + masked-scan
+    * closure. */
+  private def residualScan(q: Array[Double], nprobe: Int): (CodeBlock, BoundedTopK) => Unit = {
     val np = math.min(math.max(nprobe, 1), model.coarse.nlist)
     val tables = new Array[Array[Double]](model.coarse.nlist)
     val ksub = model.pq.ksub
@@ -297,7 +315,7 @@ final class LocalIvfPqServer(codes: DataFrame, model: IvfPqModel) {
       while (i < q.length) { r(i) = q(i) - cent(i); i += 1 }
       tables(c) = PqIndex.adcTable(r, model.pq)
     }
-    LocalServe.scan(blocks, k) { (blk, merge) =>
+    (blk, merge) => {
       val m = blk.m
       var r = 0
       while (r < blk.ids.length) {
@@ -311,7 +329,21 @@ final class LocalIvfPqServer(codes: DataFrame, model: IvfPqModel) {
         }
         r += 1
       }
-    }.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+    }
+  }
+
+  def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.scan(blocks, k)(residualScan(q, nprobe))
+      .ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int,
+      nprobe: Int): Array[Array[(Long, Double, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.batch(qs, blocks, k)(q => residualScan(q, nprobe))
+      .map(_.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) })
   }
 }
 
@@ -324,14 +356,15 @@ final class LocalIvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel) {
   private val blocks: Array[ByteBlock] =
     LocalServe.collect(ServeBlocks.packBytes(codes, Some("cluster_id")))
 
-  def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
-    require(k > 0, s"serving requires k > 0, got $k")
+  /** Per-query probe mask + masked dequantize-scan closure. */
+  private def maskedDequantScan(q: Array[Double],
+      nprobe: Int): (ByteBlock, BoundedTopK) => Unit = {
     val np = math.min(math.max(nprobe, 1), ivf.nlist)
     val mask = new Array[Boolean](ivf.nlist)
     IvfIndex.probeSet(q, cents, Metric.L2, np).foreach(mask(_) = true)
     val mins = sq8.minsArray
     val scales = sq8.scalesArray
-    LocalServe.scan(blocks, k) { (blk, merge) =>
+    (blk, merge) => {
       val dim = blk.dim
       var r = 0
       while (r < blk.ids.length) {
@@ -348,7 +381,21 @@ final class LocalIvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel) {
         }
         r += 1
       }
-    }.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+    }
+  }
+
+  def search(q: Array[Double], k: Int, nprobe: Int): Array[(Long, Double, Int)] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.scan(blocks, k)(maskedDequantScan(q, nprobe))
+      .ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+  }
+
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int,
+      nprobe: Int): Array[Array[(Long, Double, Int)]] = {
+    require(k > 0, s"serving requires k > 0, got $k")
+    LocalServe.batch(qs, blocks, k)(q => maskedDequantScan(q, nprobe))
+      .map(_.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) })
   }
 }
 

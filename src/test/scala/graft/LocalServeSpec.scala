@@ -118,6 +118,40 @@ class LocalServeSpec extends AnyFunSuite {
       val out = bq.searchBatch(qs, K)
       qs.indices.foreach(i => assert(out(i).toSeq == bq.search(qs(i), K).toSeq))
     }
+    locally {
+      val planes = 8
+      val lsh = new LocalLshServer(LshIndex.index(corpus, planes), planes, Metric.L2)
+      for (h <- Seq(0, 1)) {
+        val out = lsh.searchBatch(qs, K, h)
+        qs.indices.foreach(i => assert(out(i).toSeq == lsh.search(qs(i), K, h).toSeq))
+      }
+    }
+    locally {
+      val model = OpqIndex.train(corpus, 4, nbits = 4, Metric.L2)
+      val opq = new LocalOpqServer(OpqIndex.encode(corpus, model), model)
+      val out = opq.searchBatch(qs, K)
+      qs.indices.foreach(i => assert(out(i).toSeq == opq.search(qs(i), K).toSeq))
+    }
+    locally {
+      val model = IvfPqIndex.trainDeterministic(corpus, nlist = 8, m = 4,
+        ksub = 16, Metric.L2)
+      val ivfpq = new LocalIvfPqServer(IvfPqIndex.encode(corpus, model), model)
+      val out = ivfpq.searchBatch(qs, K, nprobe = 3)
+      qs.indices.foreach(i =>
+        assert(out(i).toSeq == ivfpq.search(qs(i), K, nprobe = 3).toSeq))
+    }
+    locally {
+      val ivfModel = IvfIndex.trainDeterministic(corpus, 8, Metric.L2)
+      val sq8Model = Sq8Index.train(corpus, Metric.L2)
+      val codes = Sq8Index.encode(corpus, sq8Model)
+        .join(IvfIndex.assign(corpus, ivfModel)
+          .select(org.apache.spark.sql.functions.col("id"),
+            org.apache.spark.sql.functions.col("cluster_id")), "id")
+      val comp = new LocalIvfSq8Server(codes, sq8Model, ivfModel)
+      val out = comp.searchBatch(qs, K, nprobe = 3)
+      qs.indices.foreach(i =>
+        assert(out(i).toSeq == comp.search(qs(i), K, nprobe = 3).toSeq))
+    }
   }
 
   test("Searcher.localServer() ≡ Searcher.search() for every buildable kind " +
