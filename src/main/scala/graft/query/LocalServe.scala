@@ -13,6 +13,19 @@ import graft.index.{BoundedTopK, BqIndex, BqModel, IvfIndex, IvfModel, IvfPqMode
   * options (nprobe/efSearch) already applied. */
 trait LocalServer {
   def search(q: Array[Double], k: Int): Array[(Long, Double, Int)]
+  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Double, Int)]]
+}
+
+/** Pairs a kind's single-query and batch entry points behind the
+  * kind-erased facade handle. */
+private[graft] final case class LocalServerAdapter(
+    single: (Array[Double], Int) => Array[(Long, Double, Int)],
+    batched: (Array[Array[Double]], Int) => Array[Array[(Long, Double, Int)]])
+    extends LocalServer {
+  def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = single(q, k)
+  def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Double, Int)]] =
+    batched(qs, k)
 }
 
 /** In-process single-query serving: the SAME packed blocks the

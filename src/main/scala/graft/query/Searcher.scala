@@ -145,34 +145,43 @@ final class Searcher private[query] (kind: IndexKind, opts: SearchOptions) {
   def localServer(): LocalServer = kind match {
     case FlatKind(vectors, metric) =>
       val s = new LocalFlatServer(vectors, metric)
-      (q, k) => s.search(q, k)
+      LocalServerAdapter((q, k) => s.search(q, k), (qs, k) => s.searchBatch(qs, k))
     case IvfKind(model, assigned) =>
       val s = new LocalIvfServer(assigned, model)
-      (q, k) => s.search(q, k, opts.nprobe)
+      LocalServerAdapter((q, k) => s.search(q, k, opts.nprobe),
+        (qs, k) => s.searchBatch(qs, k, opts.nprobe))
     case PqKind(model, codes) =>
       val s = new LocalPqServer(codes, model)
-      (q, k) => s.search(q, k)
+      LocalServerAdapter((q, k) => s.search(q, k), (qs, k) => s.searchBatch(qs, k))
     case Sq8Kind(model, codes) =>
       val s = new LocalSq8Server(codes, model)
-      (q, k) => s.search(q, k)
+      LocalServerAdapter((q, k) => s.search(q, k), (qs, k) => s.searchBatch(qs, k))
     case IvfPqKind(model, codes) =>
       val s = new LocalIvfPqServer(codes, model)
-      (q, k) => s.search(q, k, opts.nprobe)
+      LocalServerAdapter((q, k) => s.search(q, k, opts.nprobe),
+        (qs, k) => s.searchBatch(qs, k, opts.nprobe))
     case OpqKind(model, codes) =>
       val s = new LocalOpqServer(codes, model)
-      (q, k) => s.search(q, k)
+      LocalServerAdapter((q, k) => s.search(q, k), (qs, k) => s.searchBatch(qs, k))
     case BqKind(model, codes) =>
       val s = new LocalBqServer(codes, model)
-      (q, k) => s.search(q, k).map { case (id, h, r) => (id, h.toDouble, r) }
+      LocalServerAdapter(
+        (q, k) => s.search(q, k).map { case (id, h, r) => (id, h.toDouble, r) },
+        (qs, k) => s.searchBatch(qs, k)
+          .map(_.map { case (id, h, r) => (id, h.toDouble, r) }))
     case LshKind(planes, indexed, metric) =>
       val s = new LocalLshServer(indexed, planes, metric)
-      (q, k) => s.search(q, k, if (opts.efSearch >= 1) 1 else 0)
+      val h = if (opts.efSearch >= 1) 1 else 0
+      LocalServerAdapter((q, k) => s.search(q, k, h),
+        (qs, k) => s.searchBatch(qs, k, h))
     case HnswKind(graph, metric, numShards) =>
       val s = new LocalHnswServer(graph, metric, numShards)
-      (q, k) => s.search(q, k, opts.efSearch)
+      LocalServerAdapter((q, k) => s.search(q, k, opts.efSearch),
+        (qs, k) => s.searchBatch(qs, k, opts.efSearch))
     case RoutedHnswKind(model, graph) =>
       val s = new LocalRoutedHnswServer(graph, model)
-      (q, k) => s.search(q, k, opts.nprobe, opts.efSearch)
+      LocalServerAdapter((q, k) => s.search(q, k, opts.nprobe, opts.efSearch),
+        (qs, k) => s.searchBatch(qs, k, opts.nprobe, opts.efSearch))
   }
 
   /** Release the cached table a [[Searcher.open]] call pinned. Idempotent;

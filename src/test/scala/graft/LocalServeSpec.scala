@@ -174,6 +174,12 @@ class LocalServeSpec extends AnyFunSuite {
         val expected = batch(qid).map(_._2).sortBy(_._3).toSeq
         assert(served == expected, s"kind $t query $qid")
       }
+      // the facade's batch entry point — per query ≡ the single path
+      val batchOut = local.searchBatch(qArr.map(_._2), K)
+      qArr.indices.foreach { i =>
+        assert(batchOut(i).toSeq == local.search(qArr(i)._2, K).toSeq,
+          s"kind $t batch query ${qArr(i)._1}")
+      }
     }
   }
 
