@@ -1460,9 +1460,9 @@ object Bench {
       "hnsw_routed_warm_qps", "hnsw_routed_warm_recall",
       "serve_routed_p50_ms",
       "hnsw_clustered_qps", "hnsw_clustered_recall",
-      "hnsw_clustered_batch_qps", "hnsw_clustered_batch_recall",
       "hnsw_routed_c_batch_qps", "hnsw_routed_c_batch_recall",
       "hnsw_routed_cr_batch_qps", "hnsw_routed_cr_batch_recall",
+      "hnsw_clustered_batch_qps", "hnsw_clustered_batch_recall",
       "hnsw_routed_c_r1_recall", "hnsw_routed_c_r2_recall",
       "hnsw_routed_c_r4_qps", "hnsw_routed_c_r4_recall",
       "hnsw_routed_c_r8_recall",

@@ -286,11 +286,48 @@ final class LocalSq8Server(codes: DataFrame, model: Sq8Model) {
       .ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
   }
 
-  /** Query-parallel batch throughput; per query ≡ [[search]]. */
+  /** Batch throughput — ROW-outer, unlike the other kinds' query-outer
+    * [[LocalServe.batch]]: blocks fan across the pool and each row
+    * dequantizes ONCE into a reused buffer, then scores every query
+    * against it (the [[graft.index.Sq8Index]] blocked kernel's loop
+    * order, in-process). Query-outer would re-dequantize per (query,
+    * row) — measured 4× slower at the bench shape. `mins(i) + (c+128)·
+    * scales(i)` then the canonical fold is the same double arithmetic
+    * as [[search]]'s inline form, and the per-block per-query heaps
+    * merge under the same total order — per query ≡ [[search]]. */
   def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Double, Int)]] = {
     require(k > 0, s"serving requires k > 0, got $k")
-    LocalServe.batch(qs, blocks, k)(q => dequantScan(q))
-      .map(_.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) })
+    val mins = model.minsArray
+    val scales = model.scalesArray
+    val perBlock = new Array[Array[BoundedTopK]](blocks.length)
+    java.util.stream.IntStream.range(0, blocks.length).parallel().forEach { bi =>
+      val blk = blocks(bi)
+      val dim = blk.dim
+      val heaps = Array.fill(qs.length)(new BoundedTopK(k))
+      val recon = new Array[Double](dim)
+      var r = 0
+      while (r < blk.ids.length) {
+        val off = r * dim
+        var i = 0
+        while (i < dim) {
+          recon(i) = mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i)
+          i += 1
+        }
+        val id = blk.ids(r)
+        var qi = 0
+        while (qi < qs.length) {
+          heaps(qi).insert(id, model.metric.rankKeyScalar(qs(qi), recon, 0, dim))
+          qi += 1
+        }
+        r += 1
+      }
+      perBlock(bi) = heaps
+    }
+    Array.tabulate(qs.length) { qi =>
+      val top = new BoundedTopK(k)
+      perBlock.foreach(_(qi).drainIterator.foreach { case (id, d) => top.insert(id, d) })
+      top.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
+    }
   }
 }
 
