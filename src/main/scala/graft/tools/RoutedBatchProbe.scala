@@ -22,6 +22,9 @@ object RoutedBatchProbe {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
+      // the probe's whole point is the single-heap serving shape at 1M —
+      // the graph collect is ~1.2 GiB and the 56g driver holds it fine
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
