@@ -599,8 +599,12 @@ object Bench {
     // (spec-pinned ≡ the single-query row per query). The DataFrame
     // *_qps rows above pay a per-batch Spark job the reference never
     // pays; these pay neither. --
+    // gated on serveQ only: this collects benchQ QUERY rows (kilobytes at
+    // any corpus scale) — the raw-vector kinds' SERVERS are still behind
+    // localVecOk at their own sites; the code-packed kinds (pq/sq8/bq/
+    // ivfpq/ivfsq8) batch-serve at any benchN
     val batchQPairs =
-      if (serveQ > 0 && localVecOk)
+      if (serveQ > 0)
         queries.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       else Array.empty[(Long, Array[Double])]
     val batchQVecs = batchQPairs.map(_._2)
