@@ -1112,25 +1112,33 @@ object Bench {
           .groupBy(_.getLong(0))
           .map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
         val qVecs = qArr.map(_._2)
-        var out: Array[Array[(Long, Double, Int)]] = null
-        def runBatch(): Double = {
-          val t0 = System.nanoTime()
-          out = local.searchBatch(qVecs, K, efSearch = 50)
-          (System.nanoTime() - t0) / 1e9
-        }
-        runBatch() // warm
-        val batchSec = math.min(runBatch(), runBatch())
-        results("hnsw_local_batch_qps") = benchQ / batchSec
-        results("hnsw_local_batch_recall") = {
-          var hits = 0L
-          var total = 0L
-          qArr.indices.foreach { i =>
-            val t = truth(qArr(i)._1)
-            total += t.size
-            hits += out(i).count { case (id, _, _) => t.contains(id) }
+        def batchRow(name: String, ef: Int): Unit = {
+          var out: Array[Array[(Long, Double, Int)]] = null
+          def runBatch(): Double = {
+            val t0 = System.nanoTime()
+            out = local.searchBatch(qVecs, K, efSearch = ef)
+            (System.nanoTime() - t0) / 1e9
           }
-          hits.toDouble / total
+          runBatch() // warm
+          val batchSec = math.min(runBatch(), runBatch())
+          results(s"${name}_qps") = benchQ / batchSec
+          results(s"${name}_recall") = {
+            var hits = 0L
+            var total = 0L
+            qArr.indices.foreach { i =>
+              val t = truth(qArr(i)._1)
+              total += t.size
+              hits += out(i).count { case (id, _, _) => t.contains(id) }
+            }
+            hits.toDouble / total
+          }
         }
+        batchRow("hnsw_local_batch", 50)
+        // the runtime ef dial (ST3) on the same protocol — the QPS↔recall
+        // frontier of the all-shard fan-out (full map only; measured
+        // ef10/16/25 ≈ 12k/9.4k/6.8k QPS at recall 0.68/0.78/0.86)
+        batchRow("hnsw_local_batch_ef25", 25)
+        batchRow("hnsw_local_batch_ef16", 16)
       }
     }
     hnswServer.unpersist()

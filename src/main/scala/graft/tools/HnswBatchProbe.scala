@@ -55,21 +55,23 @@ object HnswBatchProbe {
     }.sorted
     println(f"[probe] single p50 ${lat(lat.length / 2)}%.3f ms")
 
-    var out: Array[Array[(Long, Double, Int)]] = null
-    def runBatch(): Double = {
-      val t = System.nanoTime()
-      out = local.searchBatch(qVecs, K, 50)
-      (System.nanoTime() - t) / 1e9
+    Seq(10, 16, 25, 50).foreach { ef =>
+      var out: Array[Array[(Long, Double, Int)]] = null
+      def runBatch(): Double = {
+        val t = System.nanoTime()
+        out = local.searchBatch(qVecs, K, ef)
+        (System.nanoTime() - t) / 1e9
+      }
+      runBatch() // warm
+      val secs = Array.fill(reps)(runBatch())
+      var hits = 0L; var total = 0L
+      qArr.indices.foreach { i =>
+        val t = truth(qArr(i)._1)
+        total += t.size
+        hits += out(i).count { case (id, _, _) => t.contains(id) }
+      }
+      println(f"[probe] batch ef$ef qps best ${nq / secs.min}%.0f  median ${nq / secs.sorted.apply(reps / 2)}%.0f  recall ${hits.toDouble / total}%.4f")
     }
-    runBatch() // warm
-    val secs = Array.fill(reps)(runBatch())
-    var hits = 0L; var total = 0L
-    qArr.indices.foreach { i =>
-      val t = truth(qArr(i)._1)
-      total += t.size
-      hits += out(i).count { case (id, _, _) => t.contains(id) }
-    }
-    println(f"[probe] batch qps best ${nq / secs.min}%.0f  median ${nq / secs.sorted.apply(reps / 2)}%.0f  recall ${hits.toDouble / total}%.4f")
     spark.stop()
   }
 }
