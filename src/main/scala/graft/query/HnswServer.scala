@@ -72,12 +72,20 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
     val ef = math.max(efSearch, k)
     val partials = rdd.mapPartitions { it =>
       val (ids, qs) = bc.value
+      // queries fan across the common pool WITHIN the task: serving
+      // partitions are sized for the single-query dispatch tail
+      // (ServeBlocks.ServePartitions = 8), which would cap a batch job
+      // at 8 cores. Each query owns heaps(qi); graphs are read-only and
+      // walk scratch is per-thread, so the inner fan-out is race-free,
+      // and the bounded (rank_key, id) merge is insert-order-invariant —
+      // result-identical to the sequential loop.
+      val graphs = it.toArray
       val heaps = Array.fill(qs.length)(new BoundedTopK(k))
-      it.foreach { g =>
-        var qi = 0
-        while (qi < qs.length) {
-          g.knnInto(qs(qi), k, ef, heaps(qi))
-          qi += 1
+      java.util.stream.IntStream.range(0, qs.length).parallel().forEach { qi =>
+        var g = 0
+        while (g < graphs.length) {
+          graphs(g).knnInto(qs(qi), k, ef, heaps(qi))
+          g += 1
         }
       }
       BoundedTopK.drain(heaps, ids)

@@ -103,15 +103,22 @@ final class RoutedHnswServer(graph: DataFrame, model: RoutedHnswModel)
     val ef = math.max(efSearch, k)
     val partials = rdd.mapPartitions { it =>
       val (ids, qs, inverted) = bc.value
-      val heaps = Array.fill(qs.length)(new BoundedTopK(k))
-      it.foreach { case (s, g) =>
+      // invert the shard→queries index to query→local-graphs, then fan
+      // queries across the common pool within the task (serving
+      // partitions are sized for the single-query tail and would cap a
+      // batch at 8 cores — see HnswServer.searchBatch). Each query owns
+      // heaps(qi); the distinct bounded merge is insert-order-invariant.
+      val local = it.toArray
+      val perQ = Array.fill(qs.length)(
+        new scala.collection.mutable.ArrayBuffer[CompiledHnsw](4))
+      local.foreach { case (s, g) =>
         val qlist = inverted(s)
         var t = 0
-        while (t < qlist.length) {
-          val qi = qlist(t)
-          g.knnInto(qs(qi), k, ef, heaps(qi), distinct = true)
-          t += 1
-        }
+        while (t < qlist.length) { perQ(qlist(t)) += g; t += 1 }
+      }
+      val heaps = Array.fill(qs.length)(new BoundedTopK(k))
+      java.util.stream.IntStream.range(0, qs.length).parallel().forEach { qi =>
+        perQ(qi).foreach(g => g.knnInto(qs(qi), k, ef, heaps(qi), distinct = true))
       }
       BoundedTopK.drain(heaps, ids)
     }.toDF("query_id", "neighbor_id", "rank_key")
