@@ -59,7 +59,15 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
     * but without its per-job cost of re-parsing every node row back
     * into a graph: one job, graphs already in executor memory. This is
     * the warm-index batch path, the moral equivalent of the reference
-    * searching its in-memory graph (hnsw.go:189-200 BatchSearch). */
+    * searching its in-memory graph (hnsw.go:189-200 BatchSearch).
+    *
+    * The final merge runs on the driver over the bounded partials
+    * (≤ k rows per query per serving partition — the same bounded
+    * collect discipline as [[search]]), and the result materializes as
+    * a local relation: the one executor job is the graph walks, with no
+    * shuffle-stage finisher in the per-batch path. Row content and the
+    * (rank_key, id) rank order are identical to the previous
+    * [[graft.index.FlatIndex.topK]] finisher. */
   def searchBatch(queries: DataFrame, k: Int,
       efSearch: Int = HnswIndex.EfSearch): DataFrame = {
     require(k > 0, s"serving requires k > 0, got $k")
@@ -78,7 +86,11 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
       // at 8 cores. Each query owns heaps(qi); graphs are read-only and
       // walk scratch is per-thread, so the inner fan-out is race-free,
       // and the bounded (rank_key, id) merge is insert-order-invariant —
-      // result-identical to the sequential loop.
+      // result-identical to the sequential loop. (The intra-task
+      // fan-out shares the JVM common pool: correct under concurrent
+      // task slots, but sized for the local-mode / one-batch-job-at-a-
+      // time deployment — a cluster running several concurrent batch
+      // jobs per executor should cap spark.task.cpus accordingly.)
       val graphs = it.toArray
       val heaps = Array.fill(qs.length)(new BoundedTopK(k))
       java.util.stream.IntStream.range(0, qs.length).parallel().forEach { qi =>
@@ -89,10 +101,17 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
         }
       }
       BoundedTopK.drain(heaps, ids)
-    }
-    graft.index.FlatIndex.topK(
-      spark.createDataset(partials).toDF("query_id", "neighbor_id", "rank_key"),
-      k, m)
+    }.collect()
+    val qPos = new scala.collection.mutable.LongMap[Int](qids.length * 2)
+    qids.zipWithIndex.foreach { case (q, i) => qPos(q) = i }
+    val merged = Array.fill(qids.length)(new BoundedTopK(k))
+    partials.foreach { case (q, id, d) => merged(qPos(q)).insert(id, d) }
+    val rows = qids.indices.iterator.flatMap { qi =>
+      merged(qi).ranked.iterator.map { case (id, d, r) =>
+        (qids(qi), id, m.finishRankScalar(d), r)
+      }
+    }.toSeq
+    spark.createDataset(rows).toDF("query_id", "neighbor_id", "distance", "rank")
   }
 
   /** One query → top-k (id, distance, rank), driver-merged. */

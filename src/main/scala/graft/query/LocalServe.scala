@@ -253,81 +253,53 @@ final class LocalPqServer(codes: DataFrame, model: PqModel) {
   }
 }
 
-/** In-process SQ8: inline dequantize scan.
-  * Result-identical to [[Sq8Server.search]]. */
+/** In-process SQ8: per-query squared-difference table
+  * ([[graft.index.Sq8Index.sqTable]] — the A8 ADC discipline applied to
+  * SQ8), one byte load + one table add per component. Bit-identical to
+  * the previous inline dequantize scan (each table entry IS that scan's
+  * per-component term; same i-ordered fold) and therefore still
+  * result-identical to [[Sq8Server.search]]. */
 final class LocalSq8Server(codes: DataFrame, model: Sq8Model) {
   require(model.metric == Metric.L2,
     s"LocalSq8Server serves the l2 kind; got ${model.metric.name}")
   private val blocks: Array[ByteBlock] =
     LocalServe.collect(ServeBlocks.packBytes(codes))
 
-  private def dequantScan(q: Array[Double])(blk: ByteBlock, merge: BoundedTopK): Unit = {
-    val mins = model.minsArray
-    val scales = model.scalesArray
-    val dim = blk.dim
-    var r = 0
-    while (r < blk.ids.length) {
-      val off = r * dim
-      var d = 0.0
-      var i = 0
-      while (i < dim) {
-        val t = q(i) - (mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i))
-        d += t * t
-        i += 1
+  private def tableScan(q: Array[Double]): (ByteBlock, BoundedTopK) => Unit = {
+    val tab = graft.index.Sq8Index.sqTable(q, model.minsArray, model.scalesArray)
+    (blk, merge) => {
+      val dim = blk.dim
+      var r = 0
+      while (r < blk.ids.length) {
+        val off = r * dim
+        var d = 0.0
+        var i = 0
+        while (i < dim) {
+          d += tab((i << 8) + blk.codes(off + i) + 128)
+          i += 1
+        }
+        merge.insert(blk.ids(r), d)
+        r += 1
       }
-      merge.insert(blk.ids(r), d)
-      r += 1
     }
   }
 
   def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
     require(k > 0, s"serving requires k > 0, got $k")
-    LocalServe.scan(blocks, k)(dequantScan(q))
+    LocalServe.scan(blocks, k)(tableScan(q))
       .ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
   }
 
-  /** Batch throughput — ROW-outer, unlike the other kinds' query-outer
-    * [[LocalServe.batch]]: blocks fan across the pool and each row
-    * dequantizes ONCE into a reused buffer, then scores every query
-    * against it (the [[graft.index.Sq8Index]] blocked kernel's loop
-    * order, in-process). Query-outer would re-dequantize per (query,
-    * row) — measured 4× slower at the bench shape. `mins(i) + (c+128)·
-    * scales(i)` then the canonical fold is the same double arithmetic
-    * as [[search]]'s inline form, and the per-block per-query heaps
-    * merge under the same total order — per query ≡ [[search]]. */
+  /** Query-parallel batch throughput; the table builds once per query in
+    * [[LocalServe.batch]]'s `mk` and amortizes over the full scan. (The
+    * r10 row-outer dequantize-once form is retired: at 1000 queries ×
+    * 100k rows it paid a full rank-key recompute per (query, row) and
+    * benched BELOW the raw-double flat scan — 858 vs 2,815 QPS — despite
+    * 8× less resident data.) Per query ≡ [[search]]. */
   def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Double, Int)]] = {
     require(k > 0, s"serving requires k > 0, got $k")
-    val mins = model.minsArray
-    val scales = model.scalesArray
-    val perBlock = new Array[Array[BoundedTopK]](blocks.length)
-    java.util.stream.IntStream.range(0, blocks.length).parallel().forEach { bi =>
-      val blk = blocks(bi)
-      val dim = blk.dim
-      val heaps = Array.fill(qs.length)(new BoundedTopK(k))
-      val recon = new Array[Double](dim)
-      var r = 0
-      while (r < blk.ids.length) {
-        val off = r * dim
-        var i = 0
-        while (i < dim) {
-          recon(i) = mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i)
-          i += 1
-        }
-        val id = blk.ids(r)
-        var qi = 0
-        while (qi < qs.length) {
-          heaps(qi).insert(id, model.metric.rankKeyScalar(qs(qi), recon, 0, dim))
-          qi += 1
-        }
-        r += 1
-      }
-      perBlock(bi) = heaps
-    }
-    Array.tabulate(qs.length) { qi =>
-      val top = new BoundedTopK(k)
-      perBlock.foreach(_(qi).drainIterator.foreach { case (id, d) => top.insert(id, d) })
-      top.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
-    }
+    LocalServe.batch(qs, blocks, k)(q => tableScan(q))
+      .map(_.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) })
   }
 }
 
@@ -406,14 +378,17 @@ final class LocalIvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel) {
   private val blocks: Array[ByteBlock] =
     LocalServe.collect(ServeBlocks.packBytes(codes, Some("cluster_id")))
 
-  /** Per-query probe mask + masked dequantize-scan closure. */
+  /** Per-query probe mask + masked table-scan closure — the same
+    * [[graft.index.Sq8Index.sqTable]] kernel as [[LocalSq8Server]]
+    * (bit-identical terms and fold, so parity with the inline form
+    * holds); the 32k-entry table amortizes as long as the probed rows
+    * exceed ~256 (nprobe·n/nlist at any realistic config). */
   private def maskedDequantScan(q: Array[Double],
       nprobe: Int): (ByteBlock, BoundedTopK) => Unit = {
     val np = math.min(math.max(nprobe, 1), ivf.nlist)
     val mask = new Array[Boolean](ivf.nlist)
     IvfIndex.probeSet(q, cents, Metric.L2, np).foreach(mask(_) = true)
-    val mins = sq8.minsArray
-    val scales = sq8.scalesArray
+    val tab = graft.index.Sq8Index.sqTable(q, sq8.minsArray, sq8.scalesArray)
     (blk, merge) => {
       val dim = blk.dim
       var r = 0
@@ -423,8 +398,7 @@ final class LocalIvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel) {
           var d = 0.0
           var i = 0
           while (i < dim) {
-            val t = q(i) - (mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i))
-            d += t * t
+            d += tab((i << 8) + blk.codes(off + i) + 128)
             i += 1
           }
           merge.insert(blk.ids(r), d)

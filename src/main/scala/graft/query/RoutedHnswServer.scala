@@ -88,7 +88,16 @@ final class RoutedHnswServer(graph: DataFrame, model: RoutedHnswModel)
     * without its per-job graph re-parse: the query batch broadcasts with
     * the same shard→queries inverted index, each partition walks its
     * resident graphs for exactly the queries that probed them. Result-
-    * identical to the cold batch path (same probes, walks, dedup, merge). */
+    * identical to the cold batch path (same probes, walks, dedup, merge).
+    *
+    * The cross-partition dedup + rank finisher runs on the driver over
+    * the bounded partials (≤ k rows per query per serving partition —
+    * the same bounded collect as [[search]], distinct-merged because a
+    * replicated build can surface one id from two probed shards with an
+    * identical deterministic rank key). The per-batch executor work is
+    * ONE single-stage job of graph walks; the previous groupBy-dedup +
+    * window finisher paid two shuffle stages per batch, which dominated
+    * warm-batch wall time (VERDICT r10 next #8). */
   def searchBatch(queries: DataFrame, k: Int, probeRegions: Int,
       efSearch: Int = HnswIndex.EfSearch): DataFrame = {
     require(k > 0, s"serving requires k > 0, got $k")
@@ -121,13 +130,21 @@ final class RoutedHnswServer(graph: DataFrame, model: RoutedHnswModel)
         perQ(qi).foreach(g => g.knnInto(qs(qi), k, ef, heaps(qi), distinct = true))
       }
       BoundedTopK.drain(heaps, ids)
-    }.toDF("query_id", "neighbor_id", "rank_key")
-    // cross-partition dedup for replicated builds (exact: rank keys are
-    // deterministic per (query, id)), then the shared top-k finisher
-    val deduped = partials
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(org.apache.spark.sql.functions.min(col("rank_key")).as("rank_key"))
-    graft.index.FlatIndex.topK(deduped, k, metric)
+    }.collect()
+    // driver-side distinct merge (exact: rank keys are deterministic per
+    // (query, id), so skipping a duplicate ≡ the old min() dedup), then
+    // the (rank_key, id) rank order — identical content to the previous
+    // FlatIndex.topK finisher, materialized as a local relation
+    val qPos = new scala.collection.mutable.LongMap[Int](qids.length * 2)
+    qids.zipWithIndex.foreach { case (q, i) => qPos(q) = i }
+    val merged = Array.fill(qids.length)(new BoundedTopK(k))
+    partials.foreach { case (q, id, d) => merged(qPos(q)).insertDistinct(id, d) }
+    val rows = qids.indices.iterator.flatMap { qi =>
+      merged(qi).ranked.iterator.map { case (id, d, r) =>
+        (qids(qi), id, metric.finishRankScalar(d), r)
+      }
+    }.toSeq
+    spark.createDataset(rows).toDF("query_id", "neighbor_id", "distance", "rank")
   }
 
   protected def servingRdd: org.apache.spark.rdd.RDD[_] = rdd

@@ -10,9 +10,9 @@ import graft.index.{BoundedTopK, Sq8Model}
   * serving kind, same engineering as [[PqServer]]: codes packed once into
   * cached primitive [[ByteBlock]]s (1 B/element — 8× less resident state
   * than the double-packed blocks a flat server would hold), ONE
-  * single-stage RDD job per query, driver merge. The scan dequantizes
-  * inline (`min_d + code_d·scale_d` — two fused ops per element, no
-  * per-row allocation).
+  * single-stage RDD job per query, driver merge. The scan folds a
+  * per-query squared-difference table ([[graft.index.Sq8Index.sqTable]]
+  * — one byte load + one table add per element, no per-row allocation).
   *
   * Result order/tie-break matches [[graft.index.Sq8Index.knnBlocked]]
   * exactly: ascending (rank_key, id), identical dequantize arithmetic.
@@ -28,12 +28,18 @@ final class Sq8Server(codes: DataFrame, model: Sq8Model) extends ServingRdd {
   /** Materialize the serving blocks (call once before timing queries). */
   def warm(): this.type = { rdd.count(); this }
 
-  /** One query → top-k (id, distance, rank), driver-merged. */
+  /** One query → top-k (id, distance, rank), driver-merged. The scan
+    * folds the per-query [[graft.index.Sq8Index.sqTable]] (built once
+    * per task, ~32k entries — bit-identical terms to the inline
+    * dequantize form, so result parity with [[graft.index.Sq8Index
+    * .knnBlocked]] is unchanged) instead of paying the per-component
+    * affine dequantize. */
   def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
     require(k > 0, s"serving requires k > 0, got $k")
     val mins = model.minsArray
     val scales = model.scalesArray
     val partials = rdd.mapPartitions { it =>
+      val tab = graft.index.Sq8Index.sqTable(q, mins, scales)
       val merge = new BoundedTopK(k)
       while (it.hasNext) {
         val blk = it.next()
@@ -45,8 +51,7 @@ final class Sq8Server(codes: DataFrame, model: Sq8Model) extends ServingRdd {
           var d = 0.0
           var i = 0
           while (i < dim) {
-            val t = q(i) - (mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i))
-            d += t * t
+            d += tab((i << 8) + blk.codes(off + i) + 128)
             i += 1
           }
           merge.insert(blk.ids(r), d)
