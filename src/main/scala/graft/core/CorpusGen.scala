@@ -38,7 +38,21 @@ import graft.index.PlaidIndex.PlaidModel
 object CorpusGen {
 
   final case class PlaidWorld(docs: DataFrame, model: PlaidModel,
-      vocabSize: Int, c: Int, pools: Array[Array[String]])
+      vocabSize: Int, c: Int, pools: Array[Array[String]]) {
+    /** In-artifact world fingerprint (same discipline as
+      * [[VectorGen.ClusteredWorldSpec.fingerprint]]): a 48-bit hash of
+      * the world parameters and a probe of doc 0's generated text, so a
+      * generator or config drift shows up next to every row derived from
+      * this world. */
+    def fingerprint: Double = {
+      val text0 = docs.where(col("doc_id") === 0L).select(col("text")).head.getString(0)
+      var h = 0xcbf29ce484222325L
+      def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+      mix(vocabSize.toLong); mix(c.toLong); mix(model.nprobe.toLong)
+      text0.foreach(ch => mix(ch.toLong))
+      (h >>> 16).toDouble
+    }
+  }
 
   /** Build the clustered-vocab world: (docs(doc_id, text), frozen model).
     * Every parameter deterministic; `salt` varies the doc draws only. */

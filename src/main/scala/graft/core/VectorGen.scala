@@ -74,6 +74,43 @@ object VectorGen {
     * and boundary replication ([[graft.index.RoutedHnswIndex
     * .buildReplicated]]) has real cross-boundary neighbors to recover —
     * the SPANN regime the routed rows exist to measure. */
+  /** FROZEN parameter set for a clustered/bridged bench world, plus its
+    * in-artifact fingerprint (VERDICT r10 wrong #1: the bridged-world
+    * generator protocol drifted mid-round, leaving bench rows whose
+    * meaning depended on an unversioned config — `hnsw_clustered_recall`
+    * read 0.8043 in the artifact but 0.5953 at committed HEAD). Every
+    * clustered bench row now derives its data from ONE of these specs and
+    * publishes `fingerprint` beside it, so any future generator or
+    * parameter drift is detectable inside the artifact itself. */
+  final case class ClusteredWorldSpec(k: Int, spread: Double, bridgeFrac: Double,
+      seed: Long) {
+    def generate(spark: SparkSession, n: Long, dim: Int): DataFrame =
+      clusteredBridged(spark, n, dim, k, spread, bridgeFrac, seed)
+
+    /** Deterministic world fingerprint: a 48-bit hash (exact as a Double,
+      * the bench map's value type) of the parameters AND a probe of the
+      * generated data itself (row 0's components) — parameters alone
+      * would miss a change to the generator's arithmetic. */
+    def fingerprint(spark: SparkSession, n: Long, dim: Int): Double = {
+      val probe = generate(spark, n, dim)
+        .where(col("id") === 0L).select(col("vec")).head.getSeq[Double](0)
+      var h = 0xcbf29ce484222325L // FNV-1a over params then probe bits
+      def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+      mix(k.toLong); mix(java.lang.Double.doubleToLongBits(spread))
+      mix(java.lang.Double.doubleToLongBits(bridgeFrac)); mix(seed)
+      mix(n); mix(dim.toLong)
+      probe.foreach(v => mix(java.lang.Double.doubleToLongBits(v)))
+      (h >>> 16).toDouble
+    }
+  }
+
+  object ClusteredWorldSpec {
+    /** The bench's clustered regime, frozen as of r10's final protocol
+      * (64 bridged clusters, spread 0.3, bridge share 0.25, seed 23). */
+    val Bench: ClusteredWorldSpec =
+      ClusteredWorldSpec(k = 64, spread = 0.3, bridgeFrac = 0.25, seed = 23L)
+  }
+
   def clusteredBridged(spark: SparkSession, n: Long, dim: Int, k: Int,
       spread: Double, bridgeFrac: Double, seed: Long): DataFrame = {
     require(bridgeFrac >= 0.0 && bridgeFrac <= 1.0,

@@ -48,9 +48,11 @@ private[graft] final class CompiledHnsw(
     * `fromLayer` down to (excl.) `downTo`, follow strictly-improving
     * edges to a local minimum. Identical scan order to
     * [[LocalHnsw.descend]] — edges in stored order, running best. */
-  private def descend(q: Array[Double], from: Int, fromLayer: Int, downTo: Int): Int = {
+  private def descend(q: Array[Double], from: Int, fromLayer: Int, downTo: Int,
+      s: HnswScratch): Int = {
     var curr = from
     var currDist = key(q, curr)
+    var ev = 1L
     var lc = fromLayer
     while (lc > downTo) {
       val off = layerOff(lc)
@@ -63,12 +65,14 @@ private[graft] final class CompiledHnsw(
         while (e < end) {
           val nb = adj(e)
           val d = key(q, nb)
+          ev += 1
           if (d < currDist) { currDist = d; curr = nb; changed = true }
           e += 1
         }
       }
       lc -= 1
     }
+    s.evals += ev
     curr
   }
 
@@ -84,6 +88,7 @@ private[graft] final class CompiledHnsw(
     val frontier = s.frontier
     val results = s.results
     val d0 = key(q, entry)
+    var ev = 1L
     frontier.add(d0, entry); results.add(d0, entry); stamp(entry) = ep
     var done = false
     while (!done && frontier.size > 0) {
@@ -102,6 +107,7 @@ private[graft] final class CompiledHnsw(
           if (stamp(nb) != ep) {
             stamp(nb) = ep
             val d = key(q, nb)
+            ev += 1
             if (results.size < ef || d < results.peekDist ||
                 (d == results.peekDist && nb < results.peekPos)) {
               frontier.add(d, nb); results.add(d, nb)
@@ -112,6 +118,7 @@ private[graft] final class CompiledHnsw(
         }
       }
     }
+    s.evals += ev
   }
 
   /** Search this shard's graph (hnsw.go:141-186): greedy descent through
@@ -121,7 +128,7 @@ private[graft] final class CompiledHnsw(
     if (n == 0) return Array.empty
     val s = CompiledHnsw.scratch()
     s.begin(n)
-    val curr = descend(q, entryPos, maxLevel, 0)
+    val curr = descend(q, entryPos, maxLevel, 0, s)
     searchLayer(q, curr, efSearch, 0, s)
     val res = s.results
     val take = math.min(k, res.size)
@@ -145,7 +152,7 @@ private[graft] final class CompiledHnsw(
     if (n == 0) return
     val s = CompiledHnsw.scratch()
     s.begin(n)
-    val curr = descend(q, entryPos, maxLevel, 0)
+    val curr = descend(q, entryPos, maxLevel, 0, s)
     searchLayer(q, curr, efSearch, 0, s)
     val res = s.results
     val take = math.min(k, res.size)
@@ -164,11 +171,42 @@ private[graft] object CompiledHnsw {
     * thread has walked (stamp = n ints; at the 1M routed shape ~124 KB
     * per thread). The epoch stamp makes cross-graph reuse safe: every
     * walk begins with a fresh epoch, so stale stamps — same-position
-    * entries from ANOTHER graph included — never match. */
+    * entries from ANOTHER graph included — never match. Scratches
+    * register in a weak-ref list so [[evalsSnapshot]] can sum the
+    * per-thread eval counters; [[clearScratch]] releases the calling
+    * thread's scratch (for long-lived executors that served a much
+    * larger graph than they will again — ADVICE r10 #4). */
+  private val registry =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[HnswScratch]]
+
   private val tl: ThreadLocal[HnswScratch] =
-    ThreadLocal.withInitial(() => new HnswScratch)
+    ThreadLocal.withInitial { () =>
+      val s = new HnswScratch
+      registry.add(new java.lang.ref.WeakReference(s))
+      s
+    }
 
   private[index] def scratch(): HnswScratch = tl.get()
+
+  /** Release the calling thread's walk scratch (it re-creates lazily). */
+  def clearScratch(): Unit = tl.remove()
+
+  /** Sum of distance evaluations recorded by every live thread scratch —
+    * a DIAGNOSTIC readout for the bench's evals-per-query rows: take a
+    * snapshot before and after a (joined) batch and divide the delta by
+    * the query count. Counter writes are per-thread and batched per walk
+    * (one add per walk phase — no hot-path cost); the sum is only exact
+    * once the batch's worker threads have joined, which every batch
+    * entry point guarantees before returning. */
+  def evalsSnapshot(): Long = {
+    var sum = 0L
+    val it = registry.iterator()
+    while (it.hasNext) {
+      val s = it.next().get()
+      if (s == null) it.remove() else sum += s.evals
+    }
+    sum
+  }
 
   /** Compile straight from stored (id, vec, level, edges) rows — the
     * query-path loader. Skips the [[LocalHnsw]] node-map intermediate
@@ -249,6 +287,9 @@ private[graft] object CompiledHnsw {
 private[graft] final class HnswScratch {
   var stamp: Array[Int] = new Array[Int](0)
   var epoch = 0
+  /** Monotone count of distance evaluations this thread has run (batched
+    * per walk phase; summed by [[CompiledHnsw.evalsSnapshot]]). */
+  var evals: Long = 0L
   val frontier = new PosDistHeap(maxHeap = false)
   val results = new PosDistHeap(maxHeap = true)
 

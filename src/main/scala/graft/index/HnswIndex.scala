@@ -119,9 +119,20 @@ object HnswIndex {
         // remove(), peak residency is one shard's rows + one graph.
         byShard.keys.toArray.sorted.iterator.flatMap { shard =>
           val rows = byShard.remove(shard).get
-          val g = new LocalHnsw(m, efConstruction, metric)
+          // flat-packed build kernel (HnswBuilder) — bit-identical graphs
+          // to the r10 LocalHnsw insert path (HnswBuilderSpec pins the
+          // parity), ~3× less per-eval overhead. Each input row's vector
+          // nulls out once copied so peak residency stays one shard's
+          // rows + one packed graph.
           rows.sortInPlace()(Ordering.by(_._1))
-          rows.foreach { case (id, v) => g.insert(id, v) }
+          val g = new HnswBuilder(m, efConstruction, metric, rows.length)
+          var i = 0
+          while (i < rows.length) {
+            val (id, v) = rows(i)
+            g.insert(id, v)
+            rows(i) = null
+            i += 1
+          }
           rows.clear()
           g.nodeRows.map { case (id, vec, level, edges) =>
             (shard, id, vec.toSeq, level, edges.map(_.toSeq).toSeq)
@@ -138,7 +149,18 @@ object HnswIndex {
     * partition-pruned on a disk-backed graph). Because builds are
     * deterministic with ascending-id insertion, the result is
     * bit-identical to `build(old ∪ new)` — stronger than the reference's
-    * order-dependent in-place insertion. */
+    * order-dependent in-place insertion.
+    *
+    * Version caveat (ADVICE r10): the bit-identity guarantee holds for
+    * graphs BUILT BY THE SAME ENGINE VERSION. Build arithmetic can be
+    * refined between versions (r10 moved walk keys to the reassociated
+    * [[graft.core.Metric.walkKeyScalar]]; r11 moved the insert kernel to
+    * [[HnswBuilder]] — graph-identical, spec-pinned); adding to a graph
+    * persisted by an OLDER version rebuilds only the touched shards with
+    * current arithmetic, so untouched shards may keep edge selections the
+    * current builder would not reproduce. Searches remain correct either
+    * way (any valid HNSW adjacency serves); only cross-version
+    * bit-reproducibility is out of scope. */
   def add(graph: DataFrame, vectors: DataFrame, numShards: Int, metric: Metric,
       m: Int = M, efConstruction: Int = EfConstruction): DataFrame = {
     val newRows = vectors

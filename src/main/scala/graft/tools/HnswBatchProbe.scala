@@ -55,7 +55,9 @@ object HnswBatchProbe {
     }.sorted
     println(f"[probe] single p50 ${lat(lat.length / 2)}%.3f ms")
 
-    Seq(10, 16, 25, 50).foreach { ef =>
+    val efs = args.lift(4).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(10, 16, 25, 50))
+    efs.foreach { ef =>
       var out: Array[Array[(Long, Double, Int)]] = null
       def runBatch(): Double = {
         val t = System.nanoTime()

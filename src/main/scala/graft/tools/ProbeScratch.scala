@@ -20,8 +20,13 @@ object ProbeScratch {
       println(f"[probe] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // corpus-scaled C (the bench's rule): C = ⌊√tokens⌋, vocab ≥ 8·C
+    val c = args.lift(1).map(_.toInt)
+      .getOrElse(graft.index.PlaidIndex.defaultC(nDocs * 48))
+    val vocab = args.lift(2).map(_.toInt).getOrElse(math.max(4096, 8 * c))
+    println(s"[probe] nDocs=$nDocs C=$c vocab=$vocab")
     val world = t("world")(graft.core.CorpusGen.plaidWorld(
-      spark, nDocs, 4096, 256, 48, 1))
+      spark, nDocs, vocab, c, 48, 1))
     val post = t("build") {
       val p = graft.index.PlaidIndex.build(world.docs, world.model).cache()
       p.count(); p
