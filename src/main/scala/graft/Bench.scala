@@ -441,9 +441,11 @@ object Bench {
       val selC = PI.defaultC(selTokens)
       val selVocab = math.max(4096, 8 * selC)
       val selWorld = graft.core.CorpusGen.plaidWorld(spark, selDocs,
-        vocabSize = selVocab, c = selC, tokensPerDoc = 48, nprobe = 1)
+        vocabSize = selVocab, c = selC, tokensPerDoc = 48,
+        nprobe = PI.DefaultNprobe)
       results("plaid_sel_c") = selC.toDouble
       results("plaid_sel_vocab") = selVocab.toDouble
+      results("plaid_sel_nprobe") = PI.DefaultNprobe.toDouble
       results("plaid_sel_world_fp") = selWorld.fingerprint
       System.gc()
       val (selPost, selBuild) = time {
@@ -461,7 +463,8 @@ object Bench {
       results("plaid_sel_scan_frac") = selStats.getDouble(0)
       results("plaid_sel_cand_frac") = selStats.getDouble(1)
       logSection(results, "plaid_sel_build")
-      // pruning-loss recall: identical topN/k/rerank, nprobe=1 vs all-C
+      // pruning-loss recall: identical topN/k/rerank, the serving config
+      // (DefaultNprobe over the corpus-scaled C) vs all-C full probe
       val qTexts = selWorld.docs.where(col("doc_id") < 100)
         .collect().map(r => (r.getLong(0), r.getString(1)))
       val local = new graft.query.LocalPlaidServer(
@@ -477,23 +480,24 @@ object Bench {
         selTotal += full.length
       }
       results("plaid_sel_recall") = selHits.toDouble / selTotal
-      // the nprobe dial (the multi-vector ivf_np50 row): one step up
-      // recovers the boundary misses at a measured scan-cost multiple
-      val np2Model = selWorld.model.copy(nprobe = 2)
-      val (np2Stats, _) = time {
-        PI.probeStats(selPost, selQ, np2Model)
+      // the nprobe dial's FLOOR (the most selective point): per-token
+      // argmax routing — scan_frac here is the minimum posting mass any
+      // probe of this index can touch, the recall row what that buys
+      val np1Model = selWorld.model.copy(nprobe = 1)
+      val (np1Stats, _) = time {
+        PI.probeStats(selPost, selQ, np1Model)
           .agg(avg(col("scan_frac"))).first()
       }
-      results("plaid_sel_np2_scan_frac") = np2Stats.getDouble(0)
-      val np2Local = new graft.query.LocalPlaidServer(
-        selWorld.docs, selPost, np2Model)
-      var np2Hits = 0
+      results("plaid_sel_np1_scan_frac") = np1Stats.getDouble(0)
+      val np1Local = new graft.query.LocalPlaidServer(
+        selWorld.docs, selPost, np1Model)
+      var np1Hits = 0
       qTexts.foreach { case (id, text) =>
-        val pruned = np2Local.search(id, text, 100, 10).map(_._1).toSet
-        np2Hits += fullLocal.search(id, text, 100, 10)
+        val pruned = np1Local.search(id, text, 100, 10).map(_._1).toSet
+        np1Hits += fullLocal.search(id, text, 100, 10)
           .count(r => pruned.contains(r._1))
       }
-      results("plaid_sel_np2_recall") = np2Hits.toDouble / selTotal
+      results("plaid_sel_np1_recall") = np1Hits.toDouble / selTotal
       logSection(results, "plaid_sel_recall_sec")
       // in-process serving p50 at the pruned config
       System.gc()

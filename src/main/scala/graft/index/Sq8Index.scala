@@ -158,6 +158,57 @@ object Sq8Index {
     tab
   }
 
+  /** Canonical i-ordered fold of [[sqTable]] lookups for ONE packed code
+    * row — value-identical to the inline dequantize-subtract-square scan
+    * (each table entry IS its per-component term), preserving the exact
+    * serving ≡ [[knnBlocked]] ≡ oracle parity chain. */
+  @inline private[graft] def tableKey(tab: Array[Double], codes: Array[Byte],
+      off: Int, dim: Int): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < dim) { d += tab((i << 8) + codes(off + i) + 128); i += 1 }
+    d
+  }
+
+  /** Unmasked table scan with FOUR-ROW software pipelining — the SQ8
+    * serving hot loop. The canonical per-row fold is one serial
+    * dependency chain (~1 element per 4-cycle add latency — why the r11
+    * single-row ADC scan still benched under the raw-double flat scan
+    * despite 8× less data), and that chain is VALUE-PINNED: serving must
+    * equal [[knnBlocked]] must equal the DuckDB oracle bit-for-bit, so
+    * reassociating within a row is off the table. Interleaving four
+    * ROWS' folds instead gives the core four independent add chains
+    * while each row's own fold stays exactly canonical — bit-identical
+    * results, ~4× the add throughput. Heap inserts stay in row order. */
+  private[graft] def tableScanAll(tab: Array[Double], ids: Array[Long],
+      codes: Array[Byte], dim: Int, merge: BoundedTopK): Unit = {
+    val n = ids.length
+    var r = 0
+    val lim = n - 3
+    while (r < lim) {
+      val o0 = r * dim; val o1 = o0 + dim; val o2 = o1 + dim; val o3 = o2 + dim
+      var d0 = 0.0; var d1 = 0.0; var d2 = 0.0; var d3 = 0.0
+      var i = 0
+      while (i < dim) {
+        val base = i << 8
+        d0 += tab(base + codes(o0 + i) + 128)
+        d1 += tab(base + codes(o1 + i) + 128)
+        d2 += tab(base + codes(o2 + i) + 128)
+        d3 += tab(base + codes(o3 + i) + 128)
+        i += 1
+      }
+      merge.insert(ids(r), d0)
+      merge.insert(ids(r + 1), d1)
+      merge.insert(ids(r + 2), d2)
+      merge.insert(ids(r + 3), d3)
+      r += 4
+    }
+    while (r < n) {
+      merge.insert(ids(r), tableKey(tab, codes, r * dim, dim))
+      r += 1
+    }
+  }
+
   /** Blocked serving kernel — result-identical to [[knn]] (same dequantize
     * arithmetic, same rank-key fold, same (dist, id) tie-break), shuffling
     * ≤ k·partitions rows per query. */

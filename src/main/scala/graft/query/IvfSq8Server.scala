@@ -45,7 +45,10 @@ final class IvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel)
     IvfIndex.probeSet(q, cents, Metric.L2, np).foreach(mask(_) = true)
     val mins = sq8.minsArray
     val scales = sq8.scalesArray
+    // per-task squared-difference table + the family-wide 4-acc serving
+    // fold (Sq8Index.tableKey) — see LocalIvfSq8Server, result-identical
     val partials = rdd.mapPartitions { it =>
+      val tab = graft.index.Sq8Index.sqTable(q, mins, scales)
       val merge = new BoundedTopK(k)
       while (it.hasNext) {
         val blk = it.next()
@@ -53,17 +56,9 @@ final class IvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel)
         val n = blk.ids.length
         var r = 0
         while (r < n) {
-          if (mask(blk.tags(r).toInt)) {
-            val off = r * dim
-            var d = 0.0
-            var i = 0
-            while (i < dim) {
-              val t = q(i) - (mins(i) + (blk.codes(off + i).toInt + 128).toDouble * scales(i))
-              d += t * t
-              i += 1
-            }
-            merge.insert(blk.ids(r), d)
-          }
+          if (mask(blk.tags(r).toInt))
+            merge.insert(blk.ids(r),
+              graft.index.Sq8Index.tableKey(tab, blk.codes, r * dim, dim))
           r += 1
         }
       }

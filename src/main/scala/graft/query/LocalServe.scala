@@ -255,10 +255,11 @@ final class LocalPqServer(codes: DataFrame, model: PqModel) {
 
 /** In-process SQ8: per-query squared-difference table
   * ([[graft.index.Sq8Index.sqTable]] — the A8 ADC discipline applied to
-  * SQ8), one byte load + one table add per component. Bit-identical to
-  * the previous inline dequantize scan (each table entry IS that scan's
-  * per-component term; same i-ordered fold) and therefore still
-  * result-identical to [[Sq8Server.search]]. */
+  * SQ8), one byte load + one table add per component, scanned with the
+  * four-row-pipelined canonical fold
+  * ([[graft.index.Sq8Index.tableScanAll]] — per-row values bit-identical
+  * to the inline dequantize scan). Result-identical to
+  * [[Sq8Server.search]]. */
 final class LocalSq8Server(codes: DataFrame, model: Sq8Model) {
   require(model.metric == Metric.L2,
     s"LocalSq8Server serves the l2 kind; got ${model.metric.name}")
@@ -267,21 +268,8 @@ final class LocalSq8Server(codes: DataFrame, model: Sq8Model) {
 
   private def tableScan(q: Array[Double]): (ByteBlock, BoundedTopK) => Unit = {
     val tab = graft.index.Sq8Index.sqTable(q, model.minsArray, model.scalesArray)
-    (blk, merge) => {
-      val dim = blk.dim
-      var r = 0
-      while (r < blk.ids.length) {
-        val off = r * dim
-        var d = 0.0
-        var i = 0
-        while (i < dim) {
-          d += tab((i << 8) + blk.codes(off + i) + 128)
-          i += 1
-        }
-        merge.insert(blk.ids(r), d)
-        r += 1
-      }
-    }
+    (blk, merge) =>
+      graft.index.Sq8Index.tableScanAll(tab, blk.ids, blk.codes, blk.dim, merge)
   }
 
   def search(q: Array[Double], k: Int): Array[(Long, Double, Int)] = {
@@ -290,16 +278,93 @@ final class LocalSq8Server(codes: DataFrame, model: Sq8Model) {
       .ranked.map { case (id, d, r) => (id, math.sqrt(d), r) }
   }
 
-  /** Query-parallel batch throughput; the table builds once per query in
-    * [[LocalServe.batch]]'s `mk` and amortizes over the full scan. (The
-    * r10 row-outer dequantize-once form is retired: at 1000 queries ×
-    * 100k rows it paid a full rank-key recompute per (query, row) and
-    * benched BELOW the raw-double flat scan — 858 vs 2,815 QPS — despite
-    * 8× less resident data.) Per query ≡ [[search]]. */
+  /** Batch throughput: QUERY-GROUP-BLOCKED row-outer kernel — groups of
+    * four queries fan across the common pool (250-way parallel at the
+    * bench batch, vs the r10 row-outer form's 8 blocks); within a group
+    * each row dequantizes ONCE into a register-resident value and feeds
+    * four independent canonical fold chains (all loads L1: the query
+    * rows + the dequant model; the code stream is sequential). Each
+    * (query, row) value is EXACTLY [[search]]'s arithmetic — dequant
+    * then subtract-square in i order — and bounded-top-k merges are
+    * insert-order-invariant, so per query the result ≡ [[search]]
+    * row-for-row. The r11 query-outer table scan benched gather-
+    * throughput-bound (the 256 KB table thrashes L2 across 32 threads);
+    * this shape keeps the serial-chain bound broken across QUERIES
+    * instead, with no table at all. */
   def searchBatch(qs: Array[Array[Double]], k: Int): Array[Array[(Long, Double, Int)]] = {
     require(k > 0, s"serving requires k > 0, got $k")
-    LocalServe.batch(qs, blocks, k)(q => tableScan(q))
-      .map(_.ranked.map { case (id, d, r) => (id, math.sqrt(d), r) })
+    val mins = model.minsArray
+    val scales = model.scalesArray
+    val nq = qs.length
+    val out = new Array[Array[(Long, Double, Int)]](nq)
+    val G = 8 // query-block width: dequant amortizes over G chains
+    val nGroups = (nq + G - 1) / G
+    java.util.stream.IntStream.range(0, nGroups).parallel().forEach { gi =>
+      val q0 = gi * G
+      if (nq - q0 >= G) {
+        val heaps = Array.fill(G)(new BoundedTopK(k))
+        var bi = 0
+        while (bi < blocks.length) {
+          val blk = blocks(bi)
+          val dim = blk.dim
+          val codes = blk.codes
+          val recon = new Array[Double](dim)
+          val n = blk.ids.length
+          var r = 0
+          while (r < n) {
+            val off = r * dim
+            var i = 0
+            while (i < dim) {
+              recon(i) = mins(i) + (codes(off + i).toInt + 128).toDouble * scales(i)
+              i += 1
+            }
+            val id = blk.ids(r)
+            var j = 0
+            while (j < G) {
+              val q = qs(q0 + j)
+              val h = heaps(j)
+              // EXACT early termination: L2 terms are non-negative, so a
+              // partial sum already strictly above the heap's k-th key
+              // can only grow — the row would be rejected; skipping the
+              // insert changes nothing. Checked every 32 elements so the
+              // canonical fold (and every surviving value) is untouched.
+              val bound =
+                if (h.size < k) Double.PositiveInfinity else h.dists(k - 1)
+              var d = 0.0
+              var skip = false
+              i = 0
+              while (!skip && i < dim) {
+                val stop = math.min(i + 32, dim)
+                while (i < stop) { val t = q(i) - recon(i); d += t * t; i += 1 }
+                skip = d > bound
+              }
+              if (!skip) h.insert(id, d)
+              j += 1
+            }
+            r += 1
+          }
+          bi += 1
+        }
+        var j = 0
+        while (j < G) {
+          out(q0 + j) = heaps(j).ranked.map { case (id, d, rk) => (id, math.sqrt(d), rk) }
+          j += 1
+        }
+      } else {
+        // tail group (< 4 queries): the single-query table scan, whose
+        // per-row values are identical to the interleaved form's
+        var t = q0
+        while (t < nq) {
+          val merge = new BoundedTopK(k)
+          val scan = tableScan(qs(t))
+          var bi = 0
+          while (bi < blocks.length) { scan(blocks(bi), merge); bi += 1 }
+          out(t) = merge.ranked.map { case (id, d, rk) => (id, math.sqrt(d), rk) }
+          t += 1
+        }
+      }
+    }
+    out
   }
 }
 
@@ -393,16 +458,9 @@ final class LocalIvfSq8Server(codes: DataFrame, sq8: Sq8Model, ivf: IvfModel) {
       val dim = blk.dim
       var r = 0
       while (r < blk.ids.length) {
-        if (mask(blk.tags(r).toInt)) {
-          val off = r * dim
-          var d = 0.0
-          var i = 0
-          while (i < dim) {
-            d += tab((i << 8) + blk.codes(off + i) + 128)
-            i += 1
-          }
-          merge.insert(blk.ids(r), d)
-        }
+        if (mask(blk.tags(r).toInt))
+          merge.insert(blk.ids(r),
+            graft.index.Sq8Index.tableKey(tab, blk.codes, r * dim, dim))
         r += 1
       }
     }

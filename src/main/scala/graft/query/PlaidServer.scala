@@ -63,7 +63,14 @@ final class PlaidServer(docs: DataFrame, post: DataFrame, model: PlaidModel)
       .groupBy("doc_id").agg(collect_list(col("cent")).as("cs"))
     val dt = PlaidIndex.docTokens(docs)
       .groupBy("doc_id").agg(collect_list(col("th")).as("ths"))
-    dc.join(dt, "doc_id").rdd.mapPartitions { it =>
+    // coalesce to the serving-partition count BEFORE compiling blocks —
+    // the join leaves shuffle.partitions (32) behind, and per-query jobs
+    // pay task dispatch per partition: the r11 probe measured the no-op
+    // floor at 51 ms over 32 tasks vs ~11 ms over the 8 every other
+    // server uses (this, not closure size, was the serve_plaid_sel gap)
+    dc.join(dt, "doc_id").rdd
+      .coalesce(ServeBlocks.ServePartitions, shuffle = false)
+      .mapPartitions { it =>
       val rows = it.map { r =>
         (r.getLong(0),
           r.getSeq[Long](1).map(centIdx(_)).toArray,
@@ -78,6 +85,14 @@ final class PlaidServer(docs: DataFrame, post: DataFrame, model: PlaidModel)
       Iterator.single(Block(rows.map(_._1), rows.map(_._2), rows.map(_._3),
         byCent.map(_.toArray)))
     }.persist(StorageLevel.MEMORY_AND_DISK)
+      // truncate the lineage once materialized: every job on a
+      // DataFrame-derived rdd re-broadcasts a task binary holding the
+      // whole construction plan — for PLAID that plan can embed the
+      // corpus generator's vocabulary literals (~0.5 MB on the bench
+      // world), which the r11 probe measured as a 43 ms no-op floor vs
+      // the 13 ms control. After localCheckpoint the task binary is just
+      // the cached-block read.
+      .localCheckpoint()
   }
 
   /** Materialize the serving partitions (call once before timing). */

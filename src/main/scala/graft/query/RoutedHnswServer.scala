@@ -117,6 +117,10 @@ final class RoutedHnswServer(graph: DataFrame, model: RoutedHnswModel)
       // partitions are sized for the single-query tail and would cap a
       // batch at 8 cores — see HnswServer.searchBatch). Each query owns
       // heaps(qi); the distinct bounded merge is insert-order-invariant.
+      // (As in HnswServer: the intra-task fan-out shares the JVM common
+      // pool — sized for local-mode / one-batch-job-at-a-time serving; a
+      // cluster running concurrent batch jobs per executor should cap
+      // spark.task.cpus accordingly.)
       val local = it.toArray
       val perQ = Array.fill(qs.length)(
         new scala.collection.mutable.ArrayBuffer[CompiledHnsw](4))

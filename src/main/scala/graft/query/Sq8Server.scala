@@ -12,10 +12,14 @@ import graft.index.{BoundedTopK, Sq8Model}
   * than the double-packed blocks a flat server would hold), ONE
   * single-stage RDD job per query, driver merge. The scan folds a
   * per-query squared-difference table ([[graft.index.Sq8Index.sqTable]]
-  * — one byte load + one table add per element, no per-row allocation).
+  * — one byte load + one table add per element, no per-row allocation)
+  * with four-row software pipelining
+  * ([[graft.index.Sq8Index.tableScanAll]]).
   *
   * Result order/tie-break matches [[graft.index.Sq8Index.knnBlocked]]
-  * exactly: ascending (rank_key, id), identical dequantize arithmetic.
+  * exactly: ascending (rank_key, id), identical per-row arithmetic
+  * (each table entry is the inline scan's per-component term, folded in
+  * the same i order).
   */
 // deliberately NOT Serializable — per-query closures capture only locals
 final class Sq8Server(codes: DataFrame, model: Sq8Model) extends ServingRdd {
@@ -43,20 +47,7 @@ final class Sq8Server(codes: DataFrame, model: Sq8Model) extends ServingRdd {
       val merge = new BoundedTopK(k)
       while (it.hasNext) {
         val blk = it.next()
-        val dim = blk.dim
-        val n = blk.ids.length
-        var r = 0
-        while (r < n) {
-          val off = r * dim
-          var d = 0.0
-          var i = 0
-          while (i < dim) {
-            d += tab((i << 8) + blk.codes(off + i) + 128)
-            i += 1
-          }
-          merge.insert(blk.ids(r), d)
-          r += 1
-        }
+        graft.index.Sq8Index.tableScanAll(tab, blk.ids, blk.codes, blk.dim, merge)
       }
       merge.drainIterator
     }.collect()

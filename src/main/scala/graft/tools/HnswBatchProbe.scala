@@ -28,7 +28,9 @@ object HnswBatchProbe {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
+      // NOTE: driver memory cannot be set here — in local mode the JVM is
+      // already running (ADVICE r10 #3); it comes from build.sbt's
+      // javaOptions (-Xmx via SPARK_DRIVER_MEM, default 56g)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def synth(count: Long, salt: Long, idName: String, vecName: String) =

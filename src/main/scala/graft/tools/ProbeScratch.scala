@@ -43,6 +43,29 @@ object ProbeScratch {
     t("probeStats-cachedQ")(graft.index.PlaidIndex
       .probeStats(post, selQc, world.model)
       .agg(avg(col("scan_frac"))).first())
+    // nprobe recall ladder at this C: pruned vs full-probe (the bench's
+    // plaid_sel_recall grading), plus scan/cand fractions per step
+    val qTexts = world.docs.where(col("doc_id") < 100)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val fullLocal = new graft.query.LocalPlaidServer(world.docs, post,
+      world.model.copy(nprobe = world.model.cents.length))
+    val fullTop = qTexts.map { case (id, text) =>
+      (id, fullLocal.search(id, text, 100, 10).map(_._1))
+    }.toMap
+    args.lift(3).map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 4, 8)).foreach { np =>
+      val m = world.model.copy(nprobe = np)
+      val stats = graft.index.PlaidIndex.probeStats(post, selQc, m)
+        .agg(avg(col("scan_frac")), avg(col("cand_frac"))).first()
+      val local = new graft.query.LocalPlaidServer(world.docs, post, m)
+      var hits = 0; var total = 0
+      qTexts.foreach { case (id, text) =>
+        val pruned = local.search(id, text, 100, 10).map(_._1).toSet
+        val full = fullTop(id)
+        hits += full.count(pruned.contains); total += full.length
+      }
+      println(f"[probe] np$np recall ${hits.toDouble / total}%.4f scan_frac ${stats.getDouble(0)}%.4f cand_frac ${stats.getDouble(1)}%.4f")
+    }
     spark.stop()
   }
 }
