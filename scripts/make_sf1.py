@@ -78,7 +78,16 @@ dim = len(e0["embedding"].iloc[0])
 lo = min(v.min() for v in e0["embedding"].head(500))
 hi = max(v.max() for v in e0["embedding"].head(500))
 n_vec = len(e0) * COPIES
-vecs = rng.uniform(lo, hi, (n_vec, dim)).astype(np.float32)
+# match the source's DISTANCE STRUCTURE, not just its value range: sf0.1
+# embeddings have per-dim std ~0.125 inside a ±0.58 envelope, so nearest
+# pairs sit near the ANN rows' radius thresholds. Uniform(lo, hi) draws
+# (per-dim std 0.32) pushed every pairwise distance ~3x higher and the
+# BRP invariants row's "found_any" oracle correctly caught the empty
+# join at sf1 — a data-fidelity gap, not an engine defect.
+s0 = np.stack(e0["embedding"].head(2000).values)
+mu = s0.mean(axis=0)
+sd = s0.std(axis=0)
+vecs = np.clip(rng.normal(mu, sd, (n_vec, dim)), lo, hi).astype(np.float32)
 emb = pa.table({
     "vec_id": pa.array(np.arange(n_vec), pa.int64()),
     "embedding": pa.array(list(vecs), pa.list_(pa.float32())),

@@ -28,6 +28,14 @@ for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+# --only a,b,c: restrict to named queries (fresh-process retries of rows
+# a long sf1 sweep OOM'd in DuckDB's single shared connection)
+only = None
+for i, a in enumerate(sys.argv):
+    if a == "--only" and i + 1 < len(sys.argv):
+        only = set(sys.argv[i + 1].split(","))
+if only is not None:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
     spark_dir = os.path.join(outdir, name)

@@ -94,20 +94,27 @@ object RelationalQueries extends QueryProvider {
           round(min(col("value")), 2).as("min_value"),
           round(max(col("value")), 2).as("max_value"))
     }),
-    // Join + agg + window: top-5 customers by spend within market segment
+    // Join + agg + window: top-5 customers by spend within market segment.
+    // The window ORDERS BY the spend aggregate, so it sums in DECIMAL
+    // (exact, order-free — the r10 money-sum discipline): the sf1 sweep
+    // caught upsampled customer clones with IDENTICAL order sets whose
+    // double sums differed by partial-aggregation-order ulps between
+    // Spark and DuckDB, scrambling the rank tie-break (11/25 rows).
     "q_top_customers_by_segment" -> ((s, dir) => {
       val o = Tables.load(s, dir, "orders")
       val c = Tables.load(s, dir, "customer")
       val spend = o.join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("c_custkey"))
-        .agg(sum(col("o_totalprice")).as("spend"), count(lit(1)).as("n_orders"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,10)")).as("spend_exact"),
+          count(lit(1)).as("n_orders"))
       val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("spend").desc, col("c_custkey").asc)
+        .orderBy(col("spend_exact").desc, col("c_custkey").asc)
       spend.withColumn("rank", row_number().over(w))
         .where(col("rank") <= 5)
         .select(
           col("c_mktsegment"), col("c_custkey"),
-          round(col("spend"), 2).as("spend"), col("n_orders"), col("rank"))
+          round(col("spend_exact"), 2).cast("double").as("spend"),
+          col("n_orders"), col("rank"))
     })
   )
 
@@ -154,14 +161,14 @@ object RelationalQueries extends QueryProvider {
         |FROM events
         |GROUP BY event_type, date_trunc('hour', ts)""".stripMargin,
     "q_top_customers_by_segment" ->
-      """SELECT c_mktsegment, c_custkey, round(spend, 2) AS spend, n_orders, CAST(rank AS INT) AS rank
+      """SELECT c_mktsegment, c_custkey, CAST(round(spend_exact, 2) AS DOUBLE) AS spend, n_orders, CAST(rank AS INT) AS rank
         |FROM (
-        |  SELECT c_mktsegment, c_custkey, spend, n_orders,
+        |  SELECT c_mktsegment, c_custkey, spend_exact, n_orders,
         |         row_number() OVER (PARTITION BY c_mktsegment
-        |                            ORDER BY spend DESC, c_custkey ASC) AS rank
+        |                            ORDER BY spend_exact DESC, c_custkey ASC) AS rank
         |  FROM (
         |    SELECT c_mktsegment, c_custkey,
-        |           sum(o_totalprice) AS spend, count(*) AS n_orders
+        |           sum(CAST(o_totalprice AS DECIMAL(30,10))) AS spend_exact, count(*) AS n_orders
         |    FROM orders JOIN customer ON o_custkey = c_custkey
         |    GROUP BY c_mktsegment, c_custkey))
         |WHERE rank <= 5""".stripMargin
