@@ -1171,21 +1171,41 @@ object Bench {
         // shard graphs (~34× the distance evals — the _evals_per_q rows
         // above/below measure it). This block builds the literal
         // reference shape — numShards=1, same M/efC, the whole corpus in
-        // one CompiledHnsw — and serves the same batch. The ~2-min
-        // sequential build (one 100k graph admits no partition
-        // parallelism) is the cost of the comparison, so the block gates
-        // on the 100k protocol and can be disabled by env. ef=50 IS the
-        // reference config; the ef dial rows chart what recall that
-        // config actually buys on uniform 128-d data — the recall its own
+        // one CompiledHnsw — and serves the same batch. The build uses
+        // the concurrent-insert kernel (HnswIndex.buildParallelSingle —
+        // one graph admits no partition parallelism, so parallelism
+        // comes from hnswlib-style locked inserts; r11 session 1 paid a
+        // ~2-min sequential build for this row, ~13% of bench
+        // wall-clock, to prove a property the test suite already pins).
+        // SPARK_GRAFT_BENCH_HNSW_SINGLE_SEQ=1 restores the sequential
+        // deterministic build for adjudication. ef=50 IS the reference
+        // config; the ef dial rows chart what recall that config
+        // actually buys on uniform 128-d data — the recall its own
         // broken telemetry (0.0004) never measured.
-        if (benchN <= 150000 &&
+        // gate raised 150k → 1.1M once the build went concurrent: at 1M
+        // the packed graph (~1 GiB vectors + CSR) still fits the serving
+        // heap comfortably, and the row extends the apples-to-apples
+        // shape one decade past the reference's own protocol
+        if (benchN <= 1100000 &&
             sys.env.getOrElse("SPARK_GRAFT_BENCH_HNSW_SINGLE", "1") == "1") {
           System.gc()
-          val (sg, sgBuild) = time {
-            val g = HnswIndex.build(vectors, 1, Metric.L2).cache(); g.count(); g
-          }
+          val seqBuild = sys.env.getOrElse("SPARK_GRAFT_BENCH_HNSW_SINGLE_SEQ", "0") == "1"
+          // the timed region produces a SERVABLE in-memory graph — the
+          // reference row's own shape (hnsw.go Build returns the struct
+          // its Search walks); the concurrent path freezes build arrays
+          // straight to the CSR serving form with no interchange frame
+          val (single, sgMaybeDf, sgBuild) =
+            if (seqBuild) {
+              val (df, sec) = time {
+                val g = HnswIndex.build(vectors, 1, Metric.L2).cache(); g.count(); g
+              }
+              (new graft.query.LocalHnswServer(df, Metric.L2, 1), Option(df), sec)
+            } else {
+              val (g, sec) = time(HnswIndex.buildParallelCompiled(vectors, Metric.L2))
+              (graft.query.LocalHnswServer.fromCompiled(Array(g), Metric.L2),
+                Option.empty[org.apache.spark.sql.DataFrame], sec)
+            }
           results("hnsw_single_build_sec") = sgBuild
-          val single = new graft.query.LocalHnswServer(sg, Metric.L2, 1)
           val singleRow = batchRowOn(single) _
           // ef=50: the reference's literal bench config (its 24k-QPS row)
           singleRow("hnsw_single_batch", 50)
@@ -1197,7 +1217,7 @@ object Bench {
           // sharding)
           singleRow("hnsw_single_batch_ef800", 800)
           singleRow("hnsw_single_batch_ef1600", 1600)
-          sg.unpersist()
+          sgMaybeDf.foreach(_.unpersist())
         }
       }
     }
@@ -1543,11 +1563,12 @@ object Bench {
       "hnsw_single_batch_ef1600_qps", "hnsw_single_batch_ef1600_recall",
       "serve_local_plaid_p50_ms", "serve_plaid_p50_ms",
       "plaid_sel_scan_frac", "plaid_sel_cand_frac", "plaid_sel_recall",
-      "plaid_sel_c", "serve_plaid_sel_p50_ms",
+      "plaid_sel_c", "plaid_sel_nprobe", "plaid_sel_world_fp",
+      "serve_plaid_sel_p50_ms",
       "hnsw_routed_r24_qps", "hnsw_routed_r24_recall",
       "hnsw_routed_warm_r8_ef50_qps", "hnsw_routed_warm_r8_ef50_recall",
       "serve_routed_p50_ms",
-      "hnsw_clustered_qps", "hnsw_clustered_recall",
+      "hnsw_clustered_world_fp", "hnsw_clustered_qps", "hnsw_clustered_recall",
       "hnsw_routed_c_batch_qps", "hnsw_routed_c_batch_recall",
       "hnsw_routed_cr_batch_qps", "hnsw_routed_cr_batch_recall",
       "hnsw_clustered_batch_qps", "hnsw_clustered_batch_recall",

@@ -72,7 +72,7 @@ private[graft] final class CompiledHnsw(
       }
       lc -= 1
     }
-    s.evals += ev
+    CompiledHnsw.addEvals(ev)
     curr
   }
 
@@ -118,7 +118,7 @@ private[graft] final class CompiledHnsw(
         }
       }
     }
-    s.evals += ev
+    CompiledHnsw.addEvals(ev)
   }
 
   /** Search this shard's graph (hnsw.go:141-186): greedy descent through
@@ -171,42 +171,36 @@ private[graft] object CompiledHnsw {
     * thread has walked (stamp = n ints; at the 1M routed shape ~124 KB
     * per thread). The epoch stamp makes cross-graph reuse safe: every
     * walk begins with a fresh epoch, so stale stamps — same-position
-    * entries from ANOTHER graph included — never match. Scratches
-    * register in a weak-ref list so [[evalsSnapshot]] can sum the
-    * per-thread eval counters; [[clearScratch]] releases the calling
-    * thread's scratch (for long-lived executors that served a much
-    * larger graph than they will again — ADVICE r10 #4). */
-  private val registry =
-    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.ref.WeakReference[HnswScratch]]
-
+    * entries from ANOTHER graph included — never match. [[clearScratch]]
+    * releases the calling thread's scratch (for long-lived executors
+    * that served a much larger graph than they will again — ADVICE r10
+    * #4). */
   private val tl: ThreadLocal[HnswScratch] =
-    ThreadLocal.withInitial { () =>
-      val s = new HnswScratch
-      registry.add(new java.lang.ref.WeakReference(s))
-      s
-    }
+    ThreadLocal.withInitial(() => new HnswScratch)
 
   private[index] def scratch(): HnswScratch = tl.get()
 
   /** Release the calling thread's walk scratch (it re-creates lazily). */
   def clearScratch(): Unit = tl.remove()
 
-  /** Sum of distance evaluations recorded by every live thread scratch —
-    * a DIAGNOSTIC readout for the bench's evals-per-query rows: take a
-    * snapshot before and after a (joined) batch and divide the delta by
-    * the query count. Counter writes are per-thread and batched per walk
-    * (one add per walk phase — no hot-path cost); the sum is only exact
-    * once the batch's worker threads have joined, which every batch
-    * entry point guarantees before returning. */
-  def evalsSnapshot(): Long = {
-    var sum = 0L
-    val it = registry.iterator()
-    while (it.hasNext) {
-      val s = it.next().get()
-      if (s == null) it.remove() else sum += s.evals
-    }
-    sum
-  }
+  /** JVM-wide distance-evaluation counter: threads flush once per walk
+    * phase (a striped [[java.util.concurrent.atomic.LongAdder]] add every
+    * few thousand evals — no hot-path cost). A process-global adder
+    * rather than a sum over live per-thread scratches: pool threads die
+    * and their scratches get collected between bench phases, and a
+    * weak-ref sum silently loses their contribution (the r11 ef-sweep
+    * rows read NEGATIVE deltas before this was an adder). */
+  private val evalAdder = new java.util.concurrent.atomic.LongAdder
+
+  private[index] def addEvals(ev: Long): Unit = evalAdder.add(ev)
+
+  /** Monotone total of distance evaluations across all threads since JVM
+    * start — a DIAGNOSTIC readout for the bench's evals-per-query rows:
+    * take a snapshot before and after a (joined) batch and divide the
+    * delta by the query count. Exact once the batch's worker threads
+    * have joined, which every batch entry point guarantees before
+    * returning. */
+  def evalsSnapshot(): Long = evalAdder.sum()
 
   /** Compile straight from stored (id, vec, level, edges) rows — the
     * query-path loader. Skips the [[LocalHnsw]] node-map intermediate
@@ -287,9 +281,6 @@ private[graft] object CompiledHnsw {
 private[graft] final class HnswScratch {
   var stamp: Array[Int] = new Array[Int](0)
   var epoch = 0
-  /** Monotone count of distance evaluations this thread has run (batched
-    * per walk phase; summed by [[CompiledHnsw.evalsSnapshot]]). */
-  var evals: Long = 0L
   val frontier = new PosDistHeap(maxHeap = false)
   val results = new PosDistHeap(maxHeap = true)
 

@@ -96,6 +96,108 @@ object HnswIndex {
       numShards, metric, m, efConstruction)
   }
 
+  /** Build ONE graph with concurrent inserts on the driver — the
+    * single-graph serving shape ([[graft.query.LocalHnswServer]] with
+    * numShards=1), where [[build]]'s per-partition parallelism cannot
+    * apply and a sequential insert pass is the whole wall-clock.
+    * Emits the same (shard, id, vec, level, edges) frame as
+    * `build(vectors, 1, metric)` — IO, merge, serving, and maintenance
+    * layers are shared — but the build is NOT deterministic: concurrent
+    * inserts see thread-interleaving-dependent graph states, so edge
+    * selections (and recall in the third decimal) vary run to run; see
+    * [[HnswParallelBuilder]]. The deterministic sharded [[build]] stays
+    * the production path for distributed corpora; this one is for the
+    * bounded single-graph shape (the whole corpus collects to the
+    * driver, so the caller owns the fits-in-heap judgment — at 128-d
+    * doubles, 1M rows ≈ 1 GiB packed + edges). */
+  def buildParallelSingle(vectors: DataFrame, metric: Metric,
+      m: Int = M, efConstruction: Int = EfConstruction,
+      threads: Int = 0): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val (b, th) = runParallelBuilder(vectors, metric, m, efConstruction, threads)
+    val out = b.nodeRows.map { case (id, vec, level, edges) =>
+      (0, id, vec.toSeq, level, edges.map(_.toSeq).toSeq)
+    }.toSeq
+    // parallelize, not createDataset: a LocalRelation row-encodes all n
+    // rows ON THE DRIVER in one thread — measured 5× the insert kernel
+    // itself at 100k — while an RDD round-trip encodes in tasks
+    spark.sparkContext.parallelize(out, math.max(2, th / 4))
+      .toDF("shard", "id", "vec", "level", "edges")
+  }
+
+  /** [[buildParallelSingle]] frozen straight to the query-time CSR form
+    * — no interchange frame at all. Serve with
+    * [[graft.query.LocalHnswServer.fromCompiled]]. This is the
+    * in-memory-to-in-memory shape the reference's build row measures
+    * (its Build returns a struct its own Search walks); at 100k the
+    * DataFrame round-trip of [[buildParallelSingle]] costs ~5× the
+    * insert kernel itself, all of it interchange the in-process serving
+    * path never reads. */
+  private[graft] def buildParallelCompiled(vectors: DataFrame, metric: Metric,
+      m: Int = M, efConstruction: Int = EfConstruction,
+      threads: Int = 0): CompiledHnsw = {
+    val (b, _) = runParallelBuilder(vectors, metric, m, efConstruction, threads)
+    b.toCompiled
+  }
+
+  private def runParallelBuilder(vectors: DataFrame, metric: Metric,
+      m: Int, efConstruction: Int, threads: Int): (HnswParallelBuilder, Int) = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // packed parallel collect: each task decodes ITS partition's rows to
+    // flat primitive arrays (the ServeBlock discipline), so the driver
+    // receives a few big arrays instead of row-decoding n Seqs on one
+    // thread — at 100k the single-threaded Dataset.collect() cost more
+    // than the whole concurrent insert pass
+    val blocks = vectors.select(col("id").cast("long"), col("vec"))
+      .as[(Long, Seq[Double])].rdd
+      .mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuilder.make[Long]
+        val data = scala.collection.mutable.ArrayBuilder.make[Double]
+        var dim = -1
+        while (it.hasNext) {
+          val (id, v) = it.next()
+          ids += id
+          if (dim < 0) dim = v.length
+          require(v.length == dim, s"ragged vector for id=$id: ${v.length} != $dim")
+          var i = 0
+          while (i < dim) { data += v(i); i += 1 }
+        }
+        if (dim < 0) Iterator.empty
+        else Iterator.single((ids.result(), data.result(), dim))
+      }.collect()
+    require(blocks.nonEmpty, "buildParallelSingle: empty vectors frame")
+    val dim = blocks(0)._3
+    require(blocks.forall(_._3 == dim), "inconsistent dims across partitions")
+    val n = blocks.map(_._1.length.toLong).sum
+    require(n * dim <= Int.MaxValue, s"n=$n × dim=$dim overflows the packed array")
+    // id-sort across blocks (positions must be id order for the
+    // engine-wide (dist, pos) ≡ (dist, id) tie-break)
+    val order = new Array[(Long, Int, Int)](n.toInt) // (id, block, row)
+    var w = 0
+    blocks.indices.foreach { bi =>
+      val bids = blocks(bi)._1
+      var r = 0
+      while (r < bids.length) { order(w) = (bids(r), bi, r); w += 1; r += 1 }
+    }
+    java.util.Arrays.sort(order, Ordering.by((t: (Long, Int, Int)) => t._1))
+    val ids = new Array[Long](n.toInt)
+    val packed = new Array[Double](n.toInt * dim)
+    var p = 0
+    while (p < order.length) {
+      val (id, bi, r) = order(p)
+      ids(p) = id
+      System.arraycopy(blocks(bi)._2, r * dim, packed, p * dim, dim)
+      p += 1
+    }
+    val th = if (threads > 0) threads
+      else math.min(Runtime.getRuntime.availableProcessors(), 32)
+    val b = new HnswParallelBuilder(m, efConstruction, metric, ids, packed, dim, th)
+    b.run()
+    (b, th)
+  }
+
   /** Shared per-shard graph builder over a (shard, id, vec) frame — the
     * shard column is the caller's routing policy (id-hash here, k-means
     * region + balance split in [[RoutedHnswIndex]]); everything after the

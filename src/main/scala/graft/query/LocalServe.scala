@@ -550,19 +550,25 @@ final class LocalRoutedHnswServer(graph: DataFrame, model: RoutedHnswModel) {
   * [[HnswServer]] — result-identical. 32 graph walks of a 3k-node shard
   * are microseconds each; the distributed sibling pays the job-dispatch
   * floor on exactly the same walks. */
-final class LocalHnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1) {
+final class LocalHnswServer private (preGraphs: Array[graft.index.CompiledHnsw],
+    graph: DataFrame, metric: Metric, numShards: Int) {
   import graft.index.{BoundedTopK, CompiledHnsw, HnswIndex}
 
-  private val graphs: Array[CompiledHnsw] = {
-    val nShards =
-      if (numShards > 0) numShards
-      else graph.agg(org.apache.spark.sql.functions.max(col("shard"))).head.getInt(0) + 1
-    HnswIndex.shardGrouped(graph, nShards).collect()
-      .groupBy(_._1).values
-      .map(rs =>
-        CompiledHnsw.fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), metric))
-      .toArray
-  }
+  def this(graph: DataFrame, metric: Metric, numShards: Int = -1) =
+    this(null, graph, metric, numShards)
+
+  private val graphs: Array[CompiledHnsw] =
+    if (preGraphs != null) preGraphs
+    else {
+      val nShards =
+        if (numShards > 0) numShards
+        else graph.agg(org.apache.spark.sql.functions.max(col("shard"))).head.getInt(0) + 1
+      HnswIndex.shardGrouped(graph, nShards).collect()
+        .groupBy(_._1).values
+        .map(rs =>
+          CompiledHnsw.fromTuples(rs.map(t => (t._2, t._3, t._4, t._5)), metric))
+        .toArray
+    }
 
   def search(q: Array[Double], k: Int,
       efSearch: Int = graft.index.HnswIndex.EfSearch): Array[(Long, Double, Int)] = {
@@ -597,6 +603,15 @@ final class LocalHnswServer(graph: DataFrame, metric: Metric, numShards: Int = -
     }
     out
   }
+}
+
+object LocalHnswServer {
+  /** Serve graphs already compiled in this process — the direct handoff
+    * from [[graft.index.HnswIndex.buildParallelCompiled]] (build arrays
+    * ARE the serving arrays; no DataFrame interchange, no re-collect). */
+  private[graft] def fromCompiled(gs: Array[graft.index.CompiledHnsw],
+      metric: Metric): LocalHnswServer =
+    new LocalHnswServer(gs, null, metric, gs.length)
 }
 
 /** In-process BQ: XOR + popcount over packed sign words — at dim/8 bytes

@@ -39,15 +39,36 @@ object HnswBatchProbe {
     val vectors = synth(n, 0L, "id", "vec").cache(); vectors.count()
     val queries = synth(nq.toLong, 7777777L, "query_id", "qvec").cache(); queries.count()
 
+    val par = args.lift(5).exists(_.startsWith("par")) // shards==1 via the concurrent builder
+    if (args.lift(5).contains("parraw")) {
+      // isolate the insert kernel: arrays in, arrays out, no DataFrame
+      val rows = vectors.select(col("id"), col("vec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+      val ids = rows.map(_._1)
+      for (rep <- 1 to 2) {
+        val vs = rows.map(_._2.clone())
+        System.gc()
+        val tr = System.nanoTime()
+        val b = graft.index.HnswParallelBuilder.fromRows(16, 200, Metric.L2, ids, vs, 32)
+        b.run()
+        println(f"[probe] raw kernel rep$rep ${(System.nanoTime() - tr) / 1e9}%.1f s")
+      }
+    }
     val t0 = System.nanoTime()
-    val graph = HnswIndex.build(vectors, shards, Metric.L2).cache(); graph.count()
-    println(f"[probe] build ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val localPre =
+      if (par && shards == 1) {
+        val g = HnswIndex.buildParallelCompiled(vectors, Metric.L2)
+        Some(graft.query.LocalHnswServer.fromCompiled(Array(g), Metric.L2))
+      } else None
+    val graph = if (localPre.isDefined) null
+      else { val g = HnswIndex.build(vectors, shards, Metric.L2).cache(); g.count(); g }
+    println(f"[probe] build ${(System.nanoTime() - t0) / 1e9}%.1f s (par=$par)")
 
     val truth = graft.index.FlatIndex.knnBlocked(vectors, queries, K, Metric.L2)
       .select("query_id", "neighbor_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => (q, rs.map(_.getLong(1)).toSet) }
 
-    val local = new graft.query.LocalHnswServer(graph, Metric.L2, shards)
+    val local = localPre.getOrElse(new graft.query.LocalHnswServer(graph, Metric.L2, shards))
     val qArr = queries.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val qVecs = qArr.map(_._2)
 
