@@ -81,41 +81,80 @@ object Routed10M {
       hits.toDouble / total
     }
 
-    // cold batch at the R dial (the per-query work ∝ R claim at 10M)
-    Seq(2, 4, 8).foreach { r =>
-      val res = timed(s"knn_r$r")(
-        { val d = RoutedHnswIndex.knn(graph, model, qT, K, probeRegions = r,
-            efSearch = 50).cache(); d.count(); d })
-      results(s"knn_r${r}_recall") = recallOf(res)
-      println(f"[row] knn_r${r}_recall ${results(s"knn_r${r}_recall")}%.4f")
-      res.unpersist()
+    // raw vectors are dead weight from here (truth is computed, the
+    // graph is built) — at 10M the cached frame is ~40 GB of the heap
+    // the probe phases OOM'd into on the first attempt
+    vec.unpersist()
+
+    def safe(name: String)(body: => Unit): Unit =
+      try body
+      catch {
+        case e: Throwable =>
+          results(s"${name}_failed") = 1.0
+          println(s"[row] ${name}_failed ${e.getClass.getSimpleName}")
+      }
+
+    // cold batch at the R dial (the per-query work ∝ R claim at 10M),
+    // plus one ef-dial point (the quality lever at fixed R — in this
+    // world regions ≡ clusters, so R beyond the query's cluster adds
+    // nothing and ef is what buys recall)
+    if (sys.env.getOrElse("SPARK_GRAFT_10M_SKIP_COLD", "0") != "1") {
+      Seq((2, 50), (4, 50), (8, 50), (4, 400)).foreach { case (r, ef) =>
+        val name = if (ef == 50) s"knn_r$r" else s"knn_r${r}_ef$ef"
+        safe(name) {
+          val res = timed(name)(
+            { val d = RoutedHnswIndex.knn(graph, model, qT, K, probeRegions = r,
+                efSearch = ef).cache(); d.count(); d })
+          results(s"${name}_recall") = recallOf(res)
+          println(f"[row] ${name}_recall ${results(s"${name}_recall")}%.4f")
+          res.unpersist()
+        }
+      }
+    }
+
+    // hand the graph to serving THROUGH disk (the production shape:
+    // serve from the persisted index) — at 10M the cached graph frame
+    // plus warm()'s resident CSR copies plus the compile transients
+    // exceeded the heap when all three coexisted (first-attempt OOM);
+    // parquet + unpersist leaves warm() just the decode transient and
+    // the ~12 GB resident graphs
+    val graphDir = "/tmp/routed10m_graph"
+    val servedGraph = {
+      val t0 = System.nanoTime()
+      graph.write.mode("overwrite").parquet(graphDir)
+      results("graph_persist_sec") = (System.nanoTime() - t0) / 1e9
+      println(f"[row] graph_persist_sec ${results("graph_persist_sec")}%.2f")
+      graph.unpersist()
+      spark.read.parquet(graphDir)
     }
 
     // warm distributed serving: resident graphs, full nq batch + singles
-    val server = timed("server_warm")(
-      new graft.query.RoutedHnswServer(graph, model).warm())
-    val qArr = q.collect()
-    val qDf = q
-    def warmBatch(): Double = {
-      val t0 = System.nanoTime()
-      server.searchBatch(qDf, K, probeRegions = 8, efSearch = 50).count()
-      (System.nanoTime() - t0) / 1e9
+    safe("warm_serving") {
+      val server = timed("server_warm")(
+        new graft.query.RoutedHnswServer(servedGraph, model).warm())
+      val qArr = q.collect()
+      val qDf = q
+      def warmBatch(): Double = {
+        val t0 = System.nanoTime()
+        server.searchBatch(qDf, K, probeRegions = 8, efSearch = 50).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      warmBatch() // warm
+      val bsec = math.min(warmBatch(), warmBatch())
+      results("warm_batch_qps") = nq / bsec
+      val bres = server.searchBatch(qDf.limit(truthQ), K, probeRegions = 8, efSearch = 50)
+      results("warm_batch_recall") = recallOf(bres)
+      println(f"[row] warm_batch_qps ${nq / bsec}%.0f recall ${results("warm_batch_recall")}%.4f")
+      val singles = qArr.take(200).map { row =>
+        val qv = row.getSeq[Double](1).toArray
+        val t0 = System.nanoTime()
+        server.search(qv, K, probeRegions = 8, efSearch = 50)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      results("serve_p50_ms") = singles(singles.length / 2)
+      results("serve_p95_ms") = singles((singles.length * 95) / 100)
+      println(f"[row] serve p50 ${results("serve_p50_ms")}%.1f ms p95 ${results("serve_p95_ms")}%.1f ms")
     }
-    warmBatch() // warm
-    val bsec = math.min(warmBatch(), warmBatch())
-    results("warm_batch_qps") = nq / bsec
-    val bres = server.searchBatch(qDf.limit(truthQ), K, probeRegions = 8, efSearch = 50)
-    results("warm_batch_recall") = recallOf(bres)
-    println(f"[row] warm_batch_qps ${nq / bsec}%.0f recall ${results("warm_batch_recall")}%.4f")
-    val singles = qArr.take(200).map { row =>
-      val qv = row.getSeq[Double](1).toArray
-      val t0 = System.nanoTime()
-      server.search(qv, K, probeRegions = 8, efSearch = 50)
-      (System.nanoTime() - t0) / 1e6
-    }.sorted
-    results("serve_p50_ms") = singles(singles.length / 2)
-    results("serve_p95_ms") = singles((singles.length * 95) / 100)
-    println(f"[row] serve p50 ${results("serve_p50_ms")}%.1f ms p95 ${results("serve_p95_ms")}%.1f ms")
     results("jvm_gc_total_ms") = gcMs.toDouble
     val qs = results.map { case (k2, v) =>
       s""""$k2":${if (v.isNaN || v.isInfinite) "0" else f"$v%.4f"}"""
