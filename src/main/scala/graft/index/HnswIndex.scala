@@ -54,6 +54,19 @@ object HnswIndex {
   val M = 16
   val EfConstruction = 200
   val EfSearch = 200
+
+  /** Version of the BUILD ARITHMETIC that shaped a persisted graph's edge
+    * selections (VERDICT r11 next #5). [[add]]'s "bit-identical to
+    * build(old ∪ new)" invariant holds only when the persisted graph was
+    * built with the same walk-key arithmetic as the current engine:
+    *   1 — canonical sequential rank-key fold (pre-r10 builds);
+    *   2 — 4-accumulator reassociated [[graft.core.Metric.walkKeyScalar]]
+    *       (r10+; graph-identical across the r11 kernel rewrites, which
+    *       are fuzz-pinned bit-identical).
+    * Persisted in the sidecar as `graph_arithmetic`; absent ⇒ 1.
+    * [[graft.io.IndexIO.addToHnsw]] full-rebuilds on a mismatch instead
+    * of silently producing a mixed-arithmetic graph. */
+  val ArithmeticVersion = 2
   private val MaxLevel = 16
 
   /** Deterministic level for `id`: the reference's draw

@@ -236,7 +236,8 @@ object IndexIO {
     writeMeta(path, Map(
       "index_type" -> "hnsw", "metric" -> metric.name, "dim" -> dim.toString,
       "m" -> m.toString, "ef_construction" -> efConstruction.toString,
-      "num_shards" -> numShards.toString))
+      "num_shards" -> numShards.toString,
+      "graph_arithmetic" -> HnswIndex.ArithmeticVersion.toString))
   }
   def loadHnsw(spark: SparkSession, path: String): (Metric, DataFrame) = {
     val meta = loadChecked(path, "hnsw")
@@ -245,6 +246,49 @@ object IndexIO {
     val graph = spark.read.parquet(s"$path/graph")
       .withColumn("shard", col("shard").cast("int"))
     (Metric(meta("metric")), graph)
+  }
+
+  /** Incremental add to a PERSISTED hnsw index, with the
+    * arithmetic-version guard (VERDICT r11 next #5 / wrong #3b:
+    * [[HnswIndex.add]]'s "bit-identical to build(old ∪ new)" invariant
+    * silently broke against graphs persisted by pre-walkKeyScalar
+    * engines — untouched shards kept edge selections the current builder
+    * would not reproduce, a mixed-arithmetic graph nothing flagged).
+    *
+    *  - sidecar `graph_arithmetic` == [[HnswIndex.ArithmeticVersion]] →
+    *    touched-shard rebuild ([[HnswIndex.add]] semantics, cost ∝
+    *    affected shards);
+    *  - older stamp (or none — pre-stamp sidecars are version 1) → FULL
+    *    rebuild of old ∪ new with current arithmetic, restoring the
+    *    invariant, with a loud stderr note;
+    * either way the index is re-saved stamped with the current version.
+    * Searches on a stale-stamped graph stay valid (any well-formed HNSW
+    * adjacency serves) — only add must not silently mix arithmetics. */
+  def addToHnsw(spark: SparkSession, path: String, vectors: DataFrame): Unit = {
+    val meta = loadChecked(path, "hnsw")
+    val metric = Metric(meta("metric"))
+    val m = meta.get("m").map(_.toInt).getOrElse(HnswIndex.M)
+    val efc = meta.get("ef_construction").map(_.toInt).getOrElse(HnswIndex.EfConstruction)
+    val numShards = meta("num_shards").toInt
+    val stamp = meta.getOrElse("graph_arithmetic", "1").toInt
+    val graph = spark.read.parquet(s"$path/graph")
+      .withColumn("shard", col("shard").cast("int"))
+    val merged =
+      if (stamp == HnswIndex.ArithmeticVersion)
+        HnswIndex.add(graph, vectors, numShards, metric, m, efc)
+      else {
+        System.err.println(s"[graft] $path: persisted graph arithmetic v$stamp != " +
+          s"engine v${HnswIndex.ArithmeticVersion} — full rebuild (old ∪ new) " +
+          "to restore the add ≡ build invariant")
+        HnswIndex.build(
+          graph.select(col("id"), col("vec"))
+            .unionByName(vectors.select(col("id"), col("vec"))),
+          numShards, metric, m, efc)
+      }
+    // localCheckpoint before the overwrite: `merged` reads the same
+    // parquet files the save is about to replace
+    val pinned = merged.localCheckpoint()
+    saveHnsw(spark, path, pinned, metric, m, efc)
   }
 
   // ---- Routed HNSW (k-means-placed shards + probe routing — the
@@ -267,7 +311,8 @@ object IndexIO {
       "index_type" -> "hnsw_routed", "metric" -> model.metric.name,
       "dim" -> dim.toString, "nlist" -> model.nlist.toString,
       "num_shards" -> model.numShards.toString,
-      "m" -> m.toString, "ef_construction" -> efConstruction.toString))
+      "m" -> m.toString, "ef_construction" -> efConstruction.toString,
+      "graph_arithmetic" -> HnswIndex.ArithmeticVersion.toString))
   }
   def loadRoutedHnsw(spark: SparkSession, path: String): (RoutedHnswModel, DataFrame) = {
     val meta = loadChecked(path, "hnsw_routed")

@@ -80,20 +80,18 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
     val ef = math.max(efSearch, k)
     val partials = rdd.mapPartitions { it =>
       val (ids, qs) = bc.value
-      // queries fan across the common pool WITHIN the task: serving
-      // partitions are sized for the single-query dispatch tail
-      // (ServeBlocks.ServePartitions = 8), which would cap a batch job
-      // at 8 cores. Each query owns heaps(qi); graphs are read-only and
-      // walk scratch is per-thread, so the inner fan-out is race-free,
-      // and the bounded (rank_key, id) merge is insert-order-invariant —
-      // result-identical to the sequential loop. (The intra-task
-      // fan-out shares the JVM common pool: correct under concurrent
-      // task slots, but sized for the local-mode / one-batch-job-at-a-
-      // time deployment — a cluster running several concurrent batch
-      // jobs per executor should cap spark.task.cpus accordingly.)
+      // queries fan out WITHIN the task: serving partitions are sized
+      // for the single-query dispatch tail (ServeBlocks.ServePartitions
+      // = 8), which would cap a batch job at 8 cores. Each query owns
+      // heaps(qi); graphs are read-only and walk scratch is per-thread,
+      // so the inner fan-out is race-free, and the bounded (rank_key,
+      // id) merge is insert-order-invariant — result-identical to the
+      // sequential loop. The fan-out width is bounded per task by
+      // TaskFanout (spark.graft.serve.batchThreadsPerTask / task cores),
+      // NOT the JVM common pool — safe on multi-slot executors.
       val graphs = it.toArray
       val heaps = Array.fill(qs.length)(new BoundedTopK(k))
-      java.util.stream.IntStream.range(0, qs.length).parallel().forEach { qi =>
+      TaskFanout.foreach(qs.length) { qi =>
         var g = 0
         while (g < graphs.length) {
           graphs(g).knnInto(qs(qi), k, ef, heaps(qi))

@@ -117,10 +117,9 @@ final class RoutedHnswServer(graph: DataFrame, model: RoutedHnswModel)
       // partitions are sized for the single-query tail and would cap a
       // batch at 8 cores — see HnswServer.searchBatch). Each query owns
       // heaps(qi); the distinct bounded merge is insert-order-invariant.
-      // (As in HnswServer: the intra-task fan-out shares the JVM common
-      // pool — sized for local-mode / one-batch-job-at-a-time serving; a
-      // cluster running concurrent batch jobs per executor should cap
-      // spark.task.cpus accordingly.)
+      // (As in HnswServer: the intra-task fan-out is bounded per task by
+      // TaskFanout, not the JVM common pool — safe on multi-slot
+      // executors.)
       val local = it.toArray
       val perQ = Array.fill(qs.length)(
         new scala.collection.mutable.ArrayBuffer[CompiledHnsw](4))
@@ -130,7 +129,7 @@ final class RoutedHnswServer(graph: DataFrame, model: RoutedHnswModel)
         while (t < qlist.length) { perQ(qlist(t)) += g; t += 1 }
       }
       val heaps = Array.fill(qs.length)(new BoundedTopK(k))
-      java.util.stream.IntStream.range(0, qs.length).parallel().forEach { qi =>
+      TaskFanout.foreach(qs.length) { qi =>
         perQ(qi).foreach(g => g.knnInto(qs(qi), k, ef, heaps(qi), distinct = true))
       }
       BoundedTopK.drain(heaps, ids)

@@ -77,6 +77,39 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(snap(incremental) == snap(full))
   }
 
+  test("addToHnsw: same arithmetic stamp → touched-shard add; stale stamp → " +
+      "full rebuild with current arithmetic; sidecar re-stamped either way") {
+    val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
+    val maxId = corpus.agg(max(col("id"))).first().getLong(0)
+    val base = corpus.where(col("id") % 4 =!= 1 || col("id") <= maxId / 2)
+    val fresh = corpus.where(col("id") % 4 === 1 && col("id") > maxId / 2)
+    assert(fresh.count() > 0)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("id"), col("level"), col("edges"))
+      .collect().map(_.toString).sorted.toSeq
+    val fullSnap = snap(HnswIndex.build(corpus, 4, Metric.L2))
+
+    // current stamp: the guarded path IS HnswIndex.add — bit-identical
+    val path1 = Files.createTempDirectory("graft_hnsw_arith1").toString
+    IndexIO.saveHnsw(spark, path1, HnswIndex.build(base, 4, Metric.L2), Metric.L2)
+    assert(IndexIO.readMeta(path1)("graph_arithmetic") ==
+      HnswIndex.ArithmeticVersion.toString)
+    IndexIO.addToHnsw(spark, path1, fresh)
+    assert(snap(IndexIO.loadHnsw(spark, path1)._2) == fullSnap)
+
+    // stale stamp (a pre-walkKeyScalar engine's sidecar): must NOT run
+    // the touched-shard path — full rebuild with current arithmetic,
+    // i.e. still ≡ build(old ∪ new), and the sidecar is re-stamped
+    val path2 = Files.createTempDirectory("graft_hnsw_arith2").toString
+    IndexIO.saveHnsw(spark, path2, HnswIndex.build(base, 4, Metric.L2), Metric.L2)
+    val meta2 = IndexIO.readMeta(path2)
+    IndexIO.writeMeta(path2, meta2 + ("graph_arithmetic" -> "1"))
+    IndexIO.addToHnsw(spark, path2, fresh)
+    assert(snap(IndexIO.loadHnsw(spark, path2)._2) == fullSnap)
+    assert(IndexIO.readMeta(path2)("graph_arithmetic") ==
+      HnswIndex.ArithmeticVersion.toString, "sidecar not re-stamped")
+  }
+
   test("OPQ append (frozen rotation+codebooks) + re-open: appended vector served back") {
     import spark.implicits._
     val (corpus, _) = VectorQueries.vecTables(spark, TestSession.Sf0001)
