@@ -917,8 +917,11 @@ object Bench {
         // ~40% of nominal — the kernel was fine, the window ran under
         // heap pressure from the aniso corpus + exact-truth caches that
         // nothing after this point reads. The 10M run's own discipline:
-        // free dead caches, serve from the packed blocks.)
-        aFlat.unpersist(); aTrain.unpersist(); av.unpersist(); aq.unpersist()
+        // free dead caches, serve from the packed blocks. BLOCKING, so
+        // the release lands before timeSingles' controlled System.gc()
+        // instead of async-dropping into the timed loop.)
+        aFlat.unpersist(blocking = true); aTrain.unpersist(blocking = true)
+        av.unpersist(blocking = true); aq.unpersist(blocking = true)
         val server = new graft.query.OpqServer(opqCodes, opqModel).warm()
         timeSingles(results, "serve_opq", aSingles, 1000.0 * opqSec / benchQ,
           floor = Some(() => server.floorProbe()))(q => server.search(q, K))

@@ -154,6 +154,59 @@ object HnswIndex {
     b.toCompiled
   }
 
+  /** Index permutation sorted ascending by `keys(perm(i))` — a primitive
+    * two-array quicksort (median-of-three, insertion sort under 16,
+    * recurse-smaller-side) so the 1M-row id ordering allocates one Int
+    * array instead of n boxed tuples. Keys are distinct index ids. */
+  private[graft] def sortIndicesByKey(keys: Array[Long]): Array[Int] = {
+    val n = keys.length
+    val perm = new Array[Int](n)
+    var i = 0
+    while (i < n) { perm(i) = i; i += 1 }
+    @inline def k(p: Int): Long = keys(perm(p))
+    @inline def swap(a: Int, b: Int): Unit = {
+      val t = perm(a); perm(a) = perm(b); perm(b) = t
+    }
+    var lo = 0
+    var hi = n - 1
+    // manual stack of pending ranges (recurse into the smaller side)
+    val stack = new java.util.ArrayDeque[Int]()
+    while (true) {
+      if (hi - lo < 16) {
+        var a = lo + 1
+        while (a <= hi) {
+          val pv = perm(a); val kv = keys(pv)
+          var b = a - 1
+          while (b >= lo && keys(perm(b)) > kv) { perm(b + 1) = perm(b); b -= 1 }
+          perm(b + 1) = pv
+          a += 1
+        }
+        if (stack.isEmpty) return perm
+        hi = stack.pop(); lo = stack.pop()
+      } else {
+        val mid = lo + ((hi - lo) >>> 1)
+        if (k(mid) < k(lo)) swap(mid, lo)
+        if (k(hi) < k(lo)) swap(hi, lo)
+        if (k(hi) < k(mid)) swap(hi, mid)
+        val pivot = k(mid)
+        var a = lo
+        var b = hi
+        while (a <= b) {
+          while (k(a) < pivot) a += 1
+          while (k(b) > pivot) b -= 1
+          if (a <= b) { swap(a, b); a += 1; b -= 1 }
+        }
+        // push the larger range, iterate on the smaller
+        if (b - lo >= hi - a) {
+          stack.push(lo); stack.push(b); lo = a
+        } else {
+          stack.push(a); stack.push(hi); hi = b
+        }
+      }
+    }
+    perm // unreachable
+  }
+
   private def runParallelBuilder(vectors: DataFrame, metric: Metric,
       m: Int, efConstruction: Int, threads: Int): (HnswParallelBuilder, Int) = {
     val spark = vectors.sparkSession
@@ -186,22 +239,32 @@ object HnswIndex {
     val n = blocks.map(_._1.length.toLong).sum
     require(n * dim <= Int.MaxValue, s"n=$n × dim=$dim overflows the packed array")
     // id-sort across blocks (positions must be id order for the
-    // engine-wide (dist, pos) ≡ (dist, id) tie-break)
-    val order = new Array[(Long, Int, Int)](n.toInt) // (id, block, row)
+    // engine-wide (dist, pos) ≡ (dist, id) tie-break). Primitive
+    // indirect sort (ADVICE r11: the boxed Array[(Long,Int,Int)] form
+    // was tens of MB of tuple garbage + a boxing comparator at 1M,
+    // right before the memory-hungry build): flat id/block/row arrays
+    // indexed by a sorted Int permutation.
+    val nn = n.toInt
+    val allIds = new Array[Long](nn)
+    val srcBlock = new Array[Int](nn)
+    val srcRow = new Array[Int](nn)
     var w = 0
     blocks.indices.foreach { bi =>
       val bids = blocks(bi)._1
       var r = 0
-      while (r < bids.length) { order(w) = (bids(r), bi, r); w += 1; r += 1 }
+      while (r < bids.length) {
+        allIds(w) = bids(r); srcBlock(w) = bi; srcRow(w) = r
+        w += 1; r += 1
+      }
     }
-    java.util.Arrays.sort(order, Ordering.by((t: (Long, Int, Int)) => t._1))
-    val ids = new Array[Long](n.toInt)
-    val packed = new Array[Double](n.toInt * dim)
+    val perm = sortIndicesByKey(allIds)
+    val ids = new Array[Long](nn)
+    val packed = new Array[Double](nn * dim)
     var p = 0
-    while (p < order.length) {
-      val (id, bi, r) = order(p)
-      ids(p) = id
-      System.arraycopy(blocks(bi)._2, r * dim, packed, p * dim, dim)
+    while (p < nn) {
+      val s = perm(p)
+      ids(p) = allIds(s)
+      System.arraycopy(blocks(srcBlock(s))._2, srcRow(s) * dim, packed, p * dim, dim)
       p += 1
     }
     val th = if (threads > 0) threads

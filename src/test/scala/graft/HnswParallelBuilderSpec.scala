@@ -139,4 +139,21 @@ class HnswParallelBuilderSpec extends AnyFunSuite {
     assert(seen.size >= (rows.length * 95) / 100,
       s"only ${seen.size}/${rows.length} nodes reachable from entry")
   }
+
+  test("sortIndicesByKey: permutation sorted by key, all sizes and orders " +
+      "(the primitive replacement for the boxed id-order sort)") {
+    val rnd = new scala.util.Random(42)
+    for (n <- Seq(0, 1, 2, 15, 16, 17, 100, 5000)) {
+      val keys = rnd.shuffle((0 until n).map(i => i.toLong * 7 - 3)).toArray
+      val perm = HnswIndex.sortIndicesByKey(keys)
+      assert(perm.sorted.toSeq == (0 until n), s"n=$n: not a permutation")
+      assert(perm.map(keys).toSeq == keys.sorted.toSeq, s"n=$n: not key-sorted")
+    }
+    // already-sorted and reverse-sorted inputs (quicksort edge orders)
+    for (keys <- Seq(Array.tabulate(1000)(_.toLong),
+                     Array.tabulate(1000)(i => (999 - i).toLong))) {
+      val perm = HnswIndex.sortIndicesByKey(keys)
+      assert(perm.map(keys).toSeq == keys.sorted.toSeq)
+    }
+  }
 }

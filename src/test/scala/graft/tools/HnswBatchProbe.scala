@@ -40,6 +40,10 @@ object HnswBatchProbe {
     val queries = synth(nq.toLong, 7777777L, "query_id", "qvec").cache(); queries.count()
 
     val par = args.lift(5).exists(_.startsWith("par")) // shards==1 via the concurrent builder
+    // ADVICE r11: 'par' with shards != 1 used to silently fall back to the
+    // sharded DataFrame build while the build line still printed par=true
+    require(!par || shards == 1,
+      s"'par' requests the concurrent single-graph builder — pass shards=1 (got $shards)")
     if (args.lift(5).contains("parraw")) {
       // isolate the insert kernel: arrays in, arrays out, no DataFrame
       val rows = vectors.select(col("id"), col("vec")).collect()
@@ -62,7 +66,8 @@ object HnswBatchProbe {
       } else None
     val graph = if (localPre.isDefined) null
       else { val g = HnswIndex.build(vectors, shards, Metric.L2).cache(); g.count(); g }
-    println(f"[probe] build ${(System.nanoTime() - t0) / 1e9}%.1f s (par=$par)")
+    println(f"[probe] build ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"(path=${if (localPre.isDefined) "parallel-single" else s"sharded-$shards"})")
 
     val truth = graft.index.FlatIndex.knnBlocked(vectors, queries, K, Metric.L2)
       .select("query_id", "neighbor_id").collect()

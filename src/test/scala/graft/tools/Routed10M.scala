@@ -86,12 +86,19 @@ object Routed10M {
     // the probe phases OOM'd into on the first attempt
     vec.unpersist()
 
+    // ADVICE r11: NonFatal only — an OOM/VM error leaves a JVM whose
+    // subsequent rows would look valid but mean nothing; record the
+    // failure marker, then rethrow so the run dies honestly
     def safe(name: String)(body: => Unit): Unit =
       try body
       catch {
-        case e: Throwable =>
+        case scala.util.control.NonFatal(e) =>
           results(s"${name}_failed") = 1.0
           println(s"[row] ${name}_failed ${e.getClass.getSimpleName}")
+        case e: Throwable =>
+          results(s"${name}_failed") = 1.0
+          println(s"[row] ${name}_failed FATAL ${e.getClass.getSimpleName}")
+          throw e
       }
 
     // cold batch at the R dial (the per-query work ∝ R claim at 10M),
