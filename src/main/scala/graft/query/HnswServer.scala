@@ -49,6 +49,10 @@ final class HnswServer(graph: DataFrame, metric: Metric, numShards: Int = -1)
         byShard.valuesIterator.map(rows => CompiledHnsw.fromTuples(rows, met))
       }
       .cache()
+      // lineage truncation (the ServeBlocks discipline): the graph
+      // frame's plan would otherwise re-serialize into every per-query
+      // task binary
+      .localCheckpoint()
   }
 
   /** Materialize the shard graphs (call once before timing queries). */

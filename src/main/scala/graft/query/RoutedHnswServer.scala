@@ -58,6 +58,10 @@ final class RoutedHnswServer(graph: DataFrame, model: RoutedHnswModel)
         }
       }
       .cache()
+      // lineage truncation (the ServeBlocks discipline): the graph
+      // frame's plan would otherwise re-serialize into every per-query
+      // task binary
+      .localCheckpoint()
   }
 
   /** Materialize the shard graphs (call once before timing queries). */
