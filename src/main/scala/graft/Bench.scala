@@ -232,10 +232,10 @@ object Bench {
     * attempts land in the artifact (`{prefix}_p50_retry_ms` etc.), so a
     * transient box-contention window is distinguishable from a stable
     * kernel regression in the driver artifact itself. */
-  private def timeSingles(results: scala.collection.mutable.LinkedHashMap[String, Double],
-      prefix: String, singles: Array[Array[Double]], amortizedMs: Double,
+  private def timeSingles[Q](results: scala.collection.mutable.LinkedHashMap[String, Double],
+      prefix: String, singles: Array[Q], amortizedMs: Double,
       floor: Option[() => Unit] = None)(
-      call: Array[Double] => Unit): Unit = {
+      call: Q => Unit): Unit = {
     def measure(): Array[Double] = {
       call(singles.head); call(singles.head) // warmup
       singles.map { q =>
@@ -440,36 +440,21 @@ object Bench {
       results("serve_local_plaid_open_sec") = (System.nanoTime() - t0) / 1e9
       val qTexts = d.where(col("doc_id") < 100)
         .collect().map(r => (r.getLong(0), r.getString(1)))
-      server.search(qTexts.head._1, qTexts.head._2, 20, 10) // warm
-      System.gc()
-      val times = qTexts.map { case (id, text) =>
-        val t1 = System.nanoTime()
-        server.search(id, text, 20, 10)
-        (System.nanoTime() - t1) / 1e6
-      }.sorted
-      def pct(p: Double) = times(math.min(times.length - 1, (p * times.length).toInt))
-      results("serve_local_plaid_p50_ms") = pct(0.50)
-      results("serve_local_plaid_p95_ms") = pct(0.95)
-      results("serve_local_plaid_p99_ms") = pct(0.99)
-      results("serve_local_plaid_qps") = 1000.0 * times.length / times.sum
-      logSection(results, "serve_local_plaid")
+      // calib-bracket + auto-retry via the shared helper (closing these
+      // rows' hand-rolled-loop exemption from the VERDICT r11 #1c
+      // defense: BENCH_LOCAL_r12 printed serve_plaid p99 426 ms with
+      // section calib at 73% of nominal and no marker saying so)
+      timeSingles(results, "serve_local_plaid", qTexts, 0.0) {
+        case (id, text) => server.search(id, text, 20, 10); ()
+      }
       // the cluster path: executor-resident per-doc rows, one job per
       // query, driver rerank ∝ topN (result-identical — LocalServeSpec)
       val distServer = new graft.query.PlaidServer(d, post, model).warm()
-      distServer.search(qTexts.head._1, qTexts.head._2, 20, 10) // warm
-      System.gc()
-      val dTimes = qTexts.map { case (id, text) =>
-        val t1 = System.nanoTime()
-        distServer.search(id, text, 20, 10)
-        (System.nanoTime() - t1) / 1e6
-      }.sorted
-      def dPct(p: Double) = dTimes(math.min(dTimes.length - 1, (p * dTimes.length).toInt))
-      results("serve_plaid_p50_ms") = dPct(0.50)
-      results("serve_plaid_p95_ms") = dPct(0.95)
-      results("serve_plaid_p99_ms") = dPct(0.99)
+      timeSingles(results, "serve_plaid", qTexts, 0.0) {
+        case (id, text) => distServer.search(id, text, 20, 10); ()
+      }
       distServer.unpersist()
       post.unpersist()
-      logSection(results, "serve_plaid")
     }
 
     // -- PLAID selectivity at realistic vocabulary (VERDICT r9 #2/#3/#4).
@@ -555,48 +540,22 @@ object Bench {
       }
       results("plaid_sel_np1_recall") = np1Hits.toDouble / selTotal
       logSection(results, "plaid_sel_recall_sec")
-      // in-process serving p50 at the pruned config
-      System.gc()
-      val lTimes = qTexts.map { case (id, text) =>
-        val t0 = System.nanoTime()
-        local.search(id, text, 100, 10)
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
-      def selPct(ts: Array[Double], p: Double) =
-        ts(math.min(ts.length - 1, (p * ts.length).toInt))
-      results("serve_local_plaid_sel_p50_ms") = selPct(lTimes, 0.50)
-      results("serve_local_plaid_sel_p95_ms") = selPct(lTimes, 0.95)
-      logSection(results, "plaid_sel_local")
+      // in-process serving p50 at the pruned config — through the shared
+      // helper so these rows carry the same calib bracket + retry marker
+      // as every other serve_* row (VERDICT r11 #1c, hand-rolled-loop
+      // exemption closed)
+      timeSingles(results, "serve_local_plaid_sel", qTexts, 0.0) {
+        case (id, text) => local.search(id, text, 100, 10); ()
+      }
       // distributed probe-pruned serving: executor-resident inverted
       // postings, the probe mask carried to the posting level — the
       // per-query resident scan is ∝ probed posting mass, not corpus size
       val dist = new graft.query.PlaidServer(
         selWorld.docs, selPost, selWorld.model).warm()
-      dist.search(qTexts.head._1, qTexts.head._2, 100, 10) // warm
-      def distPass(): Array[Double] = {
-        System.gc()
-        qTexts.map { case (id, text) =>
-          val t0 = System.nanoTime()
-          dist.search(id, text, 100, 10)
-          (System.nanoTime() - t0) / 1e6
-        }.sorted
-      }
-      val dTimes = distPass()
-      results("serve_plaid_sel_p50_ms") = selPct(dTimes, 0.50)
-      results("serve_plaid_sel_p95_ms") = selPct(dTimes, 0.95)
-      results("serve_plaid_sel_p99_ms") = selPct(dTimes, 0.99)
-      // the r6 serving-retry discipline (the timeSingles rule, applied to
-      // this hand-rolled loop): healthy singles sit at the dispatch
-      // floor; past 100 ms re-measure once and ship both attempts
-      if (selPct(dTimes, 0.50) > 100.0) {
-        System.err.println("[bench-retry] serve_plaid_sel p50 " +
-          f"${selPct(dTimes, 0.50)}%.1f ms > 100 ms — re-measuring once")
-        val d2 = distPass()
-        results("serve_plaid_sel_p50_retry_ms") = selPct(d2, 0.50)
-        results("serve_plaid_sel_p95_retry_ms") = selPct(d2, 0.95)
+      timeSingles(results, "serve_plaid_sel", qTexts, 0.0) {
+        case (id, text) => dist.search(id, text, 100, 10); ()
       }
       dist.unpersist()
-      logSection(results, "plaid_sel_serve")
       // append under the FROZEN quantizer + the drift readout, timed at
       // the same scale (the 1M-protocol lifecycle evidence)
       val batch = graft.core.CorpusGen.plaidWorld(spark,
