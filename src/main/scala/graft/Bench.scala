@@ -512,11 +512,18 @@ object Bench {
         selWorld.docs, selPost, selWorld.model)
       val fullLocal = new graft.query.LocalPlaidServer(selWorld.docs, selPost,
         selWorld.model.copy(nprobe = selWorld.model.cents.length))
+      // full-probe truth computed ONCE and reused by the np1 grading loop
+      // below — it previously ran the all-C search a second time for the
+      // same queries (deterministic server: identical results, half the
+      // section's full-probe cost; guide §1.2 "don't compute things you
+      // throw away")
+      val fullRes = qTexts.map { case (id, text) =>
+        fullLocal.search(id, text, 100, 10)
+      }
       var selHits = 0
       var selTotal = 0
-      qTexts.foreach { case (id, text) =>
+      qTexts.zip(fullRes).foreach { case ((id, text), full) =>
         val pruned = local.search(id, text, 100, 10).map(_._1).toSet
-        val full = fullLocal.search(id, text, 100, 10)
         selHits += full.count(r => pruned.contains(r._1))
         selTotal += full.length
       }
@@ -533,10 +540,9 @@ object Bench {
       val np1Local = new graft.query.LocalPlaidServer(
         selWorld.docs, selPost, np1Model)
       var np1Hits = 0
-      qTexts.foreach { case (id, text) =>
+      qTexts.zip(fullRes).foreach { case ((id, text), full) =>
         val pruned = np1Local.search(id, text, 100, 10).map(_._1).toSet
-        np1Hits += fullLocal.search(id, text, 100, 10)
-          .count(r => pruned.contains(r._1))
+        np1Hits += full.count(r => pruned.contains(r._1))
       }
       results("plaid_sel_np1_recall") = np1Hits.toDouble / selTotal
       logSection(results, "plaid_sel_recall_sec")

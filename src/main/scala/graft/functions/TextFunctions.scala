@@ -143,8 +143,13 @@ object TextFunctions {
     * intersection/union sizes, so both engines produce the identical
     * double and threshold comparisons can't diverge. */
   def jaccard(a: Column, b: Column): Column = {
+    // ONE array_intersect: the old form wrote it twice (once in the
+    // numerator, once in the union-size denominator) — interpreted eval
+    // paths build the intersection hash set twice per pair. |A|, |B| and
+    // |A∩B| are small exact integers, so folding the denominator in
+    // double arithmetic is bit-identical to the int-then-cast form.
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
   }
 
   // ---- DuckDB oracle fragments mirroring the above ----

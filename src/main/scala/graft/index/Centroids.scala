@@ -190,17 +190,20 @@ object Centroids {
     var cents: Array[Array[Double]] = init.map(_.clone())
     var iter = 0
     var moved = true
+    val bestIdx = new Array[Int](data.length)
     while (iter < maxIter && moved) {
       val sums = Array.ofDim[Double](kk, dim)
       val counts = new Array[Long](kk)
-      var r = 0
-      while (r < data.length) {
+      // assignment: pure per row — parallel, each row's argmin lands in
+      // its own slot (bit-identical to the sequential loop; DriverPar)
+      val frozen = cents
+      DriverPar.foreach(data.length) { r =>
         val v = data(r)
         var best = -1
         var bestD = Double.MaxValue
         var ci = 0
         while (ci < kk) {
-          val row = cents(ci)
+          val row = frozen(ci)
           var d = 0.0
           if (isL2) {
             var i = 0
@@ -209,10 +212,17 @@ object Centroids {
           if (d < bestD) { bestD = d; best = ci }
           ci += 1
         }
-        val target = sums(best)
+        bestIdx(r) = best
+      }
+      // accumulation: sequential in ascending row order — the adds and
+      // their order are exactly the pre-parallel loop's
+      var r = 0
+      while (r < data.length) {
+        val v = data(r)
+        val target = sums(bestIdx(r))
         var i = 0
         while (i < dim) { target(i) += v(i); i += 1 }
-        counts(best) += 1
+        counts(bestIdx(r)) += 1
         r += 1
       }
       var anyMoved = false

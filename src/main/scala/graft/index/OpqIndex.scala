@@ -140,30 +140,45 @@ object OpqIndex {
 
     var rot = identity(dim)
     var it = 0
+    // per-row rotate/reconstruct are pure — parallel by row slot, while
+    // the Procrustes C accumulation below stays sequential in ascending
+    // row order, so every float lands exactly as in the sequential loop
+    def rotateAll(r: Array[Array[Double]]): Array[Array[Double]] = {
+      val out = new Array[Array[Double]](x.length)
+      DriverPar.foreach(x.length, chunk = 64) { i => out(i) = rotateLocal(r, x(i)) }
+      out
+    }
     while (it < opqIters) {
-      val y = x.map(rotateLocal(rot, _))
+      val y = rotateAll(rot)
       val cbs = PqIndex.lloydLocalPq(y, stridedInit(y, kk, m, dsub), dsub, maxIter = 4)
+      val yHats = new Array[Array[Double]](x.length)
+      DriverPar.foreach(x.length, chunk = 64) { i => yHats(i) = reconstruct(y(i), cbs, dsub) }
       // C = Xᵀ·Ŷ accumulated row by row (dim×dim, ≤ 4.7 MB at dim 768)
-      val c = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      // into a flat primitive array — breeze's per-element update was a
+      // bounds-checked method call on the 82M-add hot loop; the adds and
+      // their order are unchanged (row-major (i,j), ascending r)
+      val cFlat = new Array[Double](dim * dim)
       var r = 0
       while (r < x.length) {
-        val yHat = reconstruct(y(r), cbs, dsub)
+        val yHat = yHats(r)
         val xr = x(r)
         var i = 0
         while (i < dim) {
           val xi = xr(i)
           if (xi != 0.0) {
+            val base = i * dim
             var j = 0
-            while (j < dim) { c(i, j) += xi * yHat(j); j += 1 }
+            while (j < dim) { cFlat(base + j) += xi * yHat(j); j += 1 }
           }
           i += 1
         }
         r += 1
       }
+      val c = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => cFlat(i * dim + j))
       rot = procrustes(c)
       it += 1
     }
-    val yFinal = x.map(rotateLocal(rot, _))
+    val yFinal = rotateAll(rot)
     val cbs = PqIndex.lloydLocalPq(
       yFinal, stridedInit(yFinal, kk, m, dsub), dsub, maxIter = 10)
     OpqModel(rot.map(_.toVector).toVector,

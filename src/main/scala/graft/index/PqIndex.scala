@@ -78,15 +78,18 @@ object PqIndex {
     var cbs = init
     var iter = 0
     var moved = true
+    val bestCodes = new Array[Int](data.length * m)
     while (iter < maxIter && moved) {
       val sums = Array.ofDim[Double](m, kk, dsub)
       val counts = Array.ofDim[Long](m, kk)
-      var r = 0
-      while (r < data.length) {
+      // assignment: pure per row — parallel, the m argmins land in the
+      // row's own slots (bit-identical to the sequential loop; DriverPar)
+      val frozen = cbs
+      DriverPar.foreach(data.length) { r =>
         val v = data(r)
         var mi = 0
         while (mi < m) {
-          val book = cbs(mi)
+          val book = frozen(mi)
           val off = mi * dsub
           var best = -1
           var bestD = Double.MaxValue
@@ -99,6 +102,19 @@ object PqIndex {
             if (d < bestD) { bestD = d; best = j }
             j += 1
           }
+          bestCodes(r * m + mi) = best
+          mi += 1
+        }
+      }
+      // accumulation: sequential in ascending (row, subspace) order — the
+      // adds and their order are exactly the pre-parallel loop's
+      var r = 0
+      while (r < data.length) {
+        val v = data(r)
+        var mi = 0
+        while (mi < m) {
+          val best = bestCodes(r * m + mi)
+          val off = mi * dsub
           val target = sums(mi)(best)
           var i = 0
           while (i < dsub) { target(i) += v(off + i); i += 1 }

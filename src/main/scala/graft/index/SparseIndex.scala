@@ -86,9 +86,13 @@ object SparseIndex {
 
   def buildBm25Model(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): (DataFrame, Bm25Model) = {
     val tk = docs.select(col("doc_id"), toks(col("text")).as("tk"))
-    val nDocs = tk.count()
-    val avgdl = tk.select(size(col("tk")).as("dl"))
-      .agg(sum(col("dl")).cast("double")).first().getDouble(0) / nDocs
+    // one corpus pass for BOTH stats (was a count() pass then an agg
+    // pass — each re-tokenized the corpus); nDocs and avgdl are the
+    // same count and the same integer sum divided the same way
+    val statsRow = tk.select(size(col("tk")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum(col("dl")).cast("double").as("tot")).first()
+    val nDocs = statsRow.getLong(0)
+    val avgdl = statsRow.getDouble(1) / nDocs
     val dfq = tk.select(col("doc_id"), explode(col("tk")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .groupBy(col("term"))

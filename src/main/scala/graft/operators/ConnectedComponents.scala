@@ -72,20 +72,33 @@ object ConnectedComponents {
   def label(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
       localEdgeBudget: Long = LocalEdgeBudget): DataFrame = {
     val e = edges.select(col("id_a").cast("long").as("id_a"),
-      col("id_b").cast("long").as("id_b")).cache()
-    val result =
-      if (e.count() <= localEdgeBudget) labelLocal(nodes, e)
-      else labelDistributed(nodes, e, maxIter)
-    e.unpersist()
-    result
+      col("id_b").cast("long").as("id_b"))
+    // Size-and-fetch in ONE pass: collect at most budget+1 edges — the
+    // branch decision (count ≤ budget ⇔ capped fetch comes back under
+    // budget) is unchanged, but the common bounded case no longer pays
+    // cache+count+collect. The old shape computed the verified-pair plan
+    // into the block cache first, and the cached materialization loses
+    // AQE's runtime join planning — measured 13.9 s vs 3.0 s for the
+    // SAME 215k-edge plan at sf0.1 (r12 probe; guide §2.4/§5 "caching is
+    // only worth it when a DataFrame is reused").
+    val fetch = math.max(0L, math.min(localEdgeBudget, Int.MaxValue - 2L)).toInt + 1
+    val capped = e.limit(fetch).collect()
+    if (capped.length <= localEdgeBudget) labelLocal(nodes, capped)
+    else {
+      val cached = e.cache()
+      val result = labelDistributed(nodes, cached, maxIter)
+      cached.unpersist()
+      result
+    }
   }
 
   /** Driver union-find over the collected edge list; nodes stay
     * distributed and pick up their label through a broadcast left join
     * (missing ⇒ isolated ⇒ own id). */
-  private[operators] def labelLocal(nodes: DataFrame, edges: DataFrame): DataFrame = {
+  private[operators] def labelLocal(nodes: DataFrame,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
     val uf = new MinUnionFind
-    edges.collect().foreach(row => uf.union(row.getLong(0), row.getLong(1)))
+    edges.foreach(row => uf.union(row.getLong(0), row.getLong(1)))
     val spark = nodes.sparkSession
     import spark.implicits._
     val compDf = uf.snapshot.toDF("id", "c")

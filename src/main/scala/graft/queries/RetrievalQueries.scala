@@ -145,9 +145,15 @@ object RetrievalQueries extends QueryProvider {
     "knn_sparse_served" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-      val (postings, model) = graft.index.SparseIndex.build(docs)
+      // cache the built postings across the save: repartitionByRange
+      // samples the child for range boundaries and then writes it — two
+      // full computes of the tokenize→tf→idf pipeline without the cache
+      // (guide §5: reuse is exactly what caching is for; released below)
+      val (postings0, model) = graft.index.SparseIndex.build(docs)
+      val postings = postings0.cache()
       val path = java.nio.file.Files.createTempDirectory("graft_sparse").toString
       graft.io.IndexIO.saveSparse(s, path, postings, model)
+      postings.unpersist()
       val (loaded, _) = graft.io.IndexIO.loadSparse(s, path)
       val qw = graft.index.SparseIndex.asQueries(
         loaded, col("doc_id") < SparseQueries)
@@ -289,10 +295,17 @@ object RetrievalQueries extends QueryProvider {
       import s.implicits._
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-      val (dfq, model) = graft.index.SparseIndex.buildBm25Model(docs, K1, B)
-      val postings = graft.index.SparseIndex.encodeBm25(docs, dfq, model)
+      // cache df table + postings across the save: dfq is broadcast into
+      // the posting weights AND written as its own artifact, and
+      // saveBm25's range repartition samples postings before writing them
+      // — without the caches the tokenize→tf pipeline computed ~4×
+      // (guide §5; both released after the write)
+      val (dfq0, model) = graft.index.SparseIndex.buildBm25Model(docs, K1, B)
+      val dfq = dfq0.cache()
+      val postings = graft.index.SparseIndex.encodeBm25(docs, dfq, model).cache()
       val path = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
       graft.io.IndexIO.saveBm25(s, path, postings, dfq, model)
+      postings.unpersist(); dfq.unpersist()
       val (loaded, _, _) = graft.io.IndexIO.loadBm25(s, path)
       val qw = BatchQueries.toDF("query_id", "terms")
         .select(col("query_id"), explode(col("terms")).as("term"),
