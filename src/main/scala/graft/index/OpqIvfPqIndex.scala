@@ -27,7 +27,7 @@ final case class OpqIvfPqModel(rotation: Seq[Seq[Double]], ivfpq: IvfPqModel) {
 object OpqIvfPqIndex {
 
   private def rotateCol(rotation: Seq[Seq[Double]], vec: Column): Column =
-    VectorFunctions.matVec(typedLit(rotation), vec)
+    VectorFunctions.matVec(rotation, vec)
 
   private def rotateCorpus(vectors: DataFrame, rotation: Seq[Seq[Double]]): DataFrame =
     vectors.select(col("id"), rotateCol(rotation, col("vec")).as("vec"))

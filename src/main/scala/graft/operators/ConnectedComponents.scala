@@ -82,8 +82,17 @@ object ConnectedComponents {
     // SAME 215k-edge plan at sf0.1 (r12 probe; guide §2.4/§5 "caching is
     // only worth it when a DataFrame is reused").
     val fetch = math.max(0L, math.min(localEdgeBudget, Int.MaxValue - 2L)).toInt + 1
-    val capped = e.limit(fetch).collect()
-    if (capped.length <= localEdgeBudget) labelLocal(nodes, capped)
+    // primitive-tuple collect (ADVICE r12): the probe fetches up to
+    // budget+1 rows either way; decoding to (Long, Long) keeps the
+    // over-budget probe at ~16 B/edge on the driver heap instead of
+    // boxed GenericRow objects
+    val spark0 = e.sparkSession
+    import spark0.implicits._
+    val capped = e.as[(Long, Long)].limit(fetch).collect()
+    // branch on limit saturation, not the raw budget (ADVICE r12): with
+    // a budget at or above the Int clamp, `capped.length <= budget` can
+    // hold on a TRUNCATED fetch — `< fetch` cannot
+    if (capped.length < fetch) labelLocal(nodes, capped)
     else {
       val cached = e.cache()
       val result = labelDistributed(nodes, cached, maxIter)
@@ -96,9 +105,9 @@ object ConnectedComponents {
     * distributed and pick up their label through a broadcast left join
     * (missing ⇒ isolated ⇒ own id). */
   private[operators] def labelLocal(nodes: DataFrame,
-      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+      edges: Array[(Long, Long)]): DataFrame = {
     val uf = new MinUnionFind
-    edges.foreach(row => uf.union(row.getLong(0), row.getLong(1)))
+    edges.foreach { case (a, b) => uf.union(a, b) }
     val spark = nodes.sparkSession
     import spark.implicits._
     val compDf = uf.snapshot.toDF("id", "c")

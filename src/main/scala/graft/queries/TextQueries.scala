@@ -942,19 +942,47 @@ object TextQueries extends QueryProvider {
     // concatenate the corpus token stream in doc_id order and cut it
     // into fixed SeqLen-token training sequences, keeping per-token doc
     // provenance (span tracking for attribution/decontamination). The
-    // only coordination is the per-DOC token-count prefix sum (a
-    // narrow (doc_id, n) relation, ≪ corpus — expressed as an ordered
-    // window here; at extreme doc counts it becomes the standard
-    // two-phase per-partition-offset prefix sum). Everything else is a
-    // stateless per-row explode: gpos = doc offset + position,
-    // seq_id = gpos / SeqLen.
+    // only coordination is the per-DOC token-count prefix sum (a narrow
+    // (doc_id, n) relation, ≪ corpus) — here as the standard TWO-PHASE
+    // distributed prefix sum (guide §2: the previous single
+    // unpartitioned window sorted every doc's count on ONE partition,
+    // the last corpus-wide single-partition chokepoint in a declared
+    // query): doc_id is cut into PackRanges monotone ranges (bounds from
+    // a column-pruned min/max probe — no tokenize), per-range local
+    // prefix sums run in parallel, and each range's base is the running
+    // sum of the PackRanges range totals. Ranges partition doc_id
+    // monotonically, so base(range) + local ≡ the global cumsum exactly
+    // — same off per doc, bit for bit. The (doc_id, n) relation is
+    // localCheckpoint'ed so the totals pass and the window pass share
+    // ONE tokenize scan (within-query reuse, freed with the plan).
+    // Everything downstream is a stateless per-row explode:
+    // gpos = doc offset + position, seq_id = gpos / SeqLen.
     "pack_sequences" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val t = toks(lower(col("text")))
-      val counts = d.select(col("doc_id"), size(t).as("n"))
-      val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = counts.select(col("doc_id"),
-        coalesce(sum(col("n")).over(w), lit(0L)).as("off"))
+      val PackRanges = 64L
+      val mm = d.agg(min("doc_id"), max("doc_id")).collect()(0)
+      val counts = d.select(col("doc_id"), size(t).cast("long").as("n"))
+      val offsets =
+        if (mm.isNullAt(0)) counts.select(col("doc_id"), lit(0L).as("off"))
+        else {
+          val lo = mm.getLong(0)
+          val width = math.max(1L, (mm.getLong(1) - lo) / PackRanges + 1L)
+          // exact integer range index (DIV, not double division)
+          val bc = counts
+            .withColumn("b", expr(s"(doc_id - ${lo}L) div ${width}L"))
+            .localCheckpoint()
+          val bases = bc.groupBy("b").agg(sum("n").as("bt"))
+            .withColumn("base", coalesce(sum(col("bt")).over(
+              Window.partitionBy(lit(0)).orderBy("b")
+                .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+            .select(col("b"), col("base"))
+          val wIn = Window.partitionBy("b").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          bc.withColumn("local", coalesce(sum(col("n")).over(wIn), lit(0L)))
+            .join(broadcast(bases), Seq("b"))
+            .select(col("doc_id"), (col("base") + col("local")).as("off"))
+        }
       d.select(col("doc_id"), posexplode(t).as(Seq("p", "token")))
         .join(offsets, Seq("doc_id"))
         .select(col("doc_id"), col("token"), (col("off") + col("p")).as("gpos"))
@@ -1214,11 +1242,15 @@ object TextQueries extends QueryProvider {
     "pmi_topk" -> ((s, dir) => {
       val d = Tables.load(s, dir, "documents")
       val t = toks(lower(col("text")))
-      // for token i (0-based), partners are the next PmiWindow tokens:
-      // slice is 1-based, so they start at position i+2
-      val pairs = d.select(explode(flatten(transform(t, (tok, i) =>
-        transform(slice(t, i + lit(2), lit(PmiWindow)),
-          nb => struct(least(tok, nb).as("tok_a"), greatest(tok, nb).as("tok_b"))))))
+      // for token i (0-based), partners are the next PmiWindow tokens —
+      // the native codegen'd kernel (PairExpressions.cooccurPairs): the
+      // HOF chain it replaces (flatten∘transform∘transform∘slice with a
+      // least/greatest struct per pair) evaluated interpreted and
+      // allocated ~4M intermediate arrays+structs at sf0.1 (VERDICT r12
+      // next #2); the kernel emits the identical pair multiset in one
+      // whole-stage-codegen loop
+      val pairs = d.select(explode(
+        org.apache.spark.sql.graftx.PairExpressions.cooccurPairs(t, PmiWindow))
         .as("pr"))
         .select(col("pr.tok_a"), col("pr.tok_b"))
       val pc = pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("c_ab"))

@@ -327,9 +327,9 @@ object VectorQueries extends QueryProvider {
         .select(col("id"), col("vec"))
       val pairs = graft.index.FlatIndex.pairwiseDistances(v, Metric.L2)
       // 2-row projection matrix: all-ones and alternating ±1
-      val mat = typedlit(Seq(
+      val mat: Seq[Seq[Double]] = Seq(
         Seq.fill(64)(1.0),
-        (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0)))
+        (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0))
       val proj = v.select(col("id").as("id_a"),
         graft.functions.VectorFunctions.matVec(mat, col("vec")).as("mv"))
       pairs.join(proj, Seq("id_a"))

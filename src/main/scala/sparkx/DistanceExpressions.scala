@@ -184,8 +184,63 @@ case class LshBucketExpr(child: Expression, planes: Int)
     copy(child = c)
 }
 
+/** Matrix × vector against a CONSTANT matrix — `m · v` as one native
+  * kernel call. Replaces the `transform(typedLit(m), row => dot(row, v))`
+  * form (OpqIndex.rotateCol / Pca.project): the outer `transform` is a
+  * higher-order function, so even with the native DotExpr inside, every
+  * output element paid an interpreted lambda dispatch — at dim=128 that
+  * is 128 interpreted calls per row, the dominant cost of the OPQ encode
+  * pass (VERDICT r12 next #7). Per output element the kernel runs the
+  * EXACT DotExpr fold (acc + m[i][j]·v[j], ascending j, n = min of the
+  * lengths), so values are bit-identical to the HOF form and the DuckDB
+  * mirrors. Null semantics: null vector → null result (the HOF form gave
+  * an array of nulls; no call site feeds nullable vectors).
+  *
+  * The matrix rides as a Seq-typed constructor param (value-based
+  * equals/hashCode for expression canonicalization — the
+  * NearestCentroidExpr discipline), memoized into a primitive array. */
+case class MatVecExpr(child: Expression, matrixSeq: Seq[Seq[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  @transient private lazy val matrix: Array[Array[Double]] =
+    matrixSeq.map(_.toArray).toArray
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_matvec"
+
+  override def nullSafeEval(v: Any): Any =
+    MatVecKernel.apply(matrix, v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("matrix", matrix, "double[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"org.apache.spark.sql.graftx.MatVecKernel.apply($m, $v)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MatVecKernel {
+  def apply(m: Array[Array[Double]], vec: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val nv = vec.numElements()
+    val out = new Array[Double](m.length)
+    var r = 0
+    while (r < m.length) {
+      val row = m(r)
+      val n = math.min(row.length, nv)
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc = acc + row(j) * vec.getDouble(j); j += 1 }
+      out(r) = acc
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object DistanceExpressions {
   /** Column wrappers over the native expressions. */
+  def matVecFast(matrix: Seq[Seq[Double]], v: Column): Column =
+    column(MatVecExpr(expression(v), matrix))
   def l2SqFast(a: Column, b: Column): Column = column(L2SqExpr(expression(a), expression(b)))
   def l1Fast(a: Column, b: Column): Column = column(L1Expr(expression(a), expression(b)))
   def dotFast(a: Column, b: Column): Column = column(DotExpr(expression(a), expression(b)))
