@@ -35,7 +35,7 @@ import graft.core.Metric
 final case class BqModel(thresholds: Seq[Double], metric: Metric) {
   def dim: Int = thresholds.size
   def words: Int = (dim + BqIndex.WordBits - 1) / BqIndex.WordBits
-  private[graft] def thresholdArray: Array[Double] = thresholds.toArray
+  @transient private[graft] lazy val thresholdArray: Array[Double] = thresholds.toArray
 }
 
 object BqIndex {

@@ -117,7 +117,13 @@ object IvfIndex {
     val qRows = queries.select(col("query_id").cast("long"), col("qvec")).collect()
     val qids = qRows.map(_.getLong(0))
     val qvecs = qRows.map(_.getSeq[Double](1).toArray)
-    val inv = invertedProbes(qvecs.map(probeSet(_, cents, metric, np)), model.nlist)
+    // per-query probe ranking is pure per slot — DriverPar fan-out
+    // (nq·nlist·dim flops were a serial driver phase per call)
+    val probes = new Array[Array[Int]](qvecs.length)
+    DriverPar.foreach(qvecs.length, chunk = 64) { qi =>
+      probes(qi) = probeSet(qvecs(qi), cents, metric, np)
+    }
+    val inv = invertedProbes(probes, model.nlist)
     val bc = spark.sparkContext.broadcast((qids, qvecs, inv))
     val partials = assigned
       .select(col("id").cast("long"), col("vec"), col("cluster_id"))

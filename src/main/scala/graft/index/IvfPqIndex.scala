@@ -133,18 +133,34 @@ object IvfPqIndex {
     val qvecs = qRows.map(_.getSeq[Double](1).toArray)
     // cluster -> (probing query indices, their residuals w.r.t. that centroid)
     val nlist = model.coarse.nlist
-    val qiBuf = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int])
-    val resBuf = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Array[Double]])
-    var qi = 0
-    while (qi < qvecs.length) {
+    // per-query probe ranking + residuals are pure per slot — DriverPar
+    // fan-out (was a serial driver phase per call); the inverted index
+    // is then assembled sequentially in ascending qi, so list order is
+    // deterministic and identical to the serial form
+    val probes = new Array[Array[Int]](qvecs.length)
+    val residuals = new Array[Array[Array[Double]]](qvecs.length)
+    DriverPar.foreach(qvecs.length, chunk = 64) { qi =>
       val q = qvecs(qi)
-      IvfIndex.probeSet(q, cents, model.coarse.metric, np).foreach { c =>
+      val ps = IvfIndex.probeSet(q, cents, model.coarse.metric, np)
+      probes(qi) = ps
+      residuals(qi) = ps.map { c =>
         val cent = cents(c)
         val r = new Array[Double](q.length)
         var i = 0
         while (i < q.length) { r(i) = q(i) - cent(i); i += 1 }
-        qiBuf(c) += qi
-        resBuf(c) += r
+        r
+      }
+    }
+    val qiBuf = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Int])
+    val resBuf = Array.fill(nlist)(new scala.collection.mutable.ArrayBuffer[Array[Double]])
+    var qi = 0
+    while (qi < qvecs.length) {
+      val ps = probes(qi)
+      var pi = 0
+      while (pi < ps.length) {
+        qiBuf(ps(pi)) += qi
+        resBuf(ps(pi)) += residuals(qi)(pi)
+        pi += 1
       }
       qi += 1
     }

@@ -21,8 +21,13 @@ final case class PqModel(codebooks: Seq[Seq[Seq[Double]]], metric: Metric) {
   def ksub: Int = codebooks.head.size
   def dsub: Int = codebooks.head.head.size
   def dim: Int = m * dsub
-  /** Primitive copy for blocked kernels (computed once per use site). */
-  private[graft] def codebookArrays: Array[Array[Array[Double]]] =
+  /** Primitive copy for blocked kernels — MEMOIZED (r13: this was a
+    * `def`, so per-query callers like [[PqIndex.adcTable]] re-converted
+    * the m×ksub×dsub boxed Seq structure every call — measured ~0.7 s of
+    * the 1000-query pq_qps construct phase, and a per-query tax on the
+    * PQ serving paths). @transient: recomputed once per deserialized
+    * instance. */
+  @transient private[graft] lazy val codebookArrays: Array[Array[Array[Double]]] =
     codebooks.map(_.map(_.toArray).toArray).toArray
 }
 
@@ -311,11 +316,12 @@ object PqIndex {
     // one flat M·Ksub table per query, concatenated: query qi's table at
     // offset qi·m·ksub — 32 KB per query, L2-resident during its scan
     val tabs = new Array[Double](nq * m * ksub)
-    var ti = 0
-    while (ti < nq) {
-      val tab = adcTable(qRows(ti).getSeq[Double](1).toArray, model)
+    val qvecs = qRows.map(_.getSeq[Double](1).toArray)
+    // pure per-query table builds — DriverPar slot writes (the trainer
+    // recipe): deterministic, each query's table lands in its own range
+    graft.index.DriverPar.foreach(nq, chunk = 64) { ti =>
+      val tab = adcTable(qvecs(ti), model)
       System.arraycopy(tab, 0, tabs, ti * m * ksub, tab.length)
-      ti += 1
     }
     val bc = spark.sparkContext.broadcast((qids, tabs))
     val partials = codes.select(col("id").cast("long"), col("code"))

@@ -66,10 +66,20 @@ object ScalingProbe {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime(); mk().count(); (System.nanoTime() - t0) / 1e9
       }
+      // split driver-side construction (collect queries, build/broadcast
+      // tables, plan) from the action
+      def gcMs: Long = {
+        val it = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.iterator()
+        var t = 0L; while (it.hasNext) t += it.next().getCollectionTime; t
+      }
+      val tc0 = System.nanoTime(); val df = mk(); val tc = (System.nanoTime() - tc0) / 1e9
+      val g0 = gcMs
+      val ta0 = System.nanoTime(); df.count(); val ta = (System.nanoTime() - ta0) / 1e9
+      print(f"[probe-gc] action_gc_ms=${gcMs - g0}%d ")
       listener.reset()
       mk().count()
       Thread.sleep(200) // listener drain
-      println(f"[probe] $name%-18s min=${times.min}%.3f s  qps=${benchQ / times.min}%.0f  all=${times.map(t => f"$t%.3f").mkString(",")}")
+      println(f"[probe] $name%-18s min=${times.min}%.3f s  qps=${benchQ / times.min}%.0f  construct=$tc%.3f action=$ta%.3f  all=${times.map(t => f"$t%.3f").mkString(",")}")
       listener.dump(name)
     }
 
