@@ -196,10 +196,16 @@ object PlaidIndex {
   /** Distinct probed centroids per query: per token, the top-nprobe
     * centroids by similarity (ties to the lower index), unioned over the
     * query's tokens — the routing half of [[candidates]]. nprobe = 1
-    * (the selective deployment dial) skips the posexplode + window —
-    * argmax-by-first-position IS "top-1, ties to the lower index", as a
-    * pure projection: at corpus-scaled C the exploded window was
-    * queries × tokens × C rows through a shuffle for a per-token top-1. */
+    * (the selective deployment dial) is a pure argmax projection; for
+    * nprobe > 1 the per-token top-n runs through the native
+    * graft_top_idx kernel (r13): the previous posexplode + rank window
+    * shuffled queries × tokens × C rows through an exchange for a
+    * per-ROW selection — 3–12 s per probeStats pass at C=1384, swinging
+    * with memory weather. The kernel's (csim DESC, ci ASC) ordering
+    * under java.lang.Double.compare is exactly the window's SortOrder,
+    * so the probed set is identical (TopIdxParity in
+    * PlaidSelectivitySpec pins it; the oracle gates the declared
+    * maxsim/plaid rows end-to-end). */
   private def probedCents(qtokSims: DataFrame, model: PlaidModel): DataFrame =
     if (model.nprobe == 1)
       qtokSims.select(col("query_id"),
@@ -209,12 +215,9 @@ object PlaidIndex {
         .distinct()
     else
       qtokSims
-        .select(col("query_id"), col("qt"),
-          posexplode(col("csims")).as(Seq("ci", "csim")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id", "qt")
-            .orderBy(col("csim").desc, col("ci"))))
-        .where(col("rn") <= model.nprobe)
+        .select(col("query_id"),
+          explode(org.apache.spark.sql.graftx.IndexExpressions
+            .topIdx(col("csims"), model.nprobe)).as("ci"))
         .select(col("query_id"),
           element_at(typedLit(model.cents), col("ci") + 1).as("cent"))
         .distinct()

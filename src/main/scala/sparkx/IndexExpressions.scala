@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils.{column, expression}
 import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType}
 
@@ -477,7 +477,60 @@ case class PlaidCsimsExpr(child: Expression, centSeq: Seq[Long], primeSeq: Seq[I
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Kernel for [[TopIdxExpr]]: 0-based indices of the top-n elements of a
+  * double array by (value DESC, index ASC), emitted in rank order —
+  * EXACTLY the `posexplode → row_number() OVER (PARTITION BY …
+  * ORDER BY v DESC, i ASC) ≤ n` routing it replaces (PLAID probedCents):
+  * that form shuffled queries × tokens × C rows through an exchange and
+  * a window for a per-row top-n (measured 3–12 s per probeStats pass at
+  * C=1384, swinging with memory weather; this is a per-row O(C·n)
+  * insertion select with NO shuffle). Comparison is
+  * java.lang.Double.compare — the window's SortOrder semantics — and
+  * equal values keep the lower index, matching the `ci ASC` tie-break. */
+object TopNKernel {
+  def topIdx(values: ArrayData, n: Int): GenericArrayData = {
+    val len = values.numElements()
+    val k = math.min(n, len)
+    val idx = new Array[Int](math.max(k, 0))
+    val vals = new Array[Double](math.max(k, 0))
+    var size = 0
+    var i = 0
+    while (i < len) {
+      val v = values.getDouble(i)
+      if (size < k || java.lang.Double.compare(v, vals(size - 1)) > 0) {
+        var pos = if (size < k) size else k - 1
+        while (pos > 0 && java.lang.Double.compare(vals(pos - 1), v) < 0) {
+          vals(pos) = vals(pos - 1); idx(pos) = idx(pos - 1); pos -= 1
+        }
+        vals(pos) = v
+        idx(pos) = i
+        if (size < k) size += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(idx, size))
+  }
+}
+
+/** `graft_top_idx(arr, n)` → ARRAY<INT> of the top-n positions (0-based)
+  * by (value DESC, position ASC), in rank order. */
+case class TopIdxExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n > 0, s"n must be > 0, got $n")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_top_idx"
+  override def nullSafeEval(a: Any): Any =
+    TopNKernel.topIdx(a.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"org.apache.spark.sql.graftx.TopNKernel.topIdx($a, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object IndexExpressions {
+  def topIdx(arr: Column, n: Int): Column = column(TopIdxExpr(expression(arr), n))
+
   def centroidInteraction(qmat: Column, dcIdx: Column): Column =
     column(CentroidInteractionExpr(expression(qmat), expression(dcIdx)))
 

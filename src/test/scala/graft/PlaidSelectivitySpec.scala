@@ -116,4 +116,32 @@ class PlaidSelectivitySpec extends AnyFunSuite {
     // the serving pair
     assert(PlaidIndex.DefaultNprobe == 10)
   }
+
+  test("TopIdxParity: graft_top_idx ≡ the posexplode + rank-window top-n " +
+      "it replaced in probedCents — (value DESC, index ASC) under " +
+      "Double.compare, ties to the lower index, fuzzed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260819L)
+    val arrays: Seq[Seq[Double]] = (0 until 200).map { i =>
+      val len = 1 + rnd.nextInt(40)
+      // duplicate-heavy values so ties actually occur
+      Seq.fill(len)(math.floor(rnd.nextDouble() * 8) / 8.0)
+    }
+    for (n <- Seq(1, 3, 10)) {
+      val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "arr")
+      val got = df.select(col("id"),
+          explode(org.apache.spark.sql.graftx.IndexExpressions
+            .topIdx(col("arr"), n)).as("ci"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      // reference: the exact window form probedCents used
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("csim").desc, col("ci"))
+      val exp = df.select(col("id"), posexplode(col("arr")).as(Seq("ci", "csim")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= n)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == exp, s"top-$n index sets differ")
+    }
+  }
 }
